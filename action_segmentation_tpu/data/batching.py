@@ -1,0 +1,110 @@
+"""Host-side batching: padded collation with shape bucketing.
+
+Replaces the reference's DataLoader + padding_colate (src/models/model.py:
+42-77) and BatchSampler (src/data/corpus.py:613-644). Variable-length
+videos are padded to a small set of geometric length buckets so jitted
+train/decode steps see a bounded number of distinct shapes (avoiding a
+recompile per video length), and batches are grouped per task so every
+instance in a batch shares `valid_classes` (asserted by the reference at
+semimarkov_modules.py:600-602).
+"""
+
+import random
+
+import numpy as np
+
+# geometric-ish bucket boundaries; first buckets are fine-grained because
+# synthetic/test videos are short, later ones grow ~1.3x
+_BUCKET_GROWTH = 1.3
+_MIN_BUCKET = 32
+
+
+def pad_length_to_bucket(T):
+    """Smallest bucket >= T; buckets grow geometrically from _MIN_BUCKET."""
+    b = _MIN_BUCKET
+    while b < T:
+        b = int(np.ceil(b * _BUCKET_GROWTH / 8) * 8)
+    return b
+
+
+def make_batch_keys(videos_by_task, batch_size, batch_by_task=True, shuffle=False, seed=1):
+    """List of batches of (task, video_name) keys.
+
+    Chunks each task's (sorted) video list into batch_size groups, then
+    shuffles at batch granularity (corpus.py:613-644 semantics). When
+    batch_by_task is False the chunking is still per task — the reference's
+    sampler behaves identically — callers relying on mixed-task batches use
+    batch_size=1 anyway.
+    """
+    batches = []
+    for task in sorted(videos_by_task.keys()):
+        videos = sorted(videos_by_task[task])
+        for i in range(0, len(videos), batch_size):
+            batches.append([(task, v) for v in videos[i : i + batch_size]])
+    if shuffle:
+        random.Random(seed).shuffle(batches)
+    return batches
+
+
+def collate(samples, bucket=True):
+    """Pad a list of per-video sample dicts into dense numpy arrays.
+
+    Pads 'features' (T, D) -> (B, Tpad, D), 'gt_single' (T,) -> (B, Tpad),
+    'constraints' (T, K) -> (B, Tpad, K); passes through names/indices.
+    Padding value is 0 everywhere (reference model.py:59-62).
+    """
+    samples = [s for s in samples if s is not None]
+    lengths = np.array([s["features"].shape[0] for s in samples], np.int32)
+    max_len = int(lengths.max())
+    Tpad = pad_length_to_bucket(max_len) if bucket else max_len
+    B = len(samples)
+
+    out = {
+        "task_name": [s["task_name"] for s in samples],
+        "video_name": [s["video_name"] for s in samples],
+        "task_indices": [np.asarray(s["task_indices"]) for s in samples],
+        "lengths": lengths,
+    }
+    D = samples[0]["features"].shape[1]
+    feats = np.zeros((B, Tpad, D), np.float32)
+    for i, s in enumerate(samples):
+        feats[i, : lengths[i]] = s["features"]
+    out["features"] = feats
+
+    if "gt_single" in samples[0]:
+        gt = np.zeros((B, Tpad), np.int64)
+        for i, s in enumerate(samples):
+            gt[i, : lengths[i]] = s["gt_single"]
+        out["gt_single"] = gt
+        out["gt"] = [s["gt"] for s in samples]
+        if "gt_with_background" in samples[0]:
+            out["gt_with_background"] = [s["gt_with_background"] for s in samples]
+
+    if "constraints" in samples[0] and samples[0]["constraints"] is not None:
+        Kc = samples[0]["constraints"].shape[1]
+        cons = np.zeros((B, Tpad, Kc), np.float32)
+        for i, s in enumerate(samples):
+            cons[i, : lengths[i]] = s["constraints"]
+        out["constraints"] = cons
+
+    return out
+
+
+def iter_batches(datasplit, batch_size, batch_by_task, shuffle, seed=1, bucket=True):
+    """Yield collated batches from a Datasplit-like object.
+
+    The datasplit must expose `videos_by_task` (task -> {name: ...}) and
+    `__getitem__((task, name)) -> sample dict`.
+    """
+    keys_batches = make_batch_keys(
+        datasplit.videos_by_task, batch_size, batch_by_task, shuffle, seed
+    )
+    for keys in keys_batches:
+        samples = [datasplit[key] for key in keys]
+        samples = [s for s in samples if s is not None]
+        if samples:
+            yield collate(samples, bucket=bucket)
+
+
+def num_batches(datasplit, batch_size):
+    return len(make_batch_keys(datasplit.videos_by_task, batch_size))

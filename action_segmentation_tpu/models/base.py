@@ -1,0 +1,109 @@
+"""Model API, optimizer plumbing, and training-loop utilities.
+
+Counterpart of the reference's src/models/model.py: the abstract
+``Model.fit/predict`` contract (model.py:80-85), the Adam +
+reduce-on-plateau optimizer recipe (model.py:27-39), and the shared
+training flags (model.py:7-24). Optimization is optax; the plateau
+schedule is a small host-side controller feeding a learning-rate scalar
+into the jitted update step.
+"""
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def add_training_args(parser):
+    parser.add_argument("--epochs", type=int, default=60)
+    parser.add_argument("--batch_accumulation", type=int, default=1)
+    parser.add_argument("--lr", type=float, default=5e-3)
+    parser.add_argument("--workers", type=int, default=0)
+    parser.add_argument("--max_grad_norm", type=float, default=10)
+    parser.add_argument("--print_every", type=int, default=100)
+    parser.add_argument("--no_reduce_plateau", action="store_true")
+    parser.add_argument("--reduce_plateau_factor", type=float, default=0.2)
+    parser.add_argument("--reduce_plateau_patience", type=float, default=1)
+    parser.add_argument("--reduce_plateau_min_lr", type=float, default=1e-4)
+    parser.add_argument("--train_limit", type=int)
+    parser.add_argument("--dev_decode_frequency", type=int, default=1)
+    parser.add_argument("--seed", type=int, default=1)
+
+
+class ReduceLROnPlateau:
+    """Host-side plateau LR controller (torch ReduceLROnPlateau semantics:
+    mode=min, threshold=1e-5 relative, cooldown=0)."""
+
+    def __init__(self, lr, factor=0.2, patience=1, min_lr=1e-4, threshold=1e-5):
+        self.lr = lr
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.threshold = threshold
+        self.best = float("inf")
+        self.num_bad = 0
+
+    def step(self, metric):
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.num_bad = 0
+        return self.lr
+
+
+def make_optimizer(args):
+    """(optax transform, plateau scheduler or None).
+
+    The transform excludes the learning rate (applied explicitly in the
+    train step so the host-side plateau schedule can change it without
+    rebuilding optimizer state) and includes the grad-norm clip.
+    """
+    tx = optax.chain(
+        optax.clip_by_global_norm(args.max_grad_norm)
+        if args.max_grad_norm is not None
+        else optax.identity(),
+        optax.scale_by_adam(),
+        optax.scale(-1.0),
+    )
+    scheduler = (
+        None
+        if args.no_reduce_plateau
+        else ReduceLROnPlateau(
+            args.lr,
+            factor=args.reduce_plateau_factor,
+            patience=args.reduce_plateau_patience,
+            min_lr=args.reduce_plateau_min_lr,
+        )
+    )
+    return tx, scheduler
+
+
+def apply_lr(updates, lr):
+    return jax.tree_util.tree_map(lambda u: u * lr, updates)
+
+
+def global_norm(tree):
+    return jnp.sqrt(
+        sum(jnp.sum(x**2) for x in jax.tree_util.tree_leaves(tree))
+    )
+
+
+class Model:
+    """Abstract model interface (reference model.py:80-85)."""
+
+    @classmethod
+    def add_args(cls, parser):
+        raise NotImplementedError()
+
+    @classmethod
+    def from_args(cls, args, train_data):
+        raise NotImplementedError()
+
+    def fit(self, train_data, use_labels, callback_fn=None):
+        raise NotImplementedError()
+
+    def predict(self, test_data):
+        raise NotImplementedError()

@@ -1,0 +1,279 @@
+"""Compound (neural) HSMM parameterization with optional VAE latent.
+
+Counterpart of the reference's ComponentSemiMarkovModule
+(semimarkov_modules.py:699-970; structure after Kim's Compound PCFG):
+classes embed as the mean of their component embeddings, and MLP heads
+produce initial/transition logits, emission means, and Poisson length
+log-rates, optionally conditioned on a per-video latent z inferred by a
+BiLSTM encoder (KL enters the unsupervised loss).
+
+The reference's per-class EmbeddingBag gathers become one dense
+(n_classes, n_components) row-normalized multi-hot matmul, so class
+embeddings for any `valid_classes` subset are a gather of a single
+matmul's rows — no ragged host loops.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from action_segmentation_tpu import BIG_NEG
+from action_segmentation_tpu.models import rnn
+from action_segmentation_tpu.models.semimarkov import GaussianHsmm
+from action_segmentation_tpu.ops.distributions import gaussian_emission_log_probs, poisson_length_log_probs
+
+
+def _xavier(rng, shape):
+    fan_in, fan_out = shape[0], shape[-1]
+    bound = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return jax.random.uniform(rng, shape, jnp.float32, -bound, bound)
+
+
+def _linear_init(rng, in_f, out_f, xavier=True):
+    kw, kb = jax.random.split(rng)
+    if xavier:
+        w = _xavier(kw, (in_f, out_f))
+    else:
+        bound = 1.0 / jnp.sqrt(in_f)
+        w = jax.random.uniform(kw, (in_f, out_f), jnp.float32, -bound, bound)
+    return {"w": w, "b": jnp.zeros(out_f)}
+
+
+def _linear(p, x):
+    return x @ p["w"] + p["b"]
+
+
+def _residual_mlp_init(rng, in_dim, hidden, out_dim, n_residual):
+    """[Linear, n x ResidualLayer(lin1, lin2), Linear] (modules.py:42-49)."""
+    keys = jax.random.split(rng, 2 + 2 * n_residual)
+    p = {"in": _linear_init(keys[0], in_dim, hidden)}
+    p["res"] = [
+        {
+            "lin1": _linear_init(keys[1 + 2 * i], hidden, hidden),
+            "lin2": _linear_init(keys[2 + 2 * i], hidden, hidden),
+        }
+        for i in range(n_residual)
+    ]
+    p["out"] = _linear_init(keys[-1], hidden, out_dim)
+    return p
+
+
+def _residual_mlp(p, x):
+    h = _linear(p["in"], x)
+    for r in p["res"]:
+        h = jax.nn.relu(_linear(r["lin2"], jax.nn.relu(_linear(r["lin1"], h)))) + h
+    return _linear(p["out"], h)
+
+
+class ComponentHsmm(GaussianHsmm):
+    """Neural/compound HSMM factors; shares the constraint/merge plumbing
+    and DP interface of GaussianHsmm but produces per-instance (batched)
+    factors when a latent z is active."""
+
+    batched_factors = True
+
+    @classmethod
+    def add_args(cls, parser):
+        parser.add_argument("--sm_component_decompose_steps", action="store_true")
+        parser.add_argument("--sm_component_mean_layers", type=int, default=2)
+        parser.add_argument("--sm_component_length_layers", type=int, default=2)
+        parser.add_argument("--sm_component_embedding_dim", type=int, default=100)
+        parser.add_argument("--sm_component_z_dim", type=int, default=0)
+        parser.add_argument("--sm_component_z_hidden_dim", type=int, default=100)
+        parser.add_argument(
+            "--no_sm_compound_structure",
+            action="store_false",
+            dest="sm_compound_structure",
+        )
+        parser.add_argument("--seq_num_layers_component", type=int, default=2)
+
+    def __init__(
+        self,
+        args,
+        n_classes,
+        n_components,
+        class_to_components,
+        feature_dim,
+        allow_self_transitions=False,
+        per_class_bias=True,
+        allowed_starts=None,
+        allowed_transitions=None,
+        allowed_ends=None,
+        merge_classes=None,
+        seed=0,
+    ):
+        self.n_components = n_components
+        self.embedding_dim = args.sm_component_embedding_dim
+        self.z_dim = args.sm_component_z_dim
+        self.embedding_and_z_dim = self.embedding_dim + self.z_dim
+        self.compound_structure = getattr(args, "sm_compound_structure", True)
+        self.structure_uses_z = self.compound_structure and self.z_dim > 0
+        self.per_class_bias = per_class_bias
+        # dense row-normalized class -> components membership
+        member = np.zeros((n_classes, n_components), np.float32)
+        for cls, comps in class_to_components.items():
+            for comp in comps:
+                member[cls, comp] = 1.0
+        member /= np.maximum(member.sum(axis=1, keepdims=True), 1.0)
+        self.class_component_matrix = jnp.asarray(member)
+
+        super().__init__(
+            args,
+            n_classes,
+            feature_dim,
+            allow_self_transitions=allow_self_transitions,
+            allowed_starts=allowed_starts,
+            allowed_transitions=allowed_transitions,
+            allowed_ends=allowed_ends,
+            merge_classes=merge_classes,
+            seed=seed,
+        )
+
+    def init_params(self, rng):
+        args = self.args
+        e = self.embedding_dim
+        se = self.embedding_and_z_dim if self.compound_structure else self.embedding_dim
+        ez = self.embedding_and_z_dim
+        keys = jax.random.split(rng, 12)
+        params = {
+            "initial_embeddings": _xavier(keys[0], (self.n_components, e)),
+            "transition_embeddings": _xavier(keys[1], (self.n_components, e)),
+            "emission_embeddings": _xavier(keys[2], (self.n_components, e)),
+            "length_embeddings": _xavier(keys[3], (self.n_components, e)),
+            "initial_weights": _linear_init(keys[4], se, 1),
+            "transition_weights": _linear_init(keys[5], se, se),
+            "emission_mean_mlp": _residual_mlp_init(
+                keys[6], ez, e, self.feature_dim, args.sm_component_mean_layers
+            ),
+            "emission_mean_bias": jnp.zeros(self.feature_dim),
+            "length_mlp": _residual_mlp_init(
+                keys[7], se, e, 1, args.sm_component_length_layers
+            ),
+            "gaussian_cov": jnp.ones(self.feature_dim, jnp.float32),
+        }
+        if self.per_class_bias:
+            params["initial_bias"] = jnp.zeros(self.n_classes)
+            params["transition_bias"] = jnp.zeros(self.n_classes)
+            params["length_bias"] = jnp.zeros(self.n_classes)
+        if self.z_dim > 0:
+            params["encoder"] = rnn.lstm_init(
+                keys[8],
+                self.feature_dim,
+                args.sm_component_z_hidden_dim // 2,
+                num_layers=getattr(args, "seq_num_layers_component", 2),
+            )
+            params["encoder_to_params"] = _linear_init(
+                keys[9], args.sm_component_z_hidden_dim, self.z_dim * 2, xavier=True
+            )
+        if getattr(args, "sm_feature_projection", False):
+            from action_segmentation_tpu.models import flow as nice_flow
+
+            params["feature_projector"] = nice_flow.nice_init(
+                keys[10], args, self.feature_dim
+            )
+        return params
+
+    def initialize_gaussian(self, feature_list):
+        feats = np.concatenate([np.asarray(f) for f in feature_list], axis=0)
+        self.params["emission_mean_bias"] = jnp.asarray(
+            feats.mean(axis=0), jnp.float32
+        )
+        self.params["gaussian_cov"] = jnp.asarray(
+            feats.var(axis=0, ddof=1), jnp.float32
+        )
+
+    def fit_supervised(self, feature_list, label_list):
+        raise NotImplementedError("closed-form fit not supported for component model")
+
+    # ----- latent ------------------------------------------------------
+
+    def _get_z_and_kl(self, params, features, lengths, rng, use_mean):
+        B = features.shape[0]
+        if self.z_dim == 0:
+            return (
+                jnp.zeros((B, 1), jnp.float32),
+                jnp.zeros((B,), jnp.float32),
+            )
+        encoded = rnn.lstm_apply(params["encoder"], features, lengths)
+        pooled = jnp.max(encoded, axis=1)
+        stats = _linear(params["encoder_to_params"], pooled)
+        mean, logvar = stats[:, : self.z_dim], stats[:, self.z_dim :]
+        eps = jax.random.normal(rng, mean.shape)
+        z = jnp.where(use_mean, mean, jnp.exp(0.5 * logvar) * eps + mean)
+        kl = -0.5 * jnp.sum(logvar - mean**2 - jnp.exp(logvar) + 1.0, axis=1)
+        return z, kl
+
+    def _embed(self, params, name, vc, with_z, z):
+        """(B|1, C_sub, E[+Z]) class embeddings for the subset `vc`."""
+        emb = (self.class_component_matrix @ params[name])[vc]  # (C_sub, E)
+        emb = emb[None]  # (1, C_sub, E)
+        if with_z and self.z_dim > 0:
+            B = z.shape[0]
+            C_sub = emb.shape[1]
+            emb = jnp.broadcast_to(emb, (B, C_sub, emb.shape[-1]))
+            zz = jnp.broadcast_to(z[:, None, :], (B, C_sub, z.shape[-1]))
+            emb = jnp.concatenate([emb, zz], axis=-1)
+        return emb
+
+    # ----- factors ------------------------------------------------------
+
+    def compute_potentials(
+        self, params, features, lengths, vc, constraints_add, end_allowed, rng, use_mean_z
+    ):
+        B = features.shape[0]
+        C_sub = vc.shape[0]
+        mvc = jnp.asarray(self.merge_map)[vc] if self.merge_map is not None else vc
+
+        feats, log_det = self.project_features(params, features)
+        z, kl = self._get_z_and_kl(params, feats, lengths, rng, use_mean_z)
+
+        # initial: w . embed(class) (+ class bias), masked log-softmax
+        init_emb = self._embed(params, "initial_embeddings", vc, self.structure_uses_z, z)
+        x = _linear(params["initial_weights"], init_emb)[..., 0]  # (B|1, C_sub)
+        if self.init_dis is not None:
+            x = jnp.where(jnp.asarray(self.init_dis)[vc][None], BIG_NEG, x)
+        if self.per_class_bias:
+            x = x + params["initial_bias"][vc][None]
+        init = jax.nn.log_softmax(x, axis=-1)
+        init = jnp.broadcast_to(init, (B, C_sub))
+
+        # transition: f(embed(from)) . embed(to), [to, from] indexing
+        tr_emb = self._embed(
+            params, "transition_embeddings", vc, self.structure_uses_z, z
+        )
+        f_emb = _linear(params["transition_weights"], tr_emb)
+        x = jnp.einsum("bfe,bte->btf", f_emb, tr_emb)  # (B|1, to, from)
+        if self.trans_dis is not None:
+            x = jnp.where(jnp.asarray(self.trans_dis)[vc][:, vc][None], BIG_NEG, x)
+        if self.per_class_bias:
+            x = x + params["transition_bias"][vc][None, :, None]
+        if not self.allow_self_transitions:
+            x = jnp.where(jnp.eye(C_sub, dtype=bool)[None], BIG_NEG, x)
+        trans = jax.nn.log_softmax(x, axis=-2)
+        trans = jnp.broadcast_to(trans, (B, C_sub, C_sub))
+
+        # lengths: MLP(embed(class, merged)) -> log rates
+        len_emb = self._embed(
+            params, "length_embeddings", mvc, self.structure_uses_z, z
+        )
+        log_rates = _residual_mlp(params["length_mlp"], len_emb)[..., 0]
+        if self.per_class_bias:
+            log_rates = log_rates + params["length_bias"][vc][None]
+        lens = poisson_length_log_probs(log_rates, self.max_k)  # (B|1, K, C_sub)
+        lens = jnp.broadcast_to(lens, (B,) + lens.shape[-2:])
+
+        # emission means: MLP(embed(class, merged) ++ z) + bias
+        em_emb = self._embed(params, "emission_embeddings", mvc, True, z)
+        means = _residual_mlp(params["emission_mean_mlp"], em_emb)
+        means = means + params["emission_mean_bias"][None, None, :]
+        cov = jax.lax.stop_gradient(params["gaussian_cov"])
+        if means.shape[0] == 1 and B > 1:
+            means = jnp.broadcast_to(means, (B,) + means.shape[1:])
+        emit = gaussian_emission_log_probs(feats, means, cov) + constraints_add
+
+        from action_segmentation_tpu.ops.hsmm import HsmmPotentials
+
+        pots = HsmmPotentials(
+            trans=trans, init=init, lens=lens, emit=emit, end_mask=end_allowed
+        )
+        return pots, log_det, kl

@@ -1,0 +1,686 @@
+"""Hidden semi-Markov segmentation model, TPU-native.
+
+Counterpart of the reference's SemiMarkovModel / SemiMarkovModule
+(src/models/semimarkov/semimarkov.py, semimarkov_modules.py) redesigned
+around pure jitted functions:
+
+* parameters are a plain pytree (Poisson log-rates, Gaussian means, tied
+  diagonal covariance, transition/init logits, optional NICE flow params);
+* factor construction (masked softmaxes, Poisson table, batched Gaussian
+  emission matmul) + the banded semi-Markov DP are fused in one jitted
+  step — no b x N x K x C x C edge tensor, no host round-trips;
+* class subsetting (`valid_classes`), class merging, canonical-ordering
+  transition constraints, narration penalties, and per-instance allowed
+  ends are all expressed as device-side gathers/masks, so one compiled
+  program serves every task with the same (C_sub, T_bucket, B) shape;
+* supervised training scores gold spans in closed form or by gradient,
+  unsupervised training maximizes the marginal likelihood (partition),
+  exactly mirroring the reference's losses (semimarkov.py:253-272).
+"""
+
+import pickle
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from action_segmentation_tpu import BIG_NEG
+from action_segmentation_tpu.data.batching import iter_batches
+from action_segmentation_tpu.models import flow as nice_flow
+from action_segmentation_tpu.models.base import (
+    Model,
+    apply_lr,
+    global_norm,
+    make_optimizer,
+)
+from action_segmentation_tpu.ops.distributions import (
+    gaussian_emission_log_probs,
+    initial_log_probs,
+    poisson_length_log_probs,
+    transition_log_probs,
+)
+from action_segmentation_tpu.ops.hsmm import (
+    HsmmPotentials,
+    hsmm_gold_score,
+    hsmm_log_prob,
+    hsmm_partition,
+    hsmm_viterbi,
+)
+from action_segmentation_tpu.ops.span_codec import labels_to_spans, spans_to_labels
+from action_segmentation_tpu.ops.stats import semimarkov_sufficient_stats
+from action_segmentation_tpu.utils import all_equal, logger
+
+
+def _constraint_buffers(n_classes, allowed_starts, allowed_transitions, allowed_ends):
+    """Boolean disallowed-masks from allowed sets (semimarkov_modules.py:169-193)."""
+    if allowed_starts is None:
+        return None, None, None
+    init_dis = np.ones(n_classes, bool)
+    init_dis[sorted(allowed_starts)] = False
+    trans_dis = np.ones((n_classes, n_classes), bool)
+    for src, targets in allowed_transitions.items():
+        for tgt in targets:
+            trans_dis[tgt, src] = False
+    return init_dis, trans_dis, allowed_ends
+
+
+class GaussianHsmm:
+    """Gaussian-emission HSMM parameterization (SemiMarkovModule parity)."""
+
+    batched_factors = False
+
+    def __init__(
+        self,
+        args,
+        n_classes,
+        n_dims,
+        allow_self_transitions=False,
+        allowed_starts=None,
+        allowed_transitions=None,
+        allowed_ends=None,
+        merge_classes=None,
+        seed=0,
+    ):
+        self.args = args
+        self.n_classes = n_classes
+        self.feature_dim = n_dims
+        self.allow_self_transitions = allow_self_transitions
+        self.max_k = args.sm_max_span_length
+        self.init_dis, self.trans_dis, self.allowed_ends = _constraint_buffers(
+            n_classes, allowed_starts, allowed_transitions, allowed_ends
+        )
+        if merge_classes is not None:
+            mm = np.arange(n_classes)
+            for src, sink in merge_classes.items():
+                mm[src] = sink
+            self.merge_map = mm
+        else:
+            self.merge_map = None
+        self.params = self.init_params(jax.random.PRNGKey(seed))
+        if getattr(args, "sm_init_non_projection_parameters_from", None):
+            self._load_nonprojection_params(args.sm_init_non_projection_parameters_from)
+
+    def init_params(self, rng):
+        k_init, k_flow = jax.random.split(rng)
+        params = {
+            "poisson_log_rates": jnp.zeros(self.n_classes, jnp.float32),
+            "gaussian_means": jnp.zeros((self.n_classes, self.feature_dim), jnp.float32),
+            "gaussian_cov": jnp.ones(self.feature_dim, jnp.float32),
+            "transition_logits": jnp.zeros((self.n_classes, self.n_classes), jnp.float32),
+            "init_logits": jax.random.uniform(k_init, (self.n_classes,), jnp.float32),
+        }
+        if getattr(self.args, "sm_feature_projection", False):
+            params["feature_projector"] = nice_flow.nice_init(
+                k_flow, self.args, self.feature_dim
+            )
+        return params
+
+    def _load_nonprojection_params(self, path):
+        """Warm-start every non-flow parameter from a serialized model
+        (semimarkov_modules.py:90-94, :125-129)."""
+        logger.debug(f"loading all non-flow parameters from {path}")
+        with open(path, "rb") as f:
+            other = pickle.load(f)
+        src = other.module.params if hasattr(other, "module") else other
+        for key, val in src.items():
+            if key == "feature_projector":
+                continue
+            self.params[key] = jnp.asarray(val)
+
+    @property
+    def trainable_mask(self):
+        """Pytree of bools: gaussian_cov is frozen (modules.py:150-151)."""
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "gaussian_cov" not in str(path[0]), self.params
+        )
+
+    # ----- factor computation (runs under jit) -----
+
+    def project_features(self, params, features):
+        if "feature_projector" in params:
+            return nice_flow.nice_apply(params["feature_projector"], features)
+        return features, jnp.zeros(features.shape[0], jnp.float32)
+
+    def compute_potentials(
+        self, params, features, lengths, vc, constraints_add, end_allowed, rng, use_mean_z
+    ):
+        """Build batched HsmmPotentials for valid classes `vc` (C_sub,).
+
+        constraints_add: (B, T, C_sub) additive emission penalties (zeros
+        when unused); end_allowed: (B, C_sub) additive end mask.
+        Returns (pots, log_det (B,), kl (B,)).
+        """
+        B = features.shape[0]
+        C_sub = vc.shape[0]
+        mvc = jnp.asarray(self.merge_map)[vc] if self.merge_map is not None else vc
+
+        init = initial_log_probs(
+            params["init_logits"][vc],
+            jnp.asarray(self.init_dis)[vc] if self.init_dis is not None else None,
+        )
+        trans = transition_log_probs(
+            params["transition_logits"][vc][:, vc],
+            jnp.asarray(self.trans_dis)[vc][:, vc]
+            if self.trans_dis is not None
+            else None,
+            self.allow_self_transitions,
+        )
+        lens = poisson_length_log_probs(params["poisson_log_rates"][mvc], self.max_k)
+
+        feats, log_det = self.project_features(params, features)
+        cov = jax.lax.stop_gradient(params["gaussian_cov"])
+        emit = gaussian_emission_log_probs(feats, params["gaussian_means"][mvc], cov)
+        emit = emit + constraints_add
+
+        pots = HsmmPotentials(
+            trans=jnp.broadcast_to(trans, (B,) + trans.shape),
+            init=jnp.broadcast_to(init, (B,) + init.shape),
+            lens=jnp.broadcast_to(lens, (B,) + lens.shape),
+            emit=emit,
+            end_mask=end_allowed,
+        )
+        kl = jnp.zeros(B, jnp.float32)
+        return pots, log_det, kl
+
+    # ----- closed-form + moment initialization (host side) -----
+
+    def initialize_gaussian(self, feature_list):
+        """Mean/variance moment init (semimarkov_modules.py:263-282)."""
+        feats = np.concatenate([np.asarray(f) for f in feature_list], axis=0)
+        if "feature_projector" in self.params:
+            feats = np.asarray(
+                nice_flow.nice_apply(self.params["feature_projector"], jnp.asarray(feats))[0]
+            )
+        mean = feats.mean(axis=0)
+        var = feats.var(axis=0, ddof=1)
+        self.params["gaussian_means"] = jnp.broadcast_to(
+            jnp.asarray(mean, jnp.float32), (self.n_classes, self.feature_dim)
+        ).copy()
+        self.params["gaussian_cov"] = jnp.asarray(var, jnp.float32)
+
+    def fit_supervised(self, feature_list, label_list):
+        """Smoothed closed-form MLE (semimarkov_modules.py:195-256)."""
+        if "feature_projector" in self.params:
+            raise NotImplementedError("closed-form fit with feature projector")
+        if self.trans_dis is not None or self.init_dis is not None:
+            raise NotImplementedError("closed-form fit with constrained transitions")
+        stats = semimarkov_sufficient_stats(
+            feature_list, label_list, n_classes=self.n_classes, max_k=self.max_k
+        )
+        if self.merge_map is not None:
+            merged_labels = [self.merge_map[np.asarray(l)] for l in label_list]
+            stats_merged = semimarkov_sufficient_stats(
+                feature_list, merged_labels, n_classes=self.n_classes, max_k=self.max_k
+            )
+        else:
+            stats_merged = stats
+
+        ss = self.args.sm_supervised_state_smoothing
+        ls = self.args.sm_supervised_length_smoothing
+
+        init_probs = (stats["span_start_counts"] + ss) / float(
+            stats["instance_count"] + ss * self.n_classes
+        )
+        init_probs[np.isnan(init_probs)] = 0
+        with np.errstate(divide="ignore"):
+            self.params["init_logits"] = jnp.asarray(np.log(init_probs), jnp.float32)
+
+            smoothed = stats["span_transition_counts"] + ss
+            trans_probs = smoothed / smoothed.sum(axis=0)[None, :]
+            trans_probs[np.isnan(trans_probs)] = 0
+            self.params["transition_logits"] = jnp.asarray(
+                np.log(trans_probs), jnp.float32
+            )
+
+            mean_lengths = (stats_merged["span_lengths"] + ls) / (
+                stats_merged["span_counts"] + ls
+            )
+            self.params["poisson_log_rates"] = jnp.asarray(
+                np.log(mean_lengths), jnp.float32
+            )
+        self.params["gaussian_means"] = jnp.asarray(stats_merged["gaussian_means"])
+        self.params["gaussian_cov"] = jnp.asarray(stats_merged["gaussian_cov"])
+
+
+class SemiMarkovModel(Model):
+    @classmethod
+    def add_args(cls, parser):
+        parser.add_argument("--sm_max_span_length", type=int, default=20)
+        parser.add_argument("--sm_supervised_state_smoothing", type=float, default=1e-2)
+        parser.add_argument("--sm_supervised_length_smoothing", type=float, default=1e-1)
+        parser.add_argument(
+            "--sm_supervised_method",
+            choices=["closed-form", "gradient-based", "closed-then-gradient"],
+            default="closed-form",
+        )
+        parser.add_argument("--sm_feature_projection", action="store_true", help="use a flow")
+        parser.add_argument("--sm_init_non_projection_parameters_from")
+        nice_flow.add_args(parser)
+        from action_segmentation_tpu.models.compound import ComponentHsmm
+
+        ComponentHsmm.add_args(parser)
+        parser.add_argument("--sm_component_model", action="store_true")
+        parser.add_argument("--sm_constrain_transitions", action="store_true")
+        parser.add_argument(
+            "--sm_constrain_with_narration",
+            choices=["train", "test"],
+            nargs="*",
+            default=[],
+        )
+        parser.add_argument("--sm_constrain_narration_weight", type=float, default=-1e4)
+        parser.add_argument("--sm_train_discriminatively", action="store_true")
+        parser.add_argument(
+            "--sm_hidden_markov",
+            action="store_true",
+            help="train as hidden markov model (fix K=1)",
+        )
+        parser.add_argument("--sm_predict_single", action="store_true")
+
+    @classmethod
+    def from_args(cls, args, train_data):
+        n_classes = train_data.corpus.n_classes
+        feature_dim = train_data.feature_dim
+        allow_self_transitions = True
+
+        assert args.sm_max_span_length is not None
+        if args.sm_constrain_transitions:
+            (
+                allowed_starts,
+                allowed_transitions,
+                allowed_ends,
+                ordered_indices_by_task,
+            ) = train_data.get_allowed_starts_and_transitions()
+            if allow_self_transitions:
+                for src in range(n_classes):
+                    allowed_transitions.setdefault(src, set()).add(src)
+        else:
+            allowed_starts = allowed_transitions = allowed_ends = None
+            ordered_indices_by_task = None
+
+        if args.annotate_background_with_previous and not args.no_merge_classes:
+            merge_classes = {}
+            for task, indices in train_data.corpus._indices_by_task.items():
+                bkg = [ix for ix in indices if ix in train_data.corpus._background_indices]
+                non_bkg = [ix for ix in indices if ix not in train_data.corpus._background_indices]
+                canon = bkg[0]
+                for ix in bkg:
+                    assert merge_classes.get(ix, canon) == canon
+                    merge_classes[ix] = canon
+                for ix in non_bkg:
+                    assert merge_classes.get(ix, ix) == ix
+                    merge_classes[ix] = ix
+        else:
+            merge_classes = None
+
+        if args.sm_component_model:
+            from action_segmentation_tpu.models.compound import ComponentHsmm
+
+            if args.sm_component_decompose_steps:
+                n_components = train_data.corpus.n_components
+                class_to_components = dict(train_data.corpus.label_indices2component_indices)
+            else:
+                n_components = n_classes
+                class_to_components = {c: {c} for c in range(n_classes)}
+            module = ComponentHsmm(
+                args,
+                n_classes,
+                n_components=n_components,
+                class_to_components=class_to_components,
+                feature_dim=feature_dim,
+                allow_self_transitions=allow_self_transitions,
+                allowed_starts=allowed_starts,
+                allowed_transitions=allowed_transitions,
+                allowed_ends=allowed_ends,
+                merge_classes=merge_classes,
+                seed=getattr(args, "seed", 0) or 0,
+            )
+        else:
+            module = GaussianHsmm(
+                args,
+                n_classes,
+                feature_dim,
+                allow_self_transitions=allow_self_transitions,
+                allowed_starts=allowed_starts,
+                allowed_transitions=allowed_transitions,
+                allowed_ends=allowed_ends,
+                merge_classes=merge_classes,
+                seed=getattr(args, "seed", 0) or 0,
+            )
+        return SemiMarkovModel(args, n_classes, feature_dim, module, ordered_indices_by_task)
+
+    def __init__(self, args, n_classes, feature_dim, module, ordered_indices_by_task=None):
+        self.args = args
+        self.n_classes = n_classes
+        self.feature_dim = feature_dim
+        self.module = module
+        self.ordered_indices_by_task = ordered_indices_by_task
+        self._jit_cache = {}
+
+    # pickling: drop compiled closures, keep numpy params
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_jit_cache"] = {}
+        mod = state["module"]
+        mod.params = jax.tree_util.tree_map(np.asarray, mod.params)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self.module.params = jax.tree_util.tree_map(jnp.asarray, self.module.params)
+
+    # ----- host-side batch preparation -----
+
+    def _batch_device_args(self, batch, datasplit, use_narration):
+        """Extract shared valid classes and build dense per-batch arrays."""
+        tasks = batch["task_name"]
+        assert all_equal(
+            tuple(ti.tolist()) for ti in batch["task_indices"]
+        ), "batch must share valid_classes"
+        vc = np.asarray(batch["task_indices"][0], np.int32)
+        C_sub = len(vc)
+        B, T = batch["features"].shape[:2]
+
+        inv_map = np.zeros(self.n_classes, np.int32)
+        inv_map[vc] = np.arange(C_sub, dtype=np.int32)
+
+        if use_narration and "constraints" in batch:
+            cons = self._expand_constraints(datasplit, tasks[0], vc, batch["constraints"])
+            cons = cons * self.args.sm_constrain_narration_weight
+        else:
+            cons = np.zeros((B, T, C_sub), np.float32)
+
+        end_allowed = np.zeros((B, C_sub), np.float32)
+        if self.module.allowed_ends is not None:
+            addl = self._make_additional_allowed_ends(tasks, batch["lengths"])
+            for i in range(B):
+                allowed = set(self.module.allowed_ends) | set(addl[i])
+                mask = np.array([ix in allowed for ix in vc])
+                assert mask.any(), "no allowed end classes for instance"
+                end_allowed[i] = np.where(mask, 0.0, BIG_NEG)
+
+        return vc, inv_map, cons.astype(np.float32), end_allowed
+
+    def _expand_constraints(self, datasplit, task, vc, constraints):
+        """(B, T, K_steps) narration 0/1 -> (B, T, C_sub) penalties of
+        (1 - constraint) at each step's column (semimarkov.py:149-157)."""
+        vc_list = list(vc)
+        step_indices = datasplit.get_ordered_indices_no_background()[task]
+        B, T, Ks = constraints.shape
+        assert Ks == len(step_indices), (Ks, len(step_indices))
+        expanded = np.zeros((B, T, len(vc_list)), np.float32)
+        for index, label in enumerate(step_indices):
+            expanded[:, :, vc_list.index(label)] = 1.0 - constraints[:, :, index]
+        return expanded
+
+    def _make_additional_allowed_ends(self, tasks, lengths):
+        """Allow ending mid-canonical-order for videos shorter than the
+        step sequence (semimarkov.py:135-147)."""
+        if self.ordered_indices_by_task is None:
+            return [[] for _ in tasks]
+        addl = []
+        for task, length in zip(tasks, lengths):
+            ord_indices = self.ordered_indices_by_task[task]
+            if int(length) < len(ord_indices):
+                addl.append([ord_indices[int(length) - 1]])
+            else:
+                addl.append([])
+        return addl
+
+    # ----- jitted step builders -----
+
+    def _get_jitted(self, name, builder):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = builder()
+        return self._jit_cache[name]
+
+    def _build_loss_fn(self, use_labels):
+        module = self.module
+        K = module.max_k
+        discriminative = getattr(self.args, "sm_train_discriminatively", False)
+
+        def loss_fn(params, features, lengths, vc, inv_map, gt, cons, end_allowed, rng):
+            pots, log_det, kl = module.compute_potentials(
+                params, features, lengths, vc, cons, end_allowed, rng, use_mean_z=use_labels
+            )
+            if use_labels:
+                labels_sub = inv_map[gt]
+                spans = labels_to_spans(labels_sub, K)
+                if discriminative:
+                    ll = hsmm_log_prob(pots, lengths, spans).mean()
+                else:
+                    ll = hsmm_gold_score(pots, lengths, spans).mean()
+            else:
+                ll = hsmm_partition(pots, lengths).mean()
+            nll = -ll
+            loss = nll - log_det.mean()
+            if not use_labels:
+                loss = loss + kl.mean()
+            return loss, {"nll": nll, "kl": kl.mean(), "log_det": log_det.mean()}
+
+        return loss_fn
+
+    def _build_grad_step(self, use_labels):
+        loss_fn = self._build_loss_fn(use_labels)
+
+        @jax.jit
+        def grad_step(params, features, lengths, vc, inv_map, gt, cons, end_allowed, rng):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, features, lengths, vc, inv_map, gt, cons, end_allowed, rng
+            )
+            return loss, aux, grads
+
+        return grad_step
+
+    def _build_update_step(self, tx):
+        trainable = self.module.trainable_mask
+
+        @jax.jit
+        def update(params, opt_state, grads, lr):
+            grads = jax.tree_util.tree_map(
+                lambda g, t: g if t else jnp.zeros_like(g), grads, trainable
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            updates = apply_lr(updates, lr)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return params, opt_state, global_norm(grads)
+
+        return update
+
+    def _build_decode_step(self):
+        module = self.module
+
+        @jax.jit
+        def decode(params, features, lengths, vc, cons, end_allowed, rng):
+            pots, _, _ = module.compute_potentials(
+                params, features, lengths, vc, cons, end_allowed, rng, use_mean_z=True
+            )
+            spans_sub, scores = hsmm_viterbi(pots, lengths)
+            spans = jnp.where(spans_sub >= 0, vc[jnp.clip(spans_sub, 0)], -1)
+            labels = spans_to_labels(spans)
+            return spans, labels, scores
+
+        return decode
+
+    # ----- public API -----
+
+    def fit_supervised(self, train_data):
+        assert not self.args.sm_component_model
+        assert not self.args.sm_constrain_transitions
+        features, labels = [], []
+        for batch in iter_batches(
+            train_data, batch_size=1, batch_by_task=False, shuffle=False, bucket=False
+        ):
+            L = int(batch["lengths"][0])
+            features.append(batch["features"][0, :L])
+            labels.append(batch["gt_single"][0, :L])
+        self.module.fit_supervised(features, labels)
+
+    def fit(self, train_data, use_labels, callback_fn=None):
+        args = self.args
+        if use_labels:
+            assert not args.sm_constrain_transitions
+        initialize = True
+        if use_labels and args.sm_supervised_method in ("closed-form", "closed-then-gradient"):
+            self.fit_supervised(train_data)
+            if args.sm_supervised_method == "closed-then-gradient":
+                initialize = False
+                if callback_fn:
+                    callback_fn(-1, {})
+            else:
+                return
+        if getattr(args, "sm_init_non_projection_parameters_from", None):
+            initialize = False
+            if callback_fn:
+                callback_fn(-1, {})
+
+        tx, scheduler = make_optimizer(args)
+        lr = args.lr
+
+        if initialize:
+            # moment-match emissions on a ~100-video sample (semimarkov.py:177-186)
+            feats = []
+            for batch in iter_batches(
+                train_data, batch_size=100, batch_by_task=False, shuffle=True,
+                seed=getattr(args, "seed", 1), bucket=False,
+            ):
+                for i in range(len(batch["lengths"])):
+                    feats.append(batch["features"][i, : batch["lengths"][i]])
+                break
+            self.module.initialize_gaussian(feats)
+
+        opt_state = tx.init(self.module.params)
+        grad_step = self._get_jitted(
+            f"grad_{use_labels}", lambda: self._build_grad_step(use_labels)
+        )
+        update = self._get_jitted("update", lambda: self._build_update_step(tx))
+
+        rng = jax.random.PRNGKey(getattr(args, "seed", 1) or 1)
+        params = self.module.params
+        use_narration = "train" in args.sm_constrain_with_narration
+
+        for epoch in range(args.epochs):
+            start_time = time.time()
+            losses, nlls, kls, log_dets = [], [], [], []
+            num_frames = 0
+            num_videos = 0
+            train_nll = train_kl = train_log_det = 0.0
+            acc_grads = None
+            acc_count = 0
+
+            batch_iter = iter_batches(
+                train_data,
+                batch_size=args.batch_size,
+                batch_by_task=True,
+                shuffle=True,
+                seed=(getattr(args, "seed", 1) or 1) + epoch,
+            )
+            for batch_ix, batch in enumerate(batch_iter):
+                if args.train_limit and batch_ix >= args.train_limit:
+                    break
+                vc, inv_map, cons, end_allowed = self._batch_device_args(
+                    batch, train_data, use_narration
+                )
+                B = len(batch["lengths"])
+                num_frames += int(batch["lengths"].sum())
+                num_videos += B
+                rng, step_rng = jax.random.split(rng)
+                gt = batch.get("gt_single", np.zeros(batch["features"].shape[:2], np.int64))
+                loss, aux, grads = grad_step(
+                    params,
+                    jnp.asarray(batch["features"]),
+                    jnp.asarray(batch["lengths"]),
+                    jnp.asarray(vc),
+                    jnp.asarray(inv_map),
+                    jnp.asarray(gt),
+                    jnp.asarray(cons),
+                    jnp.asarray(end_allowed),
+                    step_rng,
+                )
+                loss_f = float(loss)
+                losses.append(loss_f)
+                nlls.append(float(aux["nll"]))
+                kls.append(float(aux["kl"]))
+                log_dets.append(float(aux["log_det"]))
+                train_nll += float(aux["nll"]) * B
+                train_kl += float(aux["kl"]) * B
+                train_log_det += float(aux["log_det"]) * B
+
+                acc_grads = (
+                    grads
+                    if acc_grads is None
+                    else jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+                )
+                acc_count += 1
+                if acc_count >= args.batch_accumulation:
+                    mean_grads = jax.tree_util.tree_map(
+                        lambda g: g / acc_count, acc_grads
+                    )
+                    params, opt_state, gnorm = update(params, opt_state, mean_grads, lr)
+                    acc_grads = None
+                    acc_count = 0
+                    if args.print_every and (batch_ix % args.print_every == 0):
+                        logger.debug(
+                            "Epoch: %02d, Batch: %03d, |GParam|: %.2f, lr: %.2E, "
+                            "loss: %.4f, recon: %.4f, kl: %.4f, log_det: %.4f, "
+                            "Throughput: %.2f vid / sec"
+                            % (
+                                epoch,
+                                batch_ix,
+                                float(gnorm),
+                                lr,
+                                (train_nll + train_kl + train_log_det) / num_videos,
+                                train_nll / num_frames,
+                                train_kl / num_frames,
+                                train_log_det / num_videos,
+                                num_videos / (time.time() - start_time),
+                            )
+                        )
+
+            self.module.params = params
+            train_loss = float(np.mean(losses)) if losses else 0.0
+            if scheduler is not None:
+                lr = scheduler.step(train_loss)
+            if callback_fn:
+                callback_fn(
+                    epoch,
+                    {
+                        "train_loss": train_loss,
+                        "train_nll_frame_avg": train_nll / max(num_frames, 1),
+                        "train_kl_vid_avg": train_kl / max(num_videos, 1),
+                        "train_recon_bound": (train_nll + train_kl) / max(num_frames, 1),
+                    },
+                )
+        self.module.params = params
+
+    def predict(self, test_data):
+        predictions = {}
+        decode = self._get_jitted("decode", self._build_decode_step)
+        use_narration = "test" in self.args.sm_constrain_with_narration
+        rng = jax.random.PRNGKey(0)
+        for batch in iter_batches(
+            test_data,
+            batch_size=self.args.batch_size,
+            batch_by_task=True,
+            shuffle=False,
+        ):
+            vc, _, cons, end_allowed = self._batch_device_args(
+                batch, test_data, use_narration
+            )
+            rng, step_rng = jax.random.split(rng)
+            _, labels, _ = decode(
+                self.module.params,
+                jnp.asarray(batch["features"]),
+                jnp.asarray(batch["lengths"]),
+                jnp.asarray(vc),
+                jnp.asarray(cons),
+                jnp.asarray(end_allowed),
+                step_rng,
+            )
+            labels = np.asarray(labels)
+            for i, video in enumerate(batch["video_name"]):
+                L = int(batch["lengths"][i])
+                preds = labels[i, :L]
+                assert (preds >= 0).all() and (preds < self.n_classes).all()
+                predictions[video] = preds
+        return predictions

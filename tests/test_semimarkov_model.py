@@ -1,0 +1,102 @@
+"""End-to-end learnability tests on synthetic data.
+
+Mirrors the reference's test_learn_synthetic / predict_synthetic
+(src/models/test_semimarkov.py:90-247): fit the HSMM on class-shifted
+Gaussian features (closed form and gradient-based) and require high token
+accuracy from Viterbi decoding.
+"""
+
+import argparse
+
+import numpy as np
+import pytest
+
+from action_segmentation_tpu.data.synthetic import SyntheticDatasplit
+from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+
+
+def make_args(**overrides):
+    from action_segmentation_tpu.models.base import add_training_args
+
+    parser = argparse.ArgumentParser()
+    SemiMarkovModel.add_args(parser)
+    add_training_args(parser)
+    parser.add_argument("--batch_size", type=int, default=10)
+    parser.add_argument("--annotate_background_with_previous", action="store_true")
+    parser.add_argument("--no_merge_classes", action="store_true")
+    args = parser.parse_args([])
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    return args
+
+
+def token_accuracy(model, data):
+    preds = model.predict(data)
+    match = total = 0
+    for name, pred in preds.items():
+        gold = data.gt_single(name)
+        assert len(pred) == len(gold)
+        match += int((pred == gold).sum())
+        total += len(gold)
+    return match / total
+
+
+@pytest.fixture(scope="module")
+def toy_data():
+    train = SyntheticDatasplit(num_videos=60, n_classes=3, max_len=40, span_k=5, seed=0)
+    test = SyntheticDatasplit(num_videos=20, n_classes=3, max_len=40, span_k=5, seed=1)
+    return train, test
+
+
+def test_closed_form_supervised(toy_data):
+    train, test = toy_data
+    args = make_args(sm_max_span_length=20, sm_supervised_method="closed-form")
+    model = SemiMarkovModel.from_args(args, train)
+    model.fit(train, use_labels=True, callback_fn=None)
+    acc = token_accuracy(model, test)
+    assert acc > 0.75, acc
+
+
+def test_gradient_supervised(toy_data):
+    train, test = toy_data
+    args = make_args(
+        sm_max_span_length=20,
+        sm_supervised_method="gradient-based",
+        epochs=3,
+        lr=5e-2,
+        batch_size=10,
+    )
+    model = SemiMarkovModel.from_args(args, train)
+    losses = []
+    model.fit(train, use_labels=True, callback_fn=lambda e, s: losses.append(s["train_loss"]))
+    assert losses[-1] < losses[0], losses
+    acc = token_accuracy(model, test)
+    assert acc > 0.7, acc
+
+
+def test_unsupervised_improves_likelihood(toy_data):
+    train, _ = toy_data
+    args = make_args(
+        sm_max_span_length=20, epochs=3, lr=5e-2, batch_size=10, training="unsupervised"
+    )
+    model = SemiMarkovModel.from_args(args, train)
+    losses = []
+    model.fit(train, use_labels=False, callback_fn=lambda e, s: losses.append(s["train_loss"]))
+    assert losses[-1] < losses[0], losses
+    # decode still produces valid labels
+    preds = model.predict(train)
+    assert all(len(p) > 0 for p in preds.values())
+
+
+def test_pickle_roundtrip(toy_data):
+    import pickle
+
+    train, test = toy_data
+    args = make_args(sm_max_span_length=20)
+    model = SemiMarkovModel.from_args(args, train)
+    model.fit(train, use_labels=True)
+    blob = pickle.dumps(model)
+    model2 = pickle.loads(blob)
+    acc1 = token_accuracy(model, test)
+    acc2 = token_accuracy(model2, test)
+    assert abs(acc1 - acc2) < 1e-9
