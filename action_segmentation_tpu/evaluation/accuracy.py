@@ -1,0 +1,429 @@
+"""Hungarian-matched segmentation metrics.
+
+Numpy re-implementation of the reference's Accuracy class
+(src/evaluation/accuracy.py:39-705, itself derived from slim_mallow):
+frame-level MoF / IoU with optional Hungarian correspondence between
+predicted and ground-truth label spaces, multi-label-aware precision /
+recall / F1, background statistics, segment-level Levenshtein on RLE
+sequences, and sampled single-step recall. Every metric is reported as a
+(numerator, denominator) pair so the driver can aggregate across tasks
+before dividing (reference main.py:486-521).
+"""
+
+from collections import defaultdict
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from action_segmentation_tpu.evaluation import editdistance
+from action_segmentation_tpu.utils import logger
+
+
+def singleton_lookup(dictionary, label):
+    assert label in dictionary, "{} not in {}".format(label, dictionary)
+    values = dictionary[label]
+    assert len(values) == 1
+    return next(iter(values))
+
+
+def run_length_encode(labels):
+    """[(label, count), ...] over a flat label sequence (accuracy.py:21-37)."""
+    labels = list(labels)
+    rle = []
+    if not labels:
+        return rle
+    arr = np.asarray(labels)
+    change = np.flatnonzero(arr[1:] != arr[:-1]) + 1
+    bounds = np.concatenate([[0], change, [len(arr)]])
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        rle.append((labels[s], int(e - s)))
+    return rle
+
+
+class Accuracy:
+    """Accumulates per-video gt (possibly multi-label per frame) and
+    predictions, then computes correspondence-matched metrics."""
+
+    def __init__(self, n_frames=1, verbose=True, corpus=None):
+        self._n_frames = n_frames
+        self._verbose = verbose
+        self._corpus = corpus
+
+        self._gt2cluster = defaultdict(list)
+        self.exclude = {}
+
+        self._predicted_labels_per_video = []
+        self._predicted_rle_per_video = []
+        self._gt_labels_per_video = []
+        self._gt_labels_multi_per_video = []
+        self._gt_rle_per_video = []
+
+        self._frames_true_pr = 0.0
+        self._frames_overall = 0
+        self._classes_MoF = {}
+        self._classes_IoU = {}
+        self._return = {}
+
+    # ----- accumulation -----
+
+    def add_gt_labels(self, labels):
+        assert isinstance(labels, list) and isinstance(labels[0], list)
+        labels_single = [lab_t[0] for lab_t in labels]
+        self._gt_labels_per_video.append(labels_single)
+        self._gt_labels_multi_per_video.append(labels)
+        self._gt_rle_per_video.append(run_length_encode(labels_single))
+
+    def add_predicted_labels(self, labels):
+        labels = list(labels)
+        self._predicted_labels_per_video.append(labels)
+        self._predicted_rle_per_video.append(run_length_encode(labels))
+
+    @property
+    def gt_labels(self):
+        return np.array([x for xs in self._gt_labels_per_video for x in xs])
+
+    @property
+    def gt_labels_multi(self):
+        return [x for xs in self._gt_labels_multi_per_video for x in xs]
+
+    @property
+    def predicted_labels(self):
+        return np.array([x for xs in self._predicted_labels_per_video for x in xs])
+
+    # ----- correspondence -----
+
+    def _create_voting_table(self, gt_labels, predicted_labels):
+        """Paired-assignment score table with synthetic padding labels when
+        the label sets have different sizes (accuracy.py:232-283)."""
+        uniq_gt = list(np.unique(gt_labels))
+        uniq_pr = list(np.unique(predicted_labels))
+        size = max(len(uniq_gt), len(uniq_pr))
+        gt_label2index, gt_index2label = {}, {}
+        for idx, lab in enumerate(uniq_gt):
+            gt_label2index[lab] = idx
+            gt_index2label[idx] = lab
+        for idx in range(len(uniq_gt), size):
+            lab = idx
+            while lab in gt_label2index:
+                lab += 1
+            gt_label2index[lab] = idx
+            gt_index2label[idx] = lab
+        pr_label2index, pr_index2label = {}, {}
+        for idx, lab in enumerate(uniq_pr):
+            pr_label2index[lab] = idx
+            pr_index2label[idx] = lab
+        for idx in range(len(uniq_pr), size):
+            lab = idx
+            while lab in pr_label2index:
+                lab += 1
+            pr_label2index[lab] = idx
+            pr_index2label[idx] = lab
+
+        table = np.zeros((size, size))
+        for idx_gt, gt_label in enumerate(uniq_gt):
+            gt_mask = gt_labels == gt_label
+            for idx_pr, pr_label in enumerate(uniq_pr):
+                table[idx_gt, idx_pr] = np.sum(
+                    predicted_labels[gt_mask] == pr_label, dtype=float
+                )
+        return table, gt_index2label, pr_index2label
+
+    def _create_correspondences(self, optimal_assignment):
+        gt_labels = self.gt_labels
+        predicted_labels = self.predicted_labels
+        if optimal_assignment:
+            table, gt_i2l, pr_i2l = self._create_voting_table(
+                gt_labels, predicted_labels
+            )
+            x, y = linear_sum_assignment(-table)
+            for idx_gt, idx_pr in zip(x, y):
+                self._gt2cluster[gt_i2l[idx_gt]] = [pr_i2l[idx_pr]]
+        else:
+            for label in np.unique(gt_labels):
+                self._gt2cluster[label] = [label]
+
+    def compute_assignment(self, optimal_assignment, possible_gt_labels=None):
+        self._create_correspondences(optimal_assignment)
+        if possible_gt_labels is None:
+            possible_gt_labels = np.unique(self.gt_labels)
+        num_gt = len(possible_gt_labels)
+        num_pr = len(np.unique(self.predicted_labels))
+        assert num_pr <= num_gt, "gt_labels: {}, pred_labels: {}".format(
+            possible_gt_labels, np.unique(self.predicted_labels)
+        )
+        if self._verbose:
+            logger.debug(
+                "# gt_labels: %d   # pr_labels: %d" % (num_gt, num_pr)
+            )
+
+    def _cluster_of(self, gt_label):
+        """Representative predicted label for a gt label, or None."""
+        vals = self._gt2cluster[gt_label]
+        return vals[0] if len(vals) > 0 else None
+
+    # ----- frame-level metrics -----
+
+    def mof(self, optimal_assignment, possible_gt_labels=None):
+        """Frame accuracy machinery; returns total frame count
+        (accuracy.py:475-579)."""
+        self.compute_assignment(optimal_assignment, possible_gt_labels)
+        gt_labels = self.gt_labels
+        gt_labels_multi = self.gt_labels_multi
+        pred = self.predicted_labels
+
+        background_clusters = set(
+            self._cluster_of(label)
+            for label in self._corpus._background_indices
+            if len(self._gt2cluster[label]) > 0
+        )
+
+        self._classes_MoF = {}
+        self._classes_IoU = {}
+        self._frames_true_pr = 0.0
+        for gt_label in np.unique(gt_labels):
+            gt_mask = gt_labels == gt_label
+            true_defined = 0.0
+            union = 0
+            for cluster in self._gt2cluster[gt_label]:
+                true_defined += np.sum(pred[gt_mask] == cluster, dtype=float)
+                pr_mask = pred == cluster
+                union += np.sum(gt_mask | pr_mask)
+            self._classes_MoF[gt_label] = [true_defined, np.sum(gt_mask)]
+            self._classes_IoU[gt_label] = [true_defined, union]
+            self._frames_true_pr += true_defined
+
+        assert len(gt_labels_multi) == len(pred)
+
+        self._precision = np.zeros(2)
+        self._recall = np.zeros(2)
+        self._precision_without_bg = np.zeros(2)
+        self._recall_without_bg = np.zeros(2)
+        self._true_background_frames = np.zeros(2)
+        self._pred_background_frames = np.zeros(2)
+        self._non_bg_IoU_multi = np.zeros(2)
+        self._multiple_labels = np.zeros(2)
+
+        bkg_set = set(self._corpus._background_indices)
+        for gt_labels_t, pred_label_t in zip(gt_labels_multi, pred):
+            self._multiple_labels[1] += 1
+            if len(gt_labels_t) > 1:
+                self._multiple_labels[0] += 1
+            gt_clusters_t = set(
+                c for c in (self._cluster_of(g) for g in gt_labels_t) if c is not None
+            )
+            self._recall[1] += len(gt_labels_t)
+            self._precision[1] += 1
+            true_positive = pred_label_t in gt_clusters_t
+            if true_positive:
+                self._recall[0] += 1
+                self._precision[0] += 1
+
+            self._true_background_frames[1] += 1
+            self._pred_background_frames[1] += 1
+            pred_background = pred_label_t in background_clusters
+            if pred_background:
+                self._pred_background_frames[0] += 1
+
+            is_background = any(g in bkg_set for g in gt_labels_t)
+            if is_background:
+                assert all(g in bkg_set for g in gt_labels_t)
+
+            if (not is_background) or (not pred_background):
+                self._non_bg_IoU_multi[1] += 1
+                if true_positive:
+                    self._non_bg_IoU_multi[0] += 1
+
+            if is_background:
+                self._true_background_frames[0] += 1
+            else:
+                self._recall_without_bg[1] += len(gt_labels_t)
+                self._precision_without_bg[1] += 1
+                if true_positive:
+                    self._recall_without_bg[0] += 1
+                    self._precision_without_bg[0] += 1
+
+        self._frames_overall = len(gt_labels)
+        return self._frames_overall
+
+    def mof_classes(self):
+        total_true = total = 0.0
+        total_true_non_bkg = total_non_bkg = 0.0
+        bkg_set = set(self._corpus._background_indices)
+        for key, (true_frames, all_frames) in self._classes_MoF.items():
+            if self._verbose:
+                log_str = "mof label %d: %f  %d / %d" % (
+                    key, true_frames / all_frames, true_frames, all_frames,
+                )
+                if self._corpus is not None:
+                    log_str += "\t[{}]".format(self._corpus.index2label[key])
+                logger.debug(log_str)
+            total_true += true_frames
+            total += all_frames
+            if key not in bkg_set:
+                total_true_non_bkg += true_frames
+                total_non_bkg += all_frames
+
+        self._return["mof"] = [self._frames_true_pr, self._frames_overall]
+        self._return["mof_bg"] = [total_true, total]
+        self._return["mof_non_bg"] = [total_true_non_bkg, total_non_bkg]
+        self._return["precision"] = self._precision
+        self._return["recall"] = self._recall
+
+        precision = self._precision[0] / self._precision[1] if self._precision[1] else 0.0
+        recall = self._recall[0] / self._recall[1] if self._recall[1] else 0.0
+        f1 = (
+            (2 * precision * recall) / (precision + recall)
+            if precision + recall > 0
+            else 0.0
+        )
+        self._return["f1"] = np.array([f1, 1.0])
+
+        self._return["precision_non_bg"] = self._precision_without_bg
+        self._return["recall_non_bg"] = self._recall_without_bg
+        p_nb = (
+            self._precision_without_bg[0] / self._precision_without_bg[1]
+            if self._precision_without_bg[1]
+            else 0.0
+        )
+        r_nb = (
+            self._recall_without_bg[0] / self._recall_without_bg[1]
+            if self._recall_without_bg[1]
+            else 0.0
+        )
+        f1_nb = (2 * p_nb * r_nb) / (p_nb + r_nb) if p_nb + r_nb > 0 else 0
+        self._return["f1_non_bg"] = np.array([f1_nb, 1.0])
+
+        self._return["true_background"] = self._true_background_frames
+        self._return["pred_background"] = self._pred_background_frames
+        self._return["iou_multi_non_bg"] = self._non_bg_IoU_multi
+        self._return["multiple_gt_labels"] = self._multiple_labels
+
+    def iou_classes(self):
+        average_class_iou = 0.0
+        for key, (true_frames, union) in self._classes_IoU.items():
+            if self._verbose:
+                logger.debug(
+                    "iou label %d: %f  %d / %d" % (key, true_frames / union, true_frames, union)
+                )
+            average_class_iou += true_frames / union
+        n = len(self._classes_IoU)
+        self._return["iou"] = [average_class_iou, n]
+        self._return["iou_bg"] = [average_class_iou, n]
+
+    # ----- segment-level metrics -----
+
+    def levenshtein(self, gt2cluster=None):
+        if gt2cluster is None:
+            gt2cluster = self._gt2cluster
+        levenshteins = []
+        max_num_segments = []
+        predicted_segments = 0.0
+        predicted_segments_non_bg = 0.0
+        num_videos = 0
+        background_remapped = set(
+            singleton_lookup(gt2cluster, label)
+            for label in self._corpus._background_indices
+            if len(gt2cluster[label]) > 0
+        )
+        assert len(self._predicted_labels_per_video) == len(self._gt_labels_per_video)
+        for gt_rle, pred_rle in zip(self._gt_rle_per_video, self._predicted_rle_per_video):
+            num_videos += 1
+            assert sum(l for _, l in gt_rle) == sum(l for _, l in pred_rle)
+            gt_remapped = [singleton_lookup(gt2cluster, lab) for lab, _ in gt_rle]
+            pred_segments = [lab for lab, _ in pred_rle]
+            predicted_segments += len(pred_segments)
+            predicted_segments_non_bg += len(
+                [s for s in pred_segments if s not in background_remapped]
+            )
+            levenshteins.append(editdistance.eval(gt_remapped, pred_segments))
+            max_num_segments.append(max(len(gt_remapped), len(pred_segments)))
+
+        levenshteins = np.array(levenshteins, float)
+        max_num_segments = np.array(max_num_segments, float)
+        assert np.all(max_num_segments > 0)
+        results = {
+            "mean_levenshtein": np.array([np.mean(levenshteins), 1.0]),
+            "mean_max_segments": np.array([np.mean(max_num_segments), 1.0]),
+            "total_levenshtein": np.array([np.sum(levenshteins), 1.0]),
+            "num_videos": np.array([len(levenshteins), 1.0]),
+            "mean_normed_levenshtein": np.array(
+                [np.mean(levenshteins / max_num_segments), 1.0]
+            ),
+            "predicted_segments_per_video": np.array([predicted_segments, num_videos]),
+            "predicted_segments_non_bg_per_video": np.array(
+                [predicted_segments_non_bg, num_videos]
+            ),
+        }
+        self._return.update(results)
+
+    def single_step_recall(self, gt2cluster=None):
+        if gt2cluster is None:
+            gt2cluster = self._gt2cluster
+        step_match = step_total = 0.0
+        nb_step_match = nb_step_total = 0.0
+        center_step_match = nb_center_step_match = 0.0
+        predicted_label_types = predicted_label_types_non_bg = 0.0
+        num_videos = 0.0
+        background_remapped = set(
+            singleton_lookup(gt2cluster, label)
+            for label in self._corpus._background_indices
+            if len(gt2cluster[label]) > 0
+        )
+        for gt_labels, pred_labels in zip(
+            self._gt_labels_per_video, self._predicted_labels_per_video
+        ):
+            num_videos += 1
+            pred_labels = np.asarray(pred_labels)
+            gt_remapped = np.asarray(
+                [self._cluster_of(g) for g in gt_labels]
+            )
+            for label in np.unique(pred_labels):
+                predicted_label_types += 1
+                if label not in background_remapped:
+                    predicted_label_types_non_bg += 1
+            for label in np.unique(gt_remapped):
+                step_total += 1
+                non_bg = label not in background_remapped
+                if non_bg:
+                    nb_step_total += 1
+                pred_indices = (pred_labels == label).nonzero()[0]
+                if len(pred_indices) == 0:
+                    continue
+                pred_index = np.random.choice(pred_indices)
+                center_index = min(
+                    pred_indices,
+                    key=lambda x: abs(x - (pred_indices[0] + pred_indices[-1]) / 2),
+                )
+                if gt_remapped[pred_index] == label:
+                    step_match += 1
+                    if non_bg:
+                        nb_step_match += 1
+                if gt_remapped[center_index] == label:
+                    center_step_match += 1
+                    if non_bg:
+                        nb_center_step_match += 1
+        self._return.update(
+            {
+                "single_step_recall": np.array([step_match, step_total]),
+                "step_recall_non_bg": np.array([nb_step_match, nb_step_total]),
+                "center_step_recall": np.array([center_step_match, step_total]),
+                "center_step_recall_non_bg": np.array(
+                    [nb_center_step_match, nb_step_total]
+                ),
+                "predicted_label_types_per_video": np.array(
+                    [predicted_label_types, num_videos]
+                ),
+                "predicted_label_types_non_bg_per_video": np.array(
+                    [predicted_label_types_non_bg, num_videos]
+                ),
+            }
+        )
+
+    def mof_val(self):
+        return float(self._frames_true_pr) / self._frames_overall
+
+    def frames(self):
+        return self._frames_true_pr
+
+    def stat(self):
+        return self._return

@@ -1,0 +1,85 @@
+"""Levenshtein distance with a native C++ backend.
+
+Loads the ctypes shared library built from native/editdistance.cpp
+(compiled on first use if a compiler is available), falling back to a
+numpy DP. Both compute plain unit-cost edit distance over integer token
+sequences, matching the reference's `editdistance.eval`.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_SRC = os.path.join(_REPO_ROOT, "native", "editdistance.cpp")
+_SO = os.path.join(_REPO_ROOT, "native", "libeditdistance.so")
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    try:
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(_SO)
+        lib.edit_distance.restype = ctypes.c_int64
+        lib.edit_distance.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def _eval_numpy(a, b):
+    a = np.asarray(a, np.int64)
+    b = np.asarray(b, np.int64)
+    if len(a) == 0:
+        return len(b)
+    if len(b) == 0:
+        return len(a)
+    prev = np.arange(len(b) + 1, dtype=np.int64)
+    for i in range(1, len(a) + 1):
+        cur = np.empty_like(prev)
+        cur[0] = i
+        sub = prev[:-1] + (a[i - 1] != b)
+        # running dependency on cur[j-1] forces a scalar loop; arrays here
+        # are short segment sequences so this is cheap
+        for j in range(1, len(b) + 1):
+            cur[j] = min(sub[j - 1], prev[j] + 1, cur[j - 1] + 1)
+        prev = cur
+    return int(prev[-1])
+
+
+def eval(a, b):
+    """Edit distance between two integer sequences."""
+    lib = _load()
+    a = np.ascontiguousarray(np.asarray(a, np.int64))
+    b = np.ascontiguousarray(np.asarray(b, np.int64))
+    if lib is not None:
+        return int(
+            lib.edit_distance(
+                a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(a),
+                b.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(b),
+            )
+        )
+    return _eval_numpy(a, b)

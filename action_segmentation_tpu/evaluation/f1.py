@@ -1,0 +1,97 @@
+"""Segment-sampling F1 (port of src/evaluation/f1.py:8-120, from slim_mallow).
+
+50 sampling experiments x 15 frames per gt segment; precision normalizes
+by K (expected segments per video) * n_videos, recall by the number of gt
+segment boundaries. Preserves the reference's quirk of omitting each
+sequence's final segment from `bound_masks`.
+"""
+
+import numpy as np
+
+
+class F1Score:
+    def __init__(self, K, n_videos, verbose=True):
+        self.sampling_ratio = 15
+        self.n_experiments = 50
+        self._K = K
+        self._n_videos = n_videos
+        self._eps = 1e-8
+        self._verbose = verbose
+
+        self.gt = None
+        self.pr = None
+        self.gt2pr = None
+        self.exclude = []
+        self.bound_masks = []
+        self.f1_scores = []
+        self._return = {}
+        self._n_true_seg_all = 0
+
+    def set_gt(self, gt):
+        assert isinstance(gt, list) and isinstance(gt[0], list)
+        self.gt = np.asarray([gt_t[0] for gt_t in gt])
+
+    def set_pr(self, pr):
+        self.pr = np.asarray(pr)
+
+    def set_gt2pr(self, gt2pr):
+        self.gt2pr = gt2pr
+
+    def set_exclude(self, label):
+        self.bound_masks = []
+        self.exclude.append(label)
+        mask = self.gt != label
+        self.gt = self.gt[mask]
+        self.pr = self.pr[mask]
+
+    def _finish_init(self):
+        if self.gt is not None and self.pr is not None and self.gt2pr is not None:
+            self._pr2gt_convert()
+            self._set_boundaries()
+
+    def _pr2gt_convert(self):
+        new_pr = np.asarray(self.pr).copy()
+        for gt_label, pr_label in self.gt2pr.items():
+            if len(pr_label) == 0:
+                continue
+            new_pr[self.pr == pr_label[0]] = gt_label
+        self.pr = new_pr
+
+    def _set_boundaries(self):
+        cur_label = self.gt[0]
+        mask = np.zeros(self.gt.shape, dtype=bool)
+        for idx, label in enumerate(self.gt):
+            if label == cur_label:
+                mask[idx] = True
+            else:
+                self.bound_masks.append(mask)
+                mask = np.zeros(self.gt.shape, dtype=bool)
+                mask[idx] = True
+                cur_label = label
+
+    def _sampling(self):
+        n_correct_segments = 0.0
+        for mask in self.bound_masks:
+            where = np.where(mask)[0]
+            low, high = np.min(where), np.max(where)
+            sampled = np.random.randint(low, high + 1, self.sampling_ratio)
+            n_corr = np.sum(self.gt[sampled] == self.pr[sampled])
+            n_correct_segments += n_corr / self.sampling_ratio
+        precision = n_correct_segments / (self._K * self._n_videos)
+        recall = n_correct_segments / len(self.bound_masks)
+        f1 = 2 * (precision * recall) / (precision + recall + self._eps)
+        self.f1_scores.append(f1)
+        self._n_true_seg_all += n_correct_segments
+
+    def f1(self):
+        self._finish_init()
+        for _ in range(self.n_experiments):
+            self._sampling()
+        f1_mean = np.mean(self.f1_scores)
+        self._n_true_seg_all /= self.n_experiments
+        self._return["precision"] = [self._n_true_seg_all, self._K * self._n_videos]
+        self._return["recall"] = [self._n_true_seg_all, len(self.bound_masks)]
+        self._return["mean_f1"] = [f1_mean, 1]
+
+    def stat(self):
+        return self._return

@@ -19,50 +19,27 @@ import numpy as np
 
 from action_segmentation_tpu import BIG_NEG
 from action_segmentation_tpu.models import rnn
+from action_segmentation_tpu.models.nn import (
+    linear as _linear,
+    residual_mlp_apply as _residual_mlp,
+    residual_mlp_init,
+    xavier_uniform as _xavier,
+)
 from action_segmentation_tpu.models.semimarkov import GaussianHsmm
 from action_segmentation_tpu.ops.distributions import gaussian_emission_log_probs, poisson_length_log_probs
 
 
-def _xavier(rng, shape):
-    fan_in, fan_out = shape[0], shape[-1]
-    bound = float(np.sqrt(6.0 / (fan_in + fan_out)))
-    return jax.random.uniform(rng, shape, jnp.float32, -bound, bound)
-
-
 def _linear_init(rng, in_f, out_f, xavier=True):
-    kw, kb = jax.random.split(rng)
+    from action_segmentation_tpu.models.nn import linear_init
+
+    p = linear_init(rng, in_f, out_f, xavier=xavier)
     if xavier:
-        w = _xavier(kw, (in_f, out_f))
-    else:
-        bound = 1.0 / jnp.sqrt(in_f)
-        w = jax.random.uniform(kw, (in_f, out_f), jnp.float32, -bound, bound)
-    return {"w": w, "b": jnp.zeros(out_f)}
-
-
-def _linear(p, x):
-    return x @ p["w"] + p["b"]
-
-
-def _residual_mlp_init(rng, in_dim, hidden, out_dim, n_residual):
-    """[Linear, n x ResidualLayer(lin1, lin2), Linear] (modules.py:42-49)."""
-    keys = jax.random.split(rng, 2 + 2 * n_residual)
-    p = {"in": _linear_init(keys[0], in_dim, hidden)}
-    p["res"] = [
-        {
-            "lin1": _linear_init(keys[1 + 2 * i], hidden, hidden),
-            "lin2": _linear_init(keys[2 + 2 * i], hidden, hidden),
-        }
-        for i in range(n_residual)
-    ]
-    p["out"] = _linear_init(keys[-1], hidden, out_dim)
+        p["b"] = jnp.zeros_like(p["b"])
     return p
 
 
-def _residual_mlp(p, x):
-    h = _linear(p["in"], x)
-    for r in p["res"]:
-        h = jax.nn.relu(_linear(r["lin2"], jax.nn.relu(_linear(r["lin1"], h)))) + h
-    return _linear(p["out"], h)
+def _residual_mlp_init(rng, in_dim, hidden, out_dim, n_residual):
+    return residual_mlp_init(rng, in_dim, hidden, out_dim, n_residual, xavier=True)
 
 
 class ComponentHsmm(GaussianHsmm):

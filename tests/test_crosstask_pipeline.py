@@ -1,0 +1,163 @@
+"""Full-pipeline test on a generated miniature CrossTask-format dataset.
+
+Writes a tiny on-disk release (tasks_primary.txt, videos.csv,
+annotations, constraints, PCA feature dirs) and drives the real CLI
+(`main.main`) end-to-end: data loading, closed-form supervised HSMM fit,
+Viterbi decode, and Hungarian-matched evaluation.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+TASKS = {
+    16815: ["stepA", "stepB", "stepC"],
+    23521: ["stepX", "stepY"],
+}
+N_TRAIN = 4
+N_VAL = 2
+DIM_PER_GROUP = 4
+SHIFT = 3.0
+
+
+def _write_release(root, rng):
+    release = os.path.join(root, "crosstask", "crosstask_release")
+    os.makedirs(os.path.join(release, "annotations"), exist_ok=True)
+    constraints = os.path.join(root, "crosstask", "crosstask_constraints")
+    os.makedirs(constraints, exist_ok=True)
+    pca_root = os.path.join(
+        root,
+        "crosstask",
+        "crosstask_processed",
+        "crosstask_primary_pca-200_with-bkg_by-task",
+    )
+    for group in ("i3d", "resnet", "audio"):
+        os.makedirs(os.path.join(pca_root, group), exist_ok=True)
+
+    with open(os.path.join(release, "tasks_primary.txt"), "w") as f:
+        for task_id, steps in TASKS.items():
+            f.write(f"{task_id}\ntask {task_id}\nhttp://x\n{len(steps)}\n")
+            f.write(",".join(steps) + "\n\n")
+
+    videos = []
+    val_videos = []
+    gt_frames = {}
+    for task_id, steps in TASKS.items():
+        for i in range(N_TRAIN + N_VAL):
+            vid = f"v{task_id}_{i}"
+            videos.append((task_id, vid))
+            if i >= N_TRAIN:
+                val_videos.append((task_id, vid))
+            # segments: bkg, step1, bkg, step2, ... with random durations
+            rows = []
+            t = rng.randint(2, 5)
+            frame_labels = [0] * t
+            for s_ix in range(len(steps)):
+                dur = rng.randint(3, 8)
+                rows.append((s_ix + 1, t, t + dur))
+                frame_labels.extend([s_ix + 1] * dur)
+                t += dur
+                gap = rng.randint(1, 4)
+                frame_labels.extend([0] * gap)
+                t += gap
+            T = len(frame_labels)
+            gt_frames[vid] = np.array(frame_labels)
+            with open(
+                os.path.join(release, "annotations", f"{task_id}_{vid}.csv"), "w"
+            ) as f:
+                for step, s, e in rows:
+                    f.write(f"{step},{s},{e}\n")
+            with open(os.path.join(constraints, f"{task_id}_{vid}.csv"), "w") as f:
+                for step, s, e in rows:
+                    f.write(f"{step},{s},{e}\n")
+            # informative per-group features: class-shifted gaussians
+            for g_ix, group in enumerate(("i3d", "resnet", "audio")):
+                feats = rng.randn(T, DIM_PER_GROUP).astype(np.float32)
+                for t_ix, lab in enumerate(frame_labels):
+                    feats[t_ix, lab % DIM_PER_GROUP] += SHIFT * (1 + 0.1 * g_ix)
+                np.save(os.path.join(pca_root, group, f"{vid}.npy"), feats)
+
+    with open(os.path.join(release, "videos.csv"), "w") as f:
+        for task_id, vid in videos:
+            f.write(f"{task_id},{vid},http://u\n")
+    with open(os.path.join(release, "videos_val.csv"), "w") as f:
+        for task_id, vid in val_videos:
+            f.write(f"{task_id},{vid},http://u\n")
+    return gt_frames
+
+
+@pytest.fixture(scope="module")
+def mini_crosstask(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data"))
+    rng = np.random.RandomState(0)
+    gt = _write_release(root, rng)
+    return root, gt
+
+
+def _base_argv(root, classifier):
+    return [
+        "--classifier", classifier,
+        "--dataset", "crosstask",
+        "--features", "pca",
+        "--pca_components_per_group", str(DIM_PER_GROUP),
+        "--data_root", root,
+        "--mix_tasks",
+        "--task_specific_steps",
+        "--epochs", "2",
+    ]
+
+
+def test_semimarkov_closed_form_pipeline(mini_crosstask):
+    from action_segmentation_tpu import main as main_mod
+
+    root, _ = mini_crosstask
+    stats = main_mod.main(
+        _base_argv(root, "semimarkov")
+        + ["--training", "supervised", "--sm_supervised_method", "closed-form"]
+    )
+    assert "all" in stats
+    # features are highly separable: expect strong frame accuracy
+    for task, s in stats["all"].items():
+        mof = s["mof"][0] / s["mof"][1]
+        assert mof > 0.6, (task, mof)
+
+
+def test_framewise_gaussian_pipeline(mini_crosstask):
+    from action_segmentation_tpu import main as main_mod
+
+    root, _ = mini_crosstask
+    stats = main_mod.main(_base_argv(root, "framewise_gaussian_mixture"))
+    for task, s in stats["all"].items():
+        mof = s["mof"][0] / s["mof"][1]
+        assert mof > 0.5, (task, mof)
+
+
+def test_sequential_baselines_pipeline(mini_crosstask):
+    from action_segmentation_tpu import main as main_mod
+
+    root, _ = mini_crosstask
+    stats = main_mod.main(_base_argv(root, "sequential_ground_truth"))
+    for task, s in stats["all"].items():
+        mof = s["mof"][0] / s["mof"][1]
+        assert mof == 1.0
+    stats = main_mod.main(_base_argv(root, "sequential_canonical_baseline"))
+    assert "all" in stats
+
+
+def test_unsupervised_constrained_pipeline(mini_crosstask):
+    from action_segmentation_tpu import main as main_mod
+
+    root, _ = mini_crosstask
+    stats = main_mod.main(
+        _base_argv(root, "semimarkov")
+        + [
+            "--training", "unsupervised",
+            "--sm_constrain_transitions",
+            "--annotate_background_with_previous",
+            "--sm_constrain_with_narration", "train",
+            "--epochs", "1",
+            "--sm_max_span_length", "10",
+        ]
+    )
+    assert "all" in stats
