@@ -1,0 +1,148 @@
+"""Device mesh + sharded train/decode steps.
+
+The reference is strictly single-device (SURVEY §2.10: no distributed
+backend at all); this module is the scale-out path the TPU build adds.
+The natural decomposition for this workload:
+
+* **data parallelism** over videos: the batch axis of features / lengths /
+  constraints is sharded over the 'data' mesh axis; gradients are reduced
+  by XLA from the sharding specs (scaling-book recipe: pick a mesh,
+  annotate shardings, let XLA insert the collectives over ICI).
+* **tensor parallelism** over classes: the Gaussian emission matmul
+  (T, D) x (D, C) shards its class dimension over the 'model' axis —
+  emission scoring dominates FLOPs when C*D is large; the banded DP needs
+  the full class axis, so XLA all-gathers the (much smaller) (B, T, C)
+  emission block after the matmul.
+* the time-scan itself stays per-device (sequential dependence); long
+  videos fit because the scan's working set is O(K*C), not O(T*K*C^2).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from action_segmentation_tpu.models.base import apply_lr
+from action_segmentation_tpu.ops.hsmm import (
+    hsmm_gold_score,
+    hsmm_partition,
+    hsmm_viterbi,
+)
+from action_segmentation_tpu.ops.span_codec import labels_to_spans, spans_to_labels
+
+
+def make_mesh(n_devices=None, model_parallel=1):
+    """Mesh over ('data', 'model'); data gets every device not used by
+    model parallelism."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % model_parallel == 0
+    shape = (n // model_parallel, model_parallel)
+    dev_array = mesh_utils.create_device_mesh(shape, devices=np.array(devices))
+    return Mesh(dev_array, ("data", "model"))
+
+
+def batch_sharding(mesh, ndim):
+    """Leading-axis 'data' sharding for a batch array of rank `ndim`."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def _params_shardings(mesh, params):
+    """Shard class-indexed parameter tables over 'model'; replicate the
+    rest. gaussian_means (C, D) and transition_logits (C, C) lead with the
+    class axis."""
+
+    def spec_for(path, x):
+        name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+        if name in ("gaussian_means", "transition_logits") and x.ndim >= 2:
+            return NamedSharding(mesh, P("model", *([None] * (x.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def build_sharded_train_step(module, tx, mesh, use_labels):
+    """jit a FULL training step (loss -> grads -> adam update) over the
+    mesh. Batch args sharded on 'data'; class-indexed params on 'model'.
+
+    Signature of the returned step:
+      (params, opt_state, features, lengths, vc, inv_map, gt, cons,
+       end_allowed, lr, rng) -> (params, opt_state, loss)
+    """
+    K = module.max_k
+
+    def loss_fn(params, features, lengths, vc, inv_map, gt, cons, end_allowed, rng):
+        # sequence-parallel emission scoring: constrain features so the
+        # time axis spreads over 'model' during the matmul; the DP input
+        # is re-gathered by XLA where needed
+        pots, log_det, kl = module.compute_potentials(
+            params, features, lengths, vc, cons, end_allowed, rng, use_mean_z=use_labels
+        )
+        pots = pots._replace(
+            emit=jax.lax.with_sharding_constraint(
+                pots.emit, NamedSharding(mesh, P("data", None, None))
+            )
+        )
+        if use_labels:
+            labels_sub = inv_map[gt]
+            spans = labels_to_spans(labels_sub, K)
+            ll = hsmm_gold_score(pots, lengths, spans).mean()
+        else:
+            ll = hsmm_partition(pots, lengths).mean()
+        loss = -ll - log_det.mean()
+        if not use_labels:
+            loss = loss + kl.mean()
+        return loss
+
+    def step(params, opt_state, features, lengths, vc, inv_map, gt, cons, end_allowed, lr, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, features, lengths, vc, inv_map, gt, cons, end_allowed, rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, params, apply_lr(updates, lr)
+        )
+        return params, opt_state, loss
+
+    return jax.jit(step)
+
+
+def build_sharded_decode_step(module, mesh):
+    """Data-parallel Viterbi decode over the mesh."""
+
+    def decode(params, features, lengths, vc, cons, end_allowed, rng):
+        pots, _, _ = module.compute_potentials(
+            params, features, lengths, vc, cons, end_allowed, rng, use_mean_z=True
+        )
+        spans_sub, scores = hsmm_viterbi(pots, lengths)
+        spans = jnp.where(spans_sub >= 0, vc[jnp.clip(spans_sub, 0)], -1)
+        return spans_to_labels(spans), scores
+
+    return jax.jit(decode)
+
+
+def shard_train_inputs(mesh, params, opt_state, batch_args):
+    """Place params (model-sharded tables, replicated rest) and batch
+    arrays (data-sharded on axis 0) onto the mesh."""
+    p_shard = _params_shardings(mesh, params)
+    params = jax.device_put(params, p_shard)
+    opt_state = jax.device_put(opt_state, jax.tree_util.tree_map(
+        lambda _: replicated(mesh), opt_state
+    ))
+    placed = []
+    for arr in batch_args:
+        arr = jnp.asarray(arr)
+        placed.append(jax.device_put(arr, batch_sharding(mesh, arr.ndim)))
+    return params, opt_state, placed
+
+
+def shard_shared_inputs(mesh, *arrays):
+    """Replicate small shared arrays (valid classes, inverse maps)."""
+    return [jax.device_put(jnp.asarray(a), replicated(mesh)) for a in arrays]

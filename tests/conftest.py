@@ -1,12 +1,13 @@
 """Test configuration: run all tests on an 8-device virtual CPU mesh.
 
 Multi-chip sharding is validated without TPU hardware by forcing the host
-platform to present 8 devices. Must run before jax initializes.
+platform to present 8 devices. The environment's sitecustomize registers
+an 'axon' TPU plugin and pins JAX_PLATFORMS, so we override via
+jax.config after import (before any backend is initialized).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +16,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert len(jax.devices()) == 8, jax.devices()
