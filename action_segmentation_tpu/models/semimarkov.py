@@ -488,14 +488,21 @@ class SemiMarkovModel(Model):
         return update
 
     def _build_decode_step(self):
+        from action_segmentation_tpu.ops.hsmm_pallas import (
+            hsmm_viterbi_pallas,
+            pallas_supported,
+        )
+
         module = self.module
+        use_pallas = pallas_supported(self.n_classes)
+        viterbi_fn = hsmm_viterbi_pallas if use_pallas else hsmm_viterbi
 
         @jax.jit
         def decode(params, features, lengths, vc, cons, end_allowed, rng):
             pots, _, _ = module.compute_potentials(
                 params, features, lengths, vc, cons, end_allowed, rng, use_mean_z=True
             )
-            spans_sub, scores = hsmm_viterbi(pots, lengths)
+            spans_sub, scores = viterbi_fn(pots, lengths)
             spans = jnp.where(spans_sub >= 0, vc[jnp.clip(spans_sub, 0)], -1)
             labels = spans_to_labels(spans)
             return spans, labels, scores

@@ -1,0 +1,318 @@
+"""Pallas TPU kernels for the banded semi-Markov DP.
+
+This is the TPU-native replacement for the reference's native kernel
+layer (genbmm's CUDA banded log/max matmuls driven by torch-struct; see
+SURVEY §2.10). One kernel fuses, per video:
+
+  * the banded max-semiring forward scan (duration band on sublanes,
+    classes on lanes, O(K*C) working set held in VMEM scratch),
+  * backpointer recording (VMEM scratch — never touches HBM),
+  * the Viterbi traceback (scalar while-loop over segments in-kernel),
+
+and a log-semiring sibling produces the partition function. Because the
+per-task class count C is far below the 128-lane width, the wrapper
+packs several videos into one DP over a block-diagonal transition
+matrix: cross-video transitions are BIG_NEG, so P videos run as one
+independent-chains scan at no extra cost — the lane dimension does the
+batching that the reference got from genbmm's batched bmm.
+
+Shapes inside the kernel (per grid step = one packed group):
+  trans  (128, 128)  block-diagonal [to, from], BIG_NEG off-blocks
+  init   (1, 128)
+  dur    (Km_pad, 128)   row j scores duration j+1, BIG_NEG padding
+  emit   (T, 128)        per-frame log-likelihoods, 0 padding
+  endm   (8, 128)        per-packed-video end masks (BIG_NEG off-block)
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from action_segmentation_tpu import BIG_NEG
+from action_segmentation_tpu.ops.hsmm import HsmmPotentials
+
+LANES = 128
+MAX_PACK = 8
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def pallas_supported(n_classes):
+    """True when the fused kernels can run: a TPU backend and C <= 128."""
+    if n_classes > LANES:
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return platform in ("tpu", "axon")
+
+
+def _viterbi_kernel(pack, lengths_ref, trans_ref, init_ref, dur_ref, emit_ref,
+                    endm_ref, bp_ref, scores_ref, c0_ref, W, cum, alphas):
+    """Max-semiring forward scan emitting packed backpointers.
+
+    bp_ref[t-1, c] packs (best duration argmax for a span ending at t with
+    class c) * LANES + (best previous class at boundary t given next class
+    c). The traceback runs outside the kernel as one vectorized jnp
+    while-loop over the whole batch — in-kernel scalar tracebacks are
+    dominated by per-iteration loop overhead on TPU.
+    """
+    g = pl.program_id(0)
+    T = emit_ref.shape[1]
+    Km = W.shape[0]
+
+    cum[...] = jnp.zeros_like(cum)
+    W[...] = jnp.full_like(W, BIG_NEG)
+    W[0:1, :] = init_ref[0]
+
+    dur = dur_ref[0]
+    trans = trans_ref[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    # hot loop: no conditionals — alpha rows are logged to scratch and the
+    # per-video finals are gathered after the scan
+    def step(t, _):
+        e = emit_ref[0, pl.ds(t - 1, 1), :]  # (1, LANES)
+        cum[0:1, :] += e
+        span = W[...] + dur  # (Km, LANES)
+        alpha = jnp.max(span, axis=0, keepdims=True) + cum[0:1, :]
+        alphas[pl.ds(t - 1, 1), :] = alpha
+        bp_d = jnp.argmax(span, axis=0)[None, :].astype(jnp.int32)
+        arr = trans + alpha  # (to, from) + from-row broadcast over sublanes
+        gamma_col = jnp.max(arr, axis=1, keepdims=True)  # (LANES, 1) by to
+        bp_c = jnp.argmax(arr, axis=1)[None, :].astype(jnp.int32)
+        bp_ref[0, pl.ds(t - 1, 1), :] = bp_d * LANES + bp_c
+        gamma = gamma_col.reshape(1, LANES)
+        w_prev = W[...]
+        W[1:Km, :] = w_prev[: Km - 1, :]
+        W[0:1, :] = gamma - cum[0:1, :]
+        return 0
+
+    jax.lax.fori_loop(1, T + 1, step, 0)
+
+    for v in range(pack):
+        length = lengths_ref[g * pack + v]
+        fin = alphas[pl.ds(length - 1, 1), :] + endm_ref[0, v : v + 1, :]
+        m = jnp.max(fin)
+        c0 = jnp.min(jnp.where(fin == m, lane, LANES)).astype(jnp.int32)
+        scores_ref[0, v : v + 1, :] = jnp.full((1, LANES), m, jnp.float32)
+        c0_ref[0, v : v + 1, :] = jnp.full((1, LANES), c0, jnp.int32)
+
+
+def _partition_kernel(pack, lengths_ref, trans_ref, init_ref, dur_ref, emit_ref,
+                      endm_ref, scores_ref, W, cum, alphas):
+    """Log-semiring sibling: logsumexp instead of max, no backpointers."""
+    g = pl.program_id(0)
+    T = emit_ref.shape[1]
+    Km = W.shape[0]
+
+    cum[...] = jnp.zeros_like(cum)
+    W[...] = jnp.full_like(W, BIG_NEG)
+    W[0:1, :] = init_ref[0]
+
+    dur = dur_ref[0]
+    trans = trans_ref[0]
+
+    def lse(x, axis):
+        m = jnp.max(x, axis=axis, keepdims=True)
+        return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=axis, keepdims=True))
+
+    def step(t, _):
+        e = emit_ref[0, pl.ds(t - 1, 1), :]
+        cum[0:1, :] += e
+        span = W[...] + dur
+        alpha = lse(span, 0) + cum[0:1, :]
+        alphas[pl.ds(t - 1, 1), :] = alpha
+        arr = trans + alpha
+        gamma = lse(arr, 1).reshape(1, LANES)
+        w_prev = W[...]
+        W[1:Km, :] = w_prev[: Km - 1, :]
+        W[0:1, :] = gamma - cum[0:1, :]
+        return 0
+
+    jax.lax.fori_loop(1, T + 1, step, 0)
+
+    for v in range(pack):
+        length = lengths_ref[g * pack + v]
+        fin = alphas[pl.ds(length - 1, 1), :] + endm_ref[0, v : v + 1, :]
+        m = jnp.max(fin)
+        scores_ref[0, v : v + 1, :] = jnp.full(
+            (1, LANES), m + jnp.log(jnp.sum(jnp.exp(fin - m))), jnp.float32
+        )
+
+
+def _pack_potentials(pots: HsmmPotentials, lengths, pack):
+    """Pack B videos into G groups of `pack` along the lane axis."""
+    B, T, C = pots.emit.shape
+    K = pots.lens.shape[1]
+    Km = K - 1
+    G = -(-B // pack)
+    Bp = G * pack
+    Tp = _round_up(T, LANES)
+    Km_pad = _round_up(max(Km, 1), 8)
+
+    def pad_b(x):
+        return jnp.pad(x, [(0, Bp - B)] + [(0, 0)] * (x.ndim - 1))
+
+    emit = pad_b(pots.emit)
+    emit = jnp.pad(emit, ((0, 0), (0, Tp - T), (0, 0)))
+    emit = emit.reshape(G, pack, Tp, C).transpose(0, 2, 1, 3).reshape(G, Tp, pack * C)
+    emit = jnp.pad(emit, ((0, 0), (0, 0), (0, LANES - pack * C)))
+
+    init = pad_b(pots.init + 0.0)
+    init = init.at[B:].set(BIG_NEG) if Bp > B else init
+    init = init.reshape(G, pack * C)
+    init = jnp.pad(init, ((0, 0), (0, LANES - pack * C)), constant_values=BIG_NEG)
+    init = init[:, None, :]  # (G, 1, LANES)
+
+    dur = pad_b(pots.lens)[:, 1:K, :]  # (Bp, Km, C)
+    dur = dur.reshape(G, pack, Km, C).transpose(0, 2, 1, 3).reshape(G, Km, pack * C)
+    dur = jnp.pad(
+        dur,
+        ((0, 0), (0, Km_pad - Km), (0, LANES - pack * C)),
+        constant_values=BIG_NEG,
+    )
+
+    trans = pad_b(pots.trans)  # (Bp, C, C)
+    trans_bd = jnp.full((G, LANES, LANES), BIG_NEG, jnp.float32)
+    trans_g = trans.reshape(G, pack, C, C)
+    for v in range(pack):
+        trans_bd = jax.lax.dynamic_update_slice(
+            trans_bd, trans_g[:, v], (0, v * C, v * C)
+        )
+
+    endm = pad_b(pots.end_mask)  # (Bp, C)
+    endm_p = jnp.full((G, MAX_PACK, LANES), BIG_NEG, jnp.float32)
+    endm_g = endm.reshape(G, pack, C)
+    for v in range(pack):
+        endm_p = jax.lax.dynamic_update_slice(
+            endm_p, endm_g[:, v : v + 1], (0, v, v * C)
+        )
+
+    lengths_p = jnp.pad(jnp.asarray(lengths, jnp.int32), (0, Bp - B))
+    return emit, init, dur, trans_bd, endm_p, lengths_p, G, Tp, Km_pad
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hsmm_viterbi_pallas(pots: HsmmPotentials, lengths, interpret=False):
+    """Batched Viterbi via the fused Pallas kernel.
+
+    Same contract as ops.hsmm.hsmm_viterbi: returns (spans (B, T) int32
+    with -1 continuations/padding, scores (B,)). Requires C <= 128.
+    """
+    B, T, C = pots.emit.shape
+    assert C <= LANES, "pack wrapper requires C <= 128"
+    pack = max(1, min(MAX_PACK, LANES // C, B))
+    emit, init, dur, trans_bd, endm, lengths_p, G, Tp, Km_pad = _pack_potentials(
+        pots, lengths, pack
+    )
+
+    kernel = functools.partial(_viterbi_kernel, pack)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, LANES, LANES), lambda g, *_: (g, 0, 0)),
+            pl.BlockSpec((1, 1, LANES), lambda g, *_: (g, 0, 0)),
+            pl.BlockSpec((1, Km_pad, LANES), lambda g, *_: (g, 0, 0)),
+            pl.BlockSpec((1, Tp, LANES), lambda g, *_: (g, 0, 0)),
+            pl.BlockSpec((1, MAX_PACK, LANES), lambda g, *_: (g, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Tp, LANES), lambda g, *_: (g, 0, 0)),
+            pl.BlockSpec((1, MAX_PACK, LANES), lambda g, *_: (g, 0, 0)),
+            pl.BlockSpec((1, MAX_PACK, LANES), lambda g, *_: (g, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Km_pad, LANES), jnp.float32),
+            pltpu.VMEM((8, LANES), jnp.float32),
+            pltpu.VMEM((Tp, LANES), jnp.float32),
+        ],
+    )
+    bp_p, scores_p, c0_p = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((G, Tp, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((G, MAX_PACK, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((G, MAX_PACK, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(lengths_p, trans_bd, init, dur, emit, endm)
+
+    scores = scores_p[:, :pack, 0].reshape(G * pack)[:B]
+    c0 = c0_p[:, :pack, 0].reshape(G * pack)[:B]
+    group_of = jnp.arange(B) // pack
+    offsets = ((jnp.arange(B) % pack) * C).astype(jnp.int32)
+
+    def traceback(g, c_start, length, off):
+        spans0 = jnp.full((T,), -1, jnp.int32)
+
+        def cond(state):
+            t, _, _ = state
+            return t > 0
+
+        def body(state):
+            t, c, spans = state
+            code_d = bp_p[g, t - 1, c]
+            d = code_d // LANES + 1
+            s = t - d
+            spans = spans.at[s].set(c - off)
+            code_c = bp_p[g, jnp.maximum(s - 1, 0), c]
+            c_prev = code_c % LANES
+            c_next = jnp.where(s > 0, c_prev, c)
+            return s, c_next, spans
+
+        _, _, spans = jax.lax.while_loop(
+            cond, body, (length, c_start, spans0)
+        )
+        return spans
+
+    spans = jax.vmap(traceback)(group_of, c0, jnp.asarray(lengths, jnp.int32), offsets)
+    return spans, scores
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hsmm_partition_pallas(pots: HsmmPotentials, lengths, interpret=False):
+    """Batched log partition via the fused Pallas kernel: (B,) float32."""
+    B, T, C = pots.emit.shape
+    assert C <= LANES, "pack wrapper requires C <= 128"
+    pack = max(1, min(MAX_PACK, LANES // C, B))
+    emit, init, dur, trans_bd, endm, lengths_p, G, Tp, Km_pad = _pack_potentials(
+        pots, lengths, pack
+    )
+
+    kernel = functools.partial(_partition_kernel, pack)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, LANES, LANES), lambda g, *_: (g, 0, 0)),
+            pl.BlockSpec((1, 1, LANES), lambda g, *_: (g, 0, 0)),
+            pl.BlockSpec((1, Km_pad, LANES), lambda g, *_: (g, 0, 0)),
+            pl.BlockSpec((1, Tp, LANES), lambda g, *_: (g, 0, 0)),
+            pl.BlockSpec((1, MAX_PACK, LANES), lambda g, *_: (g, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, MAX_PACK, LANES), lambda g, *_: (g, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Km_pad, LANES), jnp.float32),
+            pltpu.VMEM((8, LANES), jnp.float32),
+            pltpu.VMEM((Tp, LANES), jnp.float32),
+        ],
+    )
+    (scores_p,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((G, MAX_PACK, LANES), jnp.float32)],
+        interpret=interpret,
+    )(lengths_p, trans_bd, init, dur, emit, endm)
+    return scores_p[:, :pack, 0].reshape(G * pack)[:B]

@@ -1,0 +1,81 @@
+"""Pallas kernel parity tests (interpret mode on CPU).
+
+The fused Viterbi / partition kernels must match the pure-jnp scan
+bit-for-bit (within float tolerance) across batch sizes, class counts
+(exercising the lane-packing), ragged lengths, and constrained ends.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from action_segmentation_tpu import BIG_NEG
+from action_segmentation_tpu.ops.hsmm import (
+    HsmmPotentials,
+    hsmm_partition,
+    hsmm_viterbi,
+)
+from action_segmentation_tpu.ops.hsmm_pallas import (
+    hsmm_partition_pallas,
+    hsmm_viterbi_pallas,
+)
+
+
+def random_pots(rng, B, T, C, K, ragged=True, constrained=False):
+    trans = rng.randn(B, C, C).astype(np.float32)
+    init = rng.randn(B, C).astype(np.float32)
+    lens = rng.randn(B, K, C).astype(np.float32)
+    lens[:, 0] = BIG_NEG
+    emit = rng.randn(B, T, C).astype(np.float32)
+    end_mask = np.zeros((B, C), np.float32)
+    if constrained:
+        end_mask[:] = BIG_NEG
+        for b in range(B):
+            end_mask[b, rng.randint(C)] = 0.0
+    lengths = (
+        rng.randint(max(2, T // 2), T + 1, size=B) if ragged else np.full(B, T)
+    ).astype(np.int32)
+    pots = HsmmPotentials(
+        jnp.asarray(trans),
+        jnp.asarray(init),
+        jnp.asarray(lens),
+        jnp.asarray(emit),
+        jnp.asarray(end_mask),
+    )
+    return pots, jnp.asarray(lengths)
+
+
+@pytest.mark.parametrize(
+    "B,T,C,K,constrained",
+    [
+        (1, 16, 5, 4, False),
+        (3, 24, 5, 6, True),
+        (7, 40, 19, 8, False),   # lane packing: 6 videos per group
+        (4, 24, 70, 5, False),   # pack = 1
+        (2, 16, 3, 12, True),    # K - 1 > some lengths
+    ],
+)
+def test_viterbi_matches_jnp(B, T, C, K, constrained):
+    rng = np.random.RandomState(B * 100 + C)
+    pots, lengths = random_pots(rng, B, T, C, K, constrained=constrained)
+    want_spans, want_scores = hsmm_viterbi(pots, lengths)
+    got_spans, got_scores = hsmm_viterbi_pallas(pots, lengths, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got_scores), np.asarray(want_scores), rtol=1e-5, atol=1e-4
+    )
+    assert (np.asarray(got_spans) == np.asarray(want_spans)).all(), (
+        np.asarray(got_spans),
+        np.asarray(want_spans),
+    )
+
+
+@pytest.mark.parametrize(
+    "B,T,C,K",
+    [(1, 16, 5, 4), (5, 33, 19, 8), (2, 20, 64, 6)],
+)
+def test_partition_matches_jnp(B, T, C, K):
+    rng = np.random.RandomState(B * 10 + C)
+    pots, lengths = random_pots(rng, B, T, C, K)
+    want = np.asarray(hsmm_partition(pots, lengths))
+    got = np.asarray(hsmm_partition_pallas(pots, lengths, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
