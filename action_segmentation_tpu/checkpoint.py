@@ -1,0 +1,107 @@
+"""Checkpointing: orbax pytree checkpoints + pickle parity format.
+
+The reference pickles whole model objects with their args
+(main.py:239-264) and reconciles command-line vs serialized args on load
+(main.py:445-469); we keep that format (models define __getstate__ to
+strip compiled closures and store numpy leaves). This module adds the
+TPU-native path: orbax checkpoints of the parameter pytree + JSON args,
+with resume support and the reference's "init a subset of params from
+another checkpoint" feature (--sm_init_non_projection_parameters_from,
+semimarkov_modules.py:90-94).
+"""
+
+import json
+import os
+import pickle
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+
+    HAVE_ORBAX = True
+except Exception:  # pragma: no cover
+    HAVE_ORBAX = False
+
+
+def save_pickle(model, path):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(model, f)
+
+
+def load_pickle(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def _args_to_jsonable(args):
+    return {
+        k: v
+        for k, v in vars(args).items()
+        if isinstance(v, (int, float, str, bool, list, type(None)))
+    }
+
+
+def save_orbax(params, args, step, directory):
+    """Write an orbax checkpoint of the params pytree plus args metadata."""
+    assert HAVE_ORBAX, "orbax not available"
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            os.path.join(directory, f"step_{step}"),
+            jax.tree_util.tree_map(np.asarray, params),
+        )
+    with open(os.path.join(directory, f"step_{step}.args.json"), "w") as f:
+        json.dump({"step": step, "args": _args_to_jsonable(args)}, f, indent=2)
+
+
+def latest_step(directory):
+    if not os.path.isdir(directory):
+        return None
+    steps = []
+    for name in os.listdir(directory):
+        if name.startswith("step_") and not name.endswith(".json"):
+            try:
+                steps.append(int(name.split("_")[1]))
+            except ValueError:
+                pass
+    return max(steps) if steps else None
+
+
+def load_orbax(directory, step=None, target=None):
+    """Restore (params, args_dict, step). `target` is an example pytree
+    (required by orbax to reconstruct structure/dtypes)."""
+    assert HAVE_ORBAX, "orbax not available"
+    directory = os.path.abspath(directory)
+    if step is None:
+        step = latest_step(directory)
+        assert step is not None, f"no checkpoints in {directory}"
+    with ocp.StandardCheckpointer() as ckptr:
+        if target is not None:
+            params = ckptr.restore(
+                os.path.join(directory, f"step_{step}"),
+                jax.tree_util.tree_map(np.asarray, target),
+            )
+        else:
+            params = ckptr.restore(os.path.join(directory, f"step_{step}"))
+    meta_path = os.path.join(directory, f"step_{step}.args.json")
+    args_dict = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            args_dict = json.load(f)["args"]
+    return params, args_dict, step
+
+
+def init_subset_from(params, source_params, exclude_prefixes=("feature_projector",)):
+    """Copy every matching non-excluded entry from source into params
+    (the reference's strict-filtered warm start)."""
+    out = dict(params)
+    for key, val in source_params.items():
+        if any(key.startswith(p) for p in exclude_prefixes):
+            continue
+        if key in out:
+            out[key] = val
+    return out

@@ -42,9 +42,10 @@ def fit_pca(X, n_components):
 
     def _svd(xc):
         u, s, vt = jnp.linalg.svd(xc, full_matrices=False)
-        # sklearn svd_flip: sign of each component from its largest-|u| row
-        max_rows = jnp.argmax(jnp.abs(u), axis=0)
-        signs = jnp.sign(u[max_rows, jnp.arange(u.shape[1])])
+        # sklearn svd_flip (u_based_decision=False): flip each component so
+        # its largest-|entry| coefficient in Vt is positive
+        max_cols = jnp.argmax(jnp.abs(vt), axis=1)
+        signs = jnp.sign(vt[jnp.arange(vt.shape[0]), max_cols])
         return s, vt * signs[:, None]
 
     s, vt = jax.jit(_svd)(jnp.asarray(X - mean))

@@ -27,6 +27,18 @@ def add_training_args(parser):
     parser.add_argument("--train_limit", type=int)
     parser.add_argument("--dev_decode_frequency", type=int, default=1)
     parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument(
+        "--profile_dir",
+        help="write a jax profiler trace of the first training epoch here",
+    )
+    parser.add_argument(
+        "--checkpoint_dir",
+        help="orbax checkpoint directory (periodic pytree checkpoints + resume)",
+    )
+    parser.add_argument("--checkpoint_every", type=int, default=5)
+    parser.add_argument(
+        "--resume", action="store_true", help="resume from latest orbax checkpoint"
+    )
 
 
 class ReduceLROnPlateau:

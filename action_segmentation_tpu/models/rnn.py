@@ -25,13 +25,16 @@ def _cell_init(rng, in_dim, hidden):
 
 
 def lstm_init(rng, input_dim, hidden_per_dir, num_layers=2, bidirectional=True):
+    """Param pytree: layers[i] is a list of 1 (uni) or 2 (bi) cell dicts;
+    directionality is inferred from the structure so the pytree stays
+    all-float (differentiable)."""
     dirs = 2 if bidirectional else 1
     layers = []
     for l in range(num_layers):
         in_dim = input_dim if l == 0 else hidden_per_dir * dirs
         rng, *keys = jax.random.split(rng, dirs + 1)
         layers.append([_cell_init(k, in_dim, hidden_per_dir) for k in keys])
-    return {"layers": layers, "bidirectional": bidirectional}
+    return {"layers": layers}
 
 
 def _run_direction(cell, x, mask):
@@ -76,7 +79,7 @@ def lstm_apply(params, x, lengths, output_padding_value=0.0):
     h = x
     for cells in params["layers"]:
         fwd = _run_direction(cells[0], h, mask)
-        if params["bidirectional"]:
+        if len(cells) == 2:  # bidirectional
             h_rev = _reverse_within_length(h, lengths)
             bwd = _run_direction(cells[1], h_rev, mask)
             bwd = _reverse_within_length(bwd, lengths)

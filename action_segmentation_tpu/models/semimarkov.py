@@ -566,7 +566,25 @@ class SemiMarkovModel(Model):
         params = self.module.params
         use_narration = "train" in args.sm_constrain_with_narration
 
-        for epoch in range(args.epochs):
+        start_epoch = 0
+        ckpt_dir = getattr(args, "checkpoint_dir", None)
+        if ckpt_dir and getattr(args, "resume", False):
+            from action_segmentation_tpu import checkpoint as ckpt
+
+            step = ckpt.latest_step(ckpt_dir)
+            if step is not None:
+                params, _, step = ckpt.load_orbax(ckpt_dir, target=params)
+                params = jax.tree_util.tree_map(jnp.asarray, params)
+                start_epoch = step + 1
+                logger.debug(
+                    "resumed from {} at epoch {}".format(ckpt_dir, start_epoch)
+                )
+
+        profile_dir = getattr(args, "profile_dir", None)
+
+        for epoch in range(start_epoch, args.epochs):
+            if profile_dir and epoch == start_epoch:
+                jax.profiler.start_trace(profile_dir)
             start_time = time.time()
             losses, nlls, kls, log_dets = [], [], [], []
             num_frames = 0
@@ -645,6 +663,12 @@ class SemiMarkovModel(Model):
                         )
 
             self.module.params = params
+            if profile_dir and epoch == start_epoch:
+                jax.profiler.stop_trace()
+            if ckpt_dir and epoch % getattr(args, "checkpoint_every", 5) == 0:
+                from action_segmentation_tpu import checkpoint as ckpt
+
+                ckpt.save_orbax(params, args, epoch, ckpt_dir)
             train_loss = float(np.mean(losses)) if losses else 0.0
             if scheduler is not None:
                 lr = scheduler.step(train_loss)

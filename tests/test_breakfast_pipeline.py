@@ -1,0 +1,103 @@
+"""Breakfast-format pipeline test on a generated miniature dataset.
+
+Builds a tiny on-disk Breakfast layout (mapping.txt, per-participant
+annotation txt files under camera directories, fisher-vector .npy
+features with the reference's first-row/column convention) and runs the
+CLI end-to-end over the 4-fold participant splits.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+TASKS = {"coffee": ["pour_coffee", "pour_milk"], "tea": ["add_teabag", "pour_water"]}
+LABELS = ["SIL", "pour_coffee", "pour_milk", "add_teabag", "pour_water"]
+DIM = 6
+SHIFT = 3.0
+PARTICIPANTS = ["P03", "P16", "P29", "P42"]  # one per split s1-s4
+
+
+def _write_breakfast(root, rng):
+    bdir = os.path.join(root, "breakfast")
+    feat_dir = os.path.join(bdir, "reduced_fv_64")
+    label_dir = os.path.join(bdir, "BreakfastII_15fps_qvga_sync")
+    os.makedirs(feat_dir, exist_ok=True)
+    with open(os.path.join(bdir, "mapping.txt"), "w") as f:
+        for i, lab in enumerate(LABELS):
+            f.write(f"{i} {lab}\n")
+
+    for p in PARTICIPANTS:
+        cam = "cam01"
+        os.makedirs(os.path.join(label_dir, p, cam), exist_ok=True)
+        for task, steps in TASKS.items():
+            # segments: SIL, step1, SIL, step2, SIL
+            segs = []
+            t = 1
+            labels = []
+            for lab in ["SIL", steps[0], "SIL", steps[1], "SIL"]:
+                dur = rng.randint(4, 9)
+                segs.append((lab, t, t + dur - 1))
+                labels.extend([LABELS.index(lab)] * dur)
+                t += dur
+            gt_name = f"{p}_{task}"
+            with open(os.path.join(label_dir, p, cam, f"{gt_name}.txt"), "w") as f:
+                for lab, s, e in segs:
+                    f.write(f"{s}-{e} {lab}\n")
+            T = len(labels)
+            feats = rng.randn(T + 1, DIM + 1).astype(np.float32)
+            for t_ix, lab in enumerate(labels):
+                feats[t_ix + 1, 1 + (lab % DIM)] += SHIFT
+            vid_name = f"{p}_{cam}_{gt_name}"
+            np.save(os.path.join(feat_dir, f"{vid_name}.npy"), feats)
+    return bdir
+
+
+@pytest.fixture(scope="module")
+def mini_breakfast(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data"))
+    rng = np.random.RandomState(0)
+    _write_breakfast(root, rng)
+    return root
+
+
+def test_breakfast_semimarkov_pipeline(mini_breakfast):
+    from action_segmentation_tpu import main as main_mod
+
+    stats = main_mod.main(
+        [
+            "--classifier", "semimarkov",
+            "--dataset", "breakfast",
+            "--features", "raw",
+            "--data_root", mini_breakfast,
+            "--training", "supervised",
+            "--sm_supervised_method", "closed-form",
+            "--sm_max_span_length", "12",
+            "--epochs", "1",
+        ]
+    )
+    assert set(stats.keys()) == {"s1", "s2", "s3", "s4"}
+    for split, by_task in stats.items():
+        for task, s in by_task.items():
+            mof = s["mof"][0] / s["mof"][1]
+            assert mof > 0.4, (split, task, mof)
+
+
+def test_breakfast_remove_background(mini_breakfast):
+    from action_segmentation_tpu.data.breakfast import BreakfastCorpus
+
+    corpus = BreakfastCorpus(
+        mapping_file=os.path.join(mini_breakfast, "breakfast", "mapping.txt"),
+        feature_root=os.path.join(mini_breakfast, "breakfast", "reduced_fv_64"),
+        label_root=os.path.join(
+            mini_breakfast, "breakfast", "BreakfastII_15fps_qvga_sync"
+        ),
+    )
+    corpus._cache_features = True
+    split = corpus.get_datasplit(remove_background=True, splits=["s1"])
+    for task, vids in split.videos_by_task.items():
+        for name in vids:
+            sample = split[(task, name)]
+            gts = [g[0] for g in sample["gt"]]
+            assert 0 not in gts  # SIL removed
+            assert sample["features"].shape[0] == len(gts)

@@ -1,0 +1,84 @@
+"""Checkpoint/resume tests: orbax pytree checkpoints + warm-start subsets."""
+
+import argparse
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from action_segmentation_tpu import checkpoint as ckpt
+from action_segmentation_tpu.data.synthetic import SyntheticDatasplit
+from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+
+
+def make_args(**overrides):
+    from action_segmentation_tpu.models.base import add_training_args
+
+    parser = argparse.ArgumentParser()
+    SemiMarkovModel.add_args(parser)
+    add_training_args(parser)
+    parser.add_argument("--batch_size", type=int, default=10)
+    parser.add_argument("--annotate_background_with_previous", action="store_true")
+    parser.add_argument("--no_merge_classes", action="store_true")
+    args = parser.parse_args([])
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    return args
+
+
+def test_orbax_roundtrip(tmp_path):
+    params = {
+        "a": jnp.arange(6.0).reshape(2, 3),
+        "nested": {"b": jnp.ones(4)},
+    }
+    args = make_args(sm_max_span_length=5)
+    ckpt.save_orbax(params, args, 3, str(tmp_path / "ck"))
+    assert ckpt.latest_step(str(tmp_path / "ck")) == 3
+    restored, args_dict, step = ckpt.load_orbax(str(tmp_path / "ck"), target=params)
+    assert step == 3
+    assert args_dict["sm_max_span_length"] == 5
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(6.0).reshape(2, 3))
+    np.testing.assert_array_equal(np.asarray(restored["nested"]["b"]), np.ones(4))
+
+
+def test_train_checkpoint_and_resume(tmp_path):
+    train = SyntheticDatasplit(num_videos=20, n_classes=3, max_len=20, span_k=4, seed=0)
+    ck_dir = str(tmp_path / "run")
+    args = make_args(
+        sm_max_span_length=8,
+        sm_supervised_method="gradient-based",
+        epochs=2,
+        lr=1e-2,
+        checkpoint_dir=ck_dir,
+        checkpoint_every=1,
+    )
+    model = SemiMarkovModel.from_args(args, train)
+    model.fit(train, use_labels=True)
+    assert ckpt.latest_step(ck_dir) == 1
+
+    # resume: continue to more epochs without redoing earlier ones
+    args2 = make_args(
+        sm_max_span_length=8,
+        sm_supervised_method="gradient-based",
+        epochs=3,
+        lr=1e-2,
+        checkpoint_dir=ck_dir,
+        checkpoint_every=1,
+        resume=True,
+    )
+    model2 = SemiMarkovModel.from_args(args2, train)
+    epochs_seen = []
+    model2.fit(train, use_labels=True, callback_fn=lambda e, s: epochs_seen.append(e))
+    assert epochs_seen == [2], epochs_seen  # only the resumed epoch runs
+    assert ckpt.latest_step(ck_dir) == 2
+
+
+def test_init_subset_from():
+    params = {"a": jnp.zeros(3), "feature_projector": {"w": jnp.zeros(2)}}
+    src = {"a": jnp.ones(3), "feature_projector": {"w": jnp.ones(2)}, "extra": jnp.ones(1)}
+    out = ckpt.init_subset_from(params, src)
+    np.testing.assert_array_equal(np.asarray(out["a"]), np.ones(3))
+    np.testing.assert_array_equal(
+        np.asarray(out["feature_projector"]["w"]), np.zeros(2)
+    )
+    assert "extra" not in out

@@ -145,6 +145,75 @@ def test_sequential_baselines_pipeline(mini_crosstask):
     assert "all" in stats
 
 
+def test_save_then_decode_pipeline(mini_crosstask, tmp_path):
+    """Train, serialize, reload via --model_input_path, write predictions."""
+    from action_segmentation_tpu import main as main_mod
+
+    root, _ = mini_crosstask
+    model_dir = str(tmp_path / "models")
+    pred_dir = str(tmp_path / "preds")
+    argv = _base_argv(root, "semimarkov") + [
+        "--training", "supervised",
+        "--sm_supervised_method", "closed-form",
+        "--model_output_path", model_dir,
+    ]
+    main_mod.main(argv)
+    assert os.path.exists(os.path.join(model_dir, "all.pkl"))
+
+    decode_argv = _base_argv(root, "semimarkov") + [
+        "--training", "supervised",
+        "--sm_supervised_method", "closed-form",
+        "--model_input_path", model_dir,
+        "--prediction_output_path", pred_dir,
+    ]
+    stats = main_mod.main(decode_argv)
+    assert "all" in stats
+    preds = os.listdir(pred_dir)
+    assert len(preds) > 0
+    with open(os.path.join(pred_dir, preds[0])) as f:
+        content = f.read()
+    assert "### Frame level recognition: ###" in content
+
+
+def test_compare_to_prediction_folder(mini_crosstask, tmp_path):
+    """The regression-comparison harness re-scores serialized predictions."""
+    import json
+
+    from action_segmentation_tpu import main as main_mod
+    from action_segmentation_tpu.data.crosstask import CrosstaskCorpus
+
+    root, gt_frames = mini_crosstask
+    cmp_dir = str(tmp_path / "cmp")
+    os.makedirs(cmp_dir, exist_ok=True)
+
+    # build y_true/y_pred json keyed by task/video using one-hot step-space
+    y_true = {}
+    y_pred = {}
+    for task_id, steps in TASKS.items():
+        y_true[str(task_id)] = {}
+        y_pred[str(task_id)] = {}
+        for i in range(N_TRAIN, N_TRAIN + N_VAL):
+            vid = f"v{task_id}_{i}"
+            labels = gt_frames[vid]
+            onehot = np.zeros((len(labels), len(steps) + 1))
+            onehot[np.arange(len(labels)), labels] = 1
+            y_true[str(task_id)][vid] = onehot.tolist()
+            y_pred[str(task_id)][vid] = onehot.tolist()  # perfect predictions
+    with open(os.path.join(cmp_dir, "y_true.json"), "w") as f:
+        json.dump(y_true, f)
+    with open(os.path.join(cmp_dir, "y_pred.json"), "w") as f:
+        json.dump(y_pred, f)
+
+    argv = _base_argv(root, "semimarkov") + [
+        "--compare_only",
+        "--compare_to_prediction_folder", cmp_dir,
+    ]
+    stats = main_mod.main(argv)
+    for task, s in stats["all"].items():
+        mof = s["mof"][0] / s["mof"][1]
+        assert mof == 1.0, (task, mof)
+
+
 def test_unsupervised_constrained_pipeline(mini_crosstask):
     from action_segmentation_tpu import main as main_mod
 

@@ -1,0 +1,99 @@
+"""Evaluation metrics unit tests (Accuracy / F1Score semantics)."""
+
+import numpy as np
+
+from action_segmentation_tpu.evaluation.accuracy import Accuracy, run_length_encode
+from action_segmentation_tpu.evaluation.f1 import F1Score
+
+
+class FakeCorpus:
+    def __init__(self, background_indices=(0,), n=5):
+        self._background_indices = list(background_indices)
+        self.index2label = {i: str(i) for i in range(n)}
+
+
+def make_acc(gt_videos, pred_videos, bkg=(0,)):
+    acc = Accuracy(verbose=False, corpus=FakeCorpus(bkg))
+    for gt, pred in zip(gt_videos, pred_videos):
+        acc.add_gt_labels([[g] for g in gt])
+        acc.add_predicted_labels(list(pred))
+    return acc
+
+
+def test_perfect_prediction_identity():
+    gt = [[0, 1, 1, 2, 2, 0], [0, 2, 2, 1, 0, 0]]
+    acc = make_acc(gt, gt)
+    acc.mof(optimal_assignment=False, possible_gt_labels=[0, 1, 2])
+    acc.mof_classes()
+    acc.iou_classes()
+    acc.levenshtein()
+    acc.single_step_recall()
+    s = acc.stat()
+    assert s["mof"][0] / s["mof"][1] == 1.0
+    assert s["mof_non_bg"][0] / s["mof_non_bg"][1] == 1.0
+    assert s["f1"][0] == 1.0
+    assert s["mean_normed_levenshtein"][0] == 0.0
+    assert s["step_recall_non_bg"][0] == s["step_recall_non_bg"][1]
+    # 6 frames per video are background out of 12
+    assert s["pred_background"][0] == 5 and s["pred_background"][1] == 12
+
+
+def test_hungarian_remapping_recovers_permutation():
+    gt = [[1, 1, 1, 2, 2, 2, 0, 0]]
+    # predictions use permuted labels: 1<->2, bkg -> 0 stays
+    pred = [[2, 2, 2, 1, 1, 1, 0, 0]]
+    acc = make_acc(gt, pred)
+    acc.mof(optimal_assignment=True, possible_gt_labels=[0, 1, 2])
+    acc.mof_classes()
+    s = acc.stat()
+    assert s["mof"][0] / s["mof"][1] == 1.0
+    assert acc._gt2cluster[1] == [2]
+    assert acc._gt2cluster[2] == [1]
+
+
+def test_levenshtein_counts_segment_edits():
+    gt = [[1, 1, 2, 2, 0, 0]]
+    pred = [[1, 1, 1, 1, 0, 0]]  # missing segment 2 -> 1 deletion
+    acc = make_acc(gt, pred)
+    acc.mof(optimal_assignment=False, possible_gt_labels=[0, 1, 2])
+    acc.levenshtein()
+    s = acc.stat()
+    assert s["total_levenshtein"][0] == 1.0
+    assert s["predicted_segments_per_video"][0] == 2
+    assert s["predicted_segments_non_bg_per_video"][0] == 1
+
+
+def test_multi_label_gt_frames():
+    gt_multi = [[[1, 2], [1], [2], [0]]]
+    pred = [[2, 1, 2, 0]]
+    acc = Accuracy(verbose=False, corpus=FakeCorpus((0,)))
+    acc.add_gt_labels(gt_multi[0])
+    acc.add_predicted_labels(pred[0])
+    acc.mof(optimal_assignment=False, possible_gt_labels=[0, 1, 2])
+    acc.mof_classes()
+    s = acc.stat()
+    # frame 0: pred 2 matches one of {1, 2} -> true positive
+    assert s["recall"][0] == 4  # all frames' preds are in their gt sets
+    assert s["multiple_gt_labels"][0] == 1 and s["multiple_gt_labels"][1] == 4
+
+
+def test_run_length_encode():
+    assert run_length_encode([1, 1, 2, 2, 2, 0]) == [(1, 2), (2, 3), (0, 1)]
+    assert run_length_encode([]) == []
+    assert run_length_encode([5]) == [(5, 1)]
+
+
+def test_f1_score_perfect():
+    np.random.seed(0)
+    gt = [[g] for g in [1, 1, 1, 2, 2, 2, 1, 1, 1]]
+    pr = [1, 1, 1, 2, 2, 2, 1, 1, 1]
+    f1 = F1Score(K=2, n_videos=1, verbose=False)
+    f1.set_gt(gt)
+    f1.set_pr(pr)
+    f1.set_gt2pr({1: [1], 2: [2]})
+    f1.f1()
+    s = f1.stat()
+    # reference quirk preserved: the final segment is dropped from
+    # bound_masks, so recall denominator is 2 here
+    assert s["recall"][1] == 2
+    assert s["mean_f1"][0] > 0.99
