@@ -435,9 +435,17 @@ class SemiMarkovModel(Model):
         return self._jit_cache[name]
 
     def _build_loss_fn(self, use_labels):
+        from action_segmentation_tpu.ops.hsmm_grad import hsmm_partition_fast
+        from action_segmentation_tpu.ops.hsmm_pallas import pallas_supported
+
         module = self.module
         K = module.max_k
         discriminative = getattr(self.args, "sm_train_discriminatively", False)
+        # marginal-likelihood training runs the partition through the
+        # custom-VJP Pallas forward/backward when on TPU
+        partition_fn = (
+            hsmm_partition_fast if pallas_supported(self.n_classes) else hsmm_partition
+        )
 
         def loss_fn(params, features, lengths, vc, inv_map, gt, cons, end_allowed, rng):
             pots, log_det, kl = module.compute_potentials(
@@ -447,11 +455,14 @@ class SemiMarkovModel(Model):
                 labels_sub = inv_map[gt]
                 spans = labels_to_spans(labels_sub, K)
                 if discriminative:
-                    ll = hsmm_log_prob(pots, lengths, spans).mean()
+                    ll = (
+                        hsmm_gold_score(pots, lengths, spans)
+                        - partition_fn(pots, lengths)
+                    ).mean()
                 else:
                     ll = hsmm_gold_score(pots, lengths, spans).mean()
             else:
-                ll = hsmm_partition(pots, lengths).mean()
+                ll = partition_fn(pots, lengths).mean()
             nll = -ll
             loss = nll - log_det.mean()
             if not use_labels:

@@ -1,0 +1,187 @@
+"""Custom-VJP partition: Pallas forward + time-reversed Pallas backward.
+
+Training against the marginal likelihood needs d logZ / d potentials
+(= posterior expected sufficient statistics). Autodiff of the jnp scan
+works but replays the scan; here both passes run the fused Pallas
+log-scan (ops/hsmm_pallas.py) and the marginals are combined closed-form:
+
+  By the HSMM's time symmetry, the suffix mass S2[e, c] ("segmentations
+  of frames [e, L) given the previous span had class c", including the
+  transition into the first suffix span and the end mask) equals the
+  prefix boundary mass of the REVERSED model — reversed emissions,
+  transposed transitions, init <-> end_mask swapped. So the backward pass
+  is the same forward kernel on transformed inputs.
+
+With F[s, c] the prefix mass with the next span starting at s in class c
+(init at s=0, transition-into-c folded in), the posterior of span
+(start s, duration d, class c) is
+
+  exp( F[s,c] + lens[d,c] + (cum[s+d]-cum[s])[c] + S2[s+d,c] - logZ )
+
+from which all five cotangents (emit / trans / init / lens / end_mask)
+follow by summation. This replaces torch-struct's hand-written backward
+through genbmm (the reference's training hot path).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from action_segmentation_tpu import BIG_NEG
+from action_segmentation_tpu.ops.hsmm import HsmmPotentials
+from action_segmentation_tpu.ops.hsmm_pallas import hsmm_alphas_pallas
+
+
+def _reverse_within_length(x, lengths):
+    """Reverse each (T, ...) row's first `length` steps (padding stays)."""
+    T = x.shape[1]
+    rev = jnp.flip(x, axis=1)
+
+    def roll_row(row, length):
+        return jnp.roll(row, length - T, axis=0)
+
+    return jax.vmap(roll_row)(rev, lengths)
+
+
+def _lse(x, axis):
+    return jax.nn.logsumexp(x, axis=axis)
+
+
+def _combine_grads_single(trans, init, lens, emit, end_mask, length,
+                          alphas_f, alphas_b, logZ):
+    """Per-instance cotangents from forward/backward boundary scores."""
+    T, C = emit.shape
+    K = lens.shape[0]
+    Km = K - 1
+    t_idx = jnp.arange(T)
+
+    cum = jnp.concatenate(
+        [jnp.zeros((1, C), emit.dtype), jnp.cumsum(emit, axis=0)], axis=0
+    )  # (T+1, C)
+
+    # F[s, c], s = 0..T-1: prefix mass with next span starting at s, class c
+    gammaF = _lse(alphas_f[:, None, :] + trans[None, :, :], axis=2)  # (T, C) at s=1..T
+    F = jnp.concatenate([init[None, :], gammaF[: T - 1]], axis=0)
+    F = jnp.where((t_idx < length)[:, None], F, BIG_NEG)
+
+    # S2[e, c], e = 1..L: suffix mass given previous span class c
+    # gammaR[r, c] = LSE_c' alphas_b[r-1, c'] + trans[c', c]  (r = L - e)
+    gammaR = _lse(alphas_b[:, None, :] + trans.T[None, :, :], axis=2)  # (T, C) at r=1..T
+    e_idx = jnp.arange(T + 1)
+    r_for_e = jnp.clip(length - e_idx, 1, T)  # r = L - e
+    S2 = gammaR[r_for_e - 1]  # (T+1, C)
+    S2 = jnp.where((e_idx == length)[:, None], end_mask[None, :], S2)
+    S2 = jnp.where(((e_idx >= 1) & (e_idx <= length))[:, None], S2, BIG_NEG)
+
+    # per-duration shifted views: cumdiff[s, j] = cum[s+j+1] - cum[s],
+    # S2s[s, j] = S2[s+j+1], valid when s+j+1 <= length. Pad to T+K rows
+    # first — dynamic_slice clamps out-of-bounds starts, which would
+    # silently alias rows for j >= 1.
+    cum_pad = jnp.pad(cum, ((0, K), (0, 0)))
+    S2_pad = jnp.pad(S2, ((0, K), (0, 0)), constant_values=BIG_NEG)
+
+    def shifted(arr, j):
+        return jax.lax.dynamic_slice_in_dim(arr, j + 1, T, axis=0)
+
+    cumdiff = jnp.stack(
+        [shifted(cum_pad, j) - cum[:T] for j in range(Km)], axis=1
+    )
+    S2s = jnp.stack([shifted(S2_pad, j) for j in range(Km)], axis=1)  # (T, Km, C)
+    valid = (t_idx[:, None] + jnp.arange(1, K)[None, :]) <= length  # (T, Km)
+
+    # Q[s, c] = LSE_d lens[d] + cumdiff + S2s  (suffix-from-s without trans)
+    body = lens[None, 1:K, :] + cumdiff + S2s  # (T, Km, C)
+    body = jnp.where(valid[:, :, None], body, BIG_NEG)
+    Q = _lse(body, axis=1)  # (T, C)
+
+    # span marginals M[s, d-1, c]
+    M = jnp.exp(F[:, None, :] + body - logZ)  # (T, Km, C)
+    M = jnp.where(valid[:, :, None], M, 0.0)
+
+    # lens grad: rows 1..K-1
+    lens_grad = jnp.concatenate(
+        [jnp.zeros((1, C)), jnp.sum(M, axis=0)], axis=0
+    )
+
+    # emit grad: frame marginals — each span adds its mass on frames
+    # [s, s+d); accumulate a difference array (start +, stop -) and cumsum
+    starts = jnp.sum(M, axis=1)  # (T, C): mass starting at s
+    stops = jnp.zeros((T + K, C))
+    for j in range(Km):
+        stops = stops + jnp.pad(M[:, j], ((j + 1, K - 1 - j), (0, 0)))
+    emit_grad = jnp.cumsum(starts - stops[:T], axis=0)
+
+    # trans grad: pair marginals over interior boundaries s = 1..L-1
+    s_interior = ((t_idx >= 1) & (t_idx < length))[:, None, None]
+    pair = jnp.exp(
+        jnp.where(
+            s_interior,
+            alphas_f[jnp.maximum(t_idx - 1, 0)][:, None, :]  # A_f[s] = alphas_f[s-1]
+            + trans[None, :, :]
+            + Q[:, :, None]
+            - logZ,
+            BIG_NEG,
+        )
+    )
+    trans_grad = jnp.sum(pair, axis=0)
+
+    init_grad = jnp.exp(init + Q[0] - logZ)
+    end_grad = jnp.exp(alphas_f[length - 1] + end_mask - logZ)
+    return trans_grad, init_grad, lens_grad, emit_grad, end_grad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def hsmm_partition_fb(trans, init, lens, emit, end_mask, lengths, interpret=False):
+    """Partition with Pallas forward and Pallas-powered backward.
+
+    Same value as ops.hsmm.hsmm_partition; gradients come from a second
+    (time-reversed) Pallas scan instead of autodiff through lax.scan.
+    """
+    pots = HsmmPotentials(trans, init, lens, emit, end_mask)
+    _, logZ = hsmm_alphas_pallas(pots, lengths, interpret=interpret)
+    return logZ
+
+
+def _fb_fwd(trans, init, lens, emit, end_mask, lengths, interpret=False):
+    pots = HsmmPotentials(trans, init, lens, emit, end_mask)
+    alphas_f, logZ = hsmm_alphas_pallas(pots, lengths, interpret=interpret)
+    return logZ, (trans, init, lens, emit, end_mask, lengths, alphas_f, logZ)
+
+
+def _fb_bwd(interpret, res, g):
+    trans, init, lens, emit, end_mask, lengths, alphas_f, logZ = res
+    emit_rev = _reverse_within_length(emit, lengths)
+    rev_pots = HsmmPotentials(
+        trans=jnp.swapaxes(trans, -1, -2),
+        init=end_mask,
+        lens=lens,
+        emit=emit_rev,
+        end_mask=init,
+    )
+    alphas_b, _ = hsmm_alphas_pallas(rev_pots, lengths, interpret=interpret)
+
+    grads = jax.vmap(_combine_grads_single)(
+        trans, init, lens, emit, end_mask, lengths, alphas_f, alphas_b, logZ
+    )
+    trans_g, init_g, lens_g, emit_g, end_g = grads
+    gb = g[:, None, None]
+    return (
+        trans_g * gb,
+        init_g * g[:, None],
+        lens_g * gb,
+        emit_g * gb,
+        end_g * g[:, None],
+        np.zeros(np.shape(lengths), jax.dtypes.float0),
+    )
+
+
+hsmm_partition_fb.defvjp(_fb_fwd, _fb_bwd)
+
+
+def hsmm_partition_fast(pots: HsmmPotentials, lengths, interpret=False):
+    """Convenience wrapper taking an HsmmPotentials bundle."""
+    return hsmm_partition_fb(
+        pots.trans, pots.init, pots.lens, pots.emit, pots.end_mask, lengths, interpret
+    )

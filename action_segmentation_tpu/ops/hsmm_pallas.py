@@ -107,8 +107,14 @@ def _viterbi_kernel(pack, lengths_ref, trans_ref, init_ref, dur_ref, emit_ref,
 
 
 def _partition_kernel(pack, lengths_ref, trans_ref, init_ref, dur_ref, emit_ref,
-                      endm_ref, scores_ref, W, cum, alphas):
-    """Log-semiring sibling: logsumexp instead of max, no backpointers."""
+                      endm_ref, alphas_ref, scores_ref, W, cum):
+    """Log-semiring sibling: logsumexp instead of max, no backpointers.
+
+    Emits the full boundary-score table `alphas` (alphas[t-1, c] = log-mass
+    of segmentations of [0, t) whose final span has class c) — the
+    residual that the custom-VJP backward pass combines with a
+    time-reversed run of this same kernel to produce posterior marginals.
+    """
     g = pl.program_id(0)
     T = emit_ref.shape[1]
     Km = W.shape[0]
@@ -129,7 +135,7 @@ def _partition_kernel(pack, lengths_ref, trans_ref, init_ref, dur_ref, emit_ref,
         cum[0:1, :] += e
         span = W[...] + dur
         alpha = lse(span, 0) + cum[0:1, :]
-        alphas[pl.ds(t - 1, 1), :] = alpha
+        alphas_ref[0, pl.ds(t - 1, 1), :] = alpha
         arr = trans + alpha
         gamma = lse(arr, 1).reshape(1, LANES)
         w_prev = W[...]
@@ -141,7 +147,7 @@ def _partition_kernel(pack, lengths_ref, trans_ref, init_ref, dur_ref, emit_ref,
 
     for v in range(pack):
         length = lengths_ref[g * pack + v]
-        fin = alphas[pl.ds(length - 1, 1), :] + endm_ref[0, v : v + 1, :]
+        fin = alphas_ref[0, pl.ds(length - 1, 1), :] + endm_ref[0, v : v + 1, :]
         m = jnp.max(fin)
         scores_ref[0, v : v + 1, :] = jnp.full(
             (1, LANES), m + jnp.log(jnp.sum(jnp.exp(fin - m))), jnp.float32
@@ -279,9 +285,7 @@ def hsmm_viterbi_pallas(pots: HsmmPotentials, lengths, interpret=False):
     return spans, scores
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def hsmm_partition_pallas(pots: HsmmPotentials, lengths, interpret=False):
-    """Batched log partition via the fused Pallas kernel: (B,) float32."""
+def _run_partition_kernel(pots, lengths, interpret):
     B, T, C = pots.emit.shape
     assert C <= LANES, "pack wrapper requires C <= 128"
     pack = max(1, min(MAX_PACK, LANES // C, B))
@@ -301,18 +305,46 @@ def hsmm_partition_pallas(pots: HsmmPotentials, lengths, interpret=False):
             pl.BlockSpec((1, MAX_PACK, LANES), lambda g, *_: (g, 0, 0)),
         ],
         out_specs=[
+            pl.BlockSpec((1, Tp, LANES), lambda g, *_: (g, 0, 0)),
             pl.BlockSpec((1, MAX_PACK, LANES), lambda g, *_: (g, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((Km_pad, LANES), jnp.float32),
             pltpu.VMEM((8, LANES), jnp.float32),
-            pltpu.VMEM((Tp, LANES), jnp.float32),
         ],
     )
-    (scores_p,) = pl.pallas_call(
+    alphas_p, scores_p = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((G, MAX_PACK, LANES), jnp.float32)],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, Tp, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((G, MAX_PACK, LANES), jnp.float32),
+        ],
         interpret=interpret,
     )(lengths_p, trans_bd, init, dur, emit, endm)
-    return scores_p[:, :pack, 0].reshape(G * pack)[:B]
+    scores = scores_p[:, :pack, 0].reshape(G * pack)[:B]
+    # unpack alphas: lanes are contiguous per-video C blocks
+    alphas = (
+        alphas_p[:, :, : pack * C]
+        .reshape(G, Tp, pack, C)
+        .transpose(0, 2, 1, 3)
+        .reshape(G * pack, Tp, C)[:B, :T]
+    )
+    return alphas, scores
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hsmm_partition_pallas(pots: HsmmPotentials, lengths, interpret=False):
+    """Batched log partition via the fused Pallas kernel: (B,) float32."""
+    return _run_partition_kernel(pots, lengths, interpret)[1]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hsmm_alphas_pallas(pots: HsmmPotentials, lengths, interpret=False):
+    """Forward boundary scores + partition: (alphas (B, T, C), logZ (B,)).
+
+    alphas[b, t-1, c] = log-mass of segmentations of frames [0, t) of
+    instance b whose final span has class c (rows at/after length are
+    unspecified).
+    """
+    return _run_partition_kernel(pots, lengths, interpret)
