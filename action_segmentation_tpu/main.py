@@ -433,6 +433,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from action_segmentation_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = build_parser()
     args = parser.parse_args(argv)
 

@@ -441,13 +441,17 @@ class SemiMarkovModel(Model):
         module = self.module
         K = module.max_k
         discriminative = getattr(self.args, "sm_train_discriminatively", False)
-        # marginal-likelihood training runs the partition through the
-        # custom-VJP Pallas forward/backward when on TPU
-        partition_fn = (
-            hsmm_partition_fast if pallas_supported(self.n_classes) else hsmm_partition
-        )
+        use_pallas = pallas_supported(self.n_classes)
 
         def loss_fn(params, features, lengths, vc, inv_map, gt, cons, end_allowed, rng):
+            # marginal-likelihood training runs the partition through the
+            # custom-VJP Pallas forward/backward when on TPU (fall back to
+            # the autodiffed scan for very long padded lengths — VMEM)
+            partition_fn = (
+                hsmm_partition_fast
+                if use_pallas and features.shape[1] <= 6144
+                else hsmm_partition
+            )
             pots, log_det, kl = module.compute_potentials(
                 params, features, lengths, vc, cons, end_allowed, rng, use_mean_z=use_labels
             )
@@ -506,12 +510,19 @@ class SemiMarkovModel(Model):
 
         module = self.module
         use_pallas = pallas_supported(self.n_classes)
-        viterbi_fn = hsmm_viterbi_pallas if use_pallas else hsmm_viterbi
 
         @jax.jit
         def decode(params, features, lengths, vc, cons, end_allowed, rng):
             pots, _, _ = module.compute_potentials(
                 params, features, lengths, vc, cons, end_allowed, rng, use_mean_z=True
+            )
+            # VMEM bound: the fused kernel holds emit/alphas/backpointers
+            # for the full T on chip; fall back to the scan for very long
+            # padded lengths (shape is static at trace time)
+            viterbi_fn = (
+                hsmm_viterbi_pallas
+                if use_pallas and features.shape[1] <= 6144
+                else hsmm_viterbi
             )
             spans_sub, scores = viterbi_fn(pots, lengths)
             spans = jnp.where(spans_sub >= 0, vc[jnp.clip(spans_sub, 0)], -1)

@@ -178,6 +178,9 @@ def bench_torch_reference_style():
 
 
 def main():
+    from action_segmentation_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     tpu_fps = bench_tpu_decode()
     try:
         ref_fps = bench_torch_reference_style()
