@@ -15,6 +15,9 @@ TASKS = {
     16815: ["stepA", "stepB", "stepC"],
     23521: ["stepX", "stepY"],
 }
+RELATED_TASKS = {
+    1373: ["stepR1", "stepR2"],
+}
 N_TRAIN = 4
 N_VAL = 2
 DIM_PER_GROUP = 4
@@ -39,11 +42,15 @@ def _write_release(root, rng):
         for task_id, steps in TASKS.items():
             f.write(f"{task_id}\ntask {task_id}\nhttp://x\n{len(steps)}\n")
             f.write(",".join(steps) + "\n\n")
+    with open(os.path.join(release, "tasks_related.txt"), "w") as f:
+        for task_id, steps in RELATED_TASKS.items():
+            f.write(f"{task_id}\ntask {task_id}\nhttp://x\n{len(steps)}\n")
+            f.write(",".join(steps) + "\n\n")
 
     videos = []
     val_videos = []
     gt_frames = {}
-    for task_id, steps in TASKS.items():
+    for task_id, steps in {**TASKS, **RELATED_TASKS}.items():
         for i in range(N_TRAIN + N_VAL):
             vid = f"v{task_id}_{i}"
             videos.append((task_id, vid))
@@ -212,6 +219,25 @@ def test_compare_to_prediction_folder(mini_crosstask, tmp_path):
     for task, s in stats["all"].items():
         mof = s["mof"][0] / s["mof"][1]
         assert mof == 1.0, (task, mof)
+
+
+def test_related_tasks_training_data(mini_crosstask):
+    """--crosstask_training_data primary related: secondary tasks load and
+    train alongside primary (crosstask.py use_secondary path)."""
+    from action_segmentation_tpu import main as main_mod
+
+    root, _ = mini_crosstask
+    stats = main_mod.main(
+        _base_argv(root, "semimarkov")
+        + [
+            "--training", "supervised",
+            "--sm_supervised_method", "closed-form",
+            "--crosstask_training_data", "primary", "related",
+        ]
+    )
+    assert "all" in stats
+    # evaluation is still over primary tasks only
+    assert set(stats["all"].keys()) == set(TASKS.keys())
 
 
 def test_unsupervised_constrained_pipeline(mini_crosstask):
