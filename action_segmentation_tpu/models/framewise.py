@@ -82,7 +82,10 @@ class FramewiseDiscriminative(Model):
                 logits = mask_to_valid_classes(logits, valid_mask)
                 logp = jax.nn.log_softmax(logits, axis=-1)
                 nll = -jnp.take_along_axis(logp, gt[..., None], axis=-1)[..., 0]
-                return jnp.sum(nll * mask) / jnp.maximum(mask.sum(), 1.0)
+                # padded frames may carry out-of-task gt labels (logp -inf);
+                # select rather than multiply so inf * 0 can't produce NaN
+                nll = jnp.where(mask > 0, nll, 0.0)
+                return jnp.sum(nll) / jnp.maximum(mask.sum(), 1.0)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -116,6 +119,9 @@ class FramewiseDiscriminative(Model):
                     sub,
                 )
                 losses.append(float(loss))
+            # publish params before the callback: per-epoch evaluation and
+            # dev early stopping must see the current model
+            self.params = params
             train_loss = float(np.mean(losses))
             if scheduler is not None:
                 lr = scheduler.step(train_loss)

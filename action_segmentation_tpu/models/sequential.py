@@ -69,7 +69,10 @@ class SequentialDiscriminative(Model):
                 logits = model._logits(p, feats, lengths, valid_mask)
                 logp = jax.nn.log_softmax(logits, axis=-1)
                 nll = -jnp.take_along_axis(logp, gt[..., None], axis=-1)[..., 0]
-                return jnp.sum(nll * mask) / jnp.maximum(mask.sum(), 1.0)
+                # padded frames may carry out-of-task gt labels (logp -inf);
+                # select rather than multiply so inf * 0 can't produce NaN
+                nll = jnp.where(mask > 0, nll, 0.0)
+                return jnp.sum(nll) / jnp.maximum(mask.sum(), 1.0)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -105,6 +108,9 @@ class SequentialDiscriminative(Model):
                     lr,
                 )
                 losses.append(float(loss))
+            # publish params before the callback: per-epoch evaluation and
+            # dev early stopping must see the current model
+            self.params = params
             train_loss = float(np.mean(losses))
             if scheduler is not None:
                 lr = scheduler.step(train_loss)
