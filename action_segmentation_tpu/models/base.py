@@ -39,6 +39,17 @@ def add_training_args(parser):
     parser.add_argument(
         "--resume", action="store_true", help="resume from latest orbax checkpoint"
     )
+    parser.add_argument(
+        "--data_parallel",
+        action="store_true",
+        help="shard training batches over all devices (mesh dp x tp)",
+    )
+    parser.add_argument(
+        "--model_parallel",
+        type=int,
+        default=1,
+        help="devices on the 'model' mesh axis (class-table tensor parallelism)",
+    )
 
 
 class ReduceLROnPlateau:

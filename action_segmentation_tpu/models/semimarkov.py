@@ -579,6 +579,30 @@ class SemiMarkovModel(Model):
             self.module.initialize_gaussian(feats)
 
         opt_state = tx.init(self.module.params)
+        use_dp = getattr(args, "data_parallel", False) and len(jax.devices()) > 1
+        if use_dp:
+            assert args.batch_accumulation <= 1, (
+                "batch accumulation with --data_parallel not supported"
+            )
+            from action_segmentation_tpu.parallel.mesh import (
+                batch_sharding,
+                build_sharded_train_step,
+                make_mesh,
+                pad_batch_for_mesh,
+                shard_shared_inputs,
+                shard_train_inputs,
+            )
+
+            mesh = make_mesh(model_parallel=getattr(args, "model_parallel", 1))
+            sharded_step = build_sharded_train_step(
+                self.module, tx, mesh, use_labels
+            )
+            self.module.params, opt_state, _ = shard_train_inputs(
+                mesh, self.module.params, opt_state, []
+            )
+            logger.debug(
+                "data-parallel training over mesh {}".format(dict(mesh.shape))
+            )
         grad_step = self._get_jitted(
             f"grad_{use_labels}", lambda: self._build_grad_step(use_labels)
         )
@@ -633,17 +657,36 @@ class SemiMarkovModel(Model):
                 num_videos += B
                 rng, step_rng = jax.random.split(rng)
                 gt = batch.get("gt_single", np.zeros(batch["features"].shape[:2], np.int64))
-                loss, aux, grads = grad_step(
-                    params,
-                    jnp.asarray(batch["features"]),
-                    jnp.asarray(batch["lengths"]),
-                    jnp.asarray(vc),
-                    jnp.asarray(inv_map),
-                    jnp.asarray(gt),
-                    jnp.asarray(cons),
-                    jnp.asarray(end_allowed),
-                    step_rng,
-                )
+                if use_dp:
+                    (feat_p, len_p, gt_p, cons_p, end_p), w = pad_batch_for_mesh(
+                        mesh,
+                        [batch["features"], batch["lengths"], gt, cons, end_allowed],
+                        B,
+                    )
+                    placed = [
+                        jax.device_put(jnp.asarray(a), batch_sharding(mesh, a.ndim))
+                        for a in (feat_p, len_p, gt_p, cons_p, end_p, w)
+                    ]
+                    s_vc, s_inv = shard_shared_inputs(mesh, vc, inv_map)
+                    params, opt_state, loss = sharded_step(
+                        params, opt_state,
+                        placed[0], placed[1], s_vc, s_inv, placed[2],
+                        placed[3], placed[4], placed[5], lr, step_rng,
+                    )
+                    aux = {"nll": loss, "kl": 0.0, "log_det": 0.0}
+                    grads = None
+                else:
+                    loss, aux, grads = grad_step(
+                        params,
+                        jnp.asarray(batch["features"]),
+                        jnp.asarray(batch["lengths"]),
+                        jnp.asarray(vc),
+                        jnp.asarray(inv_map),
+                        jnp.asarray(gt),
+                        jnp.asarray(cons),
+                        jnp.asarray(end_allowed),
+                        step_rng,
+                    )
                 loss_f = float(loss)
                 losses.append(loss_f)
                 nlls.append(float(aux["nll"]))
@@ -653,6 +696,8 @@ class SemiMarkovModel(Model):
                 train_kl += float(aux["kl"]) * B
                 train_log_det += float(aux["log_det"]) * B
 
+                if use_dp:
+                    continue  # sharded step already applied the update
                 acc_grads = (
                     grads
                     if acc_grads is None

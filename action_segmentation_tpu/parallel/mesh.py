@@ -72,16 +72,17 @@ def build_sharded_train_step(module, tx, mesh, use_labels):
     """jit a FULL training step (loss -> grads -> adam update) over the
     mesh. Batch args sharded on 'data'; class-indexed params on 'model'.
 
+    `weights` (B,) supports batches padded up to a multiple of the data
+    axis: padded instances get weight 0 and the loss is a weighted mean,
+    so data-parallel runs reproduce single-device losses exactly.
+
     Signature of the returned step:
       (params, opt_state, features, lengths, vc, inv_map, gt, cons,
-       end_allowed, lr, rng) -> (params, opt_state, loss)
+       end_allowed, weights, lr, rng) -> (params, opt_state, loss)
     """
     K = module.max_k
 
-    def loss_fn(params, features, lengths, vc, inv_map, gt, cons, end_allowed, rng):
-        # sequence-parallel emission scoring: constrain features so the
-        # time axis spreads over 'model' during the matmul; the DP input
-        # is re-gathered by XLA where needed
+    def loss_fn(params, features, lengths, vc, inv_map, gt, cons, end_allowed, weights, rng):
         pots, log_det, kl = module.compute_potentials(
             params, features, lengths, vc, cons, end_allowed, rng, use_mean_z=use_labels
         )
@@ -93,17 +94,22 @@ def build_sharded_train_step(module, tx, mesh, use_labels):
         if use_labels:
             labels_sub = inv_map[gt]
             spans = labels_to_spans(labels_sub, K)
-            ll = hsmm_gold_score(pots, lengths, spans).mean()
+            ll = hsmm_gold_score(pots, lengths, spans)
         else:
-            ll = hsmm_partition(pots, lengths).mean()
-        loss = -ll - log_det.mean()
+            ll = hsmm_partition(pots, lengths)
+        denom = jnp.maximum(weights.sum(), 1.0)
+
+        def wmean(x):
+            return jnp.sum(x * weights) / denom
+
+        loss = -wmean(ll) - wmean(log_det)
         if not use_labels:
-            loss = loss + kl.mean()
+            loss = loss + wmean(kl)
         return loss
 
-    def step(params, opt_state, features, lengths, vc, inv_map, gt, cons, end_allowed, lr, rng):
+    def step(params, opt_state, features, lengths, vc, inv_map, gt, cons, end_allowed, weights, lr, rng):
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, features, lengths, vc, inv_map, gt, cons, end_allowed, rng
+            params, features, lengths, vc, inv_map, gt, cons, end_allowed, weights, rng
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(
@@ -112,6 +118,21 @@ def build_sharded_train_step(module, tx, mesh, use_labels):
         return params, opt_state, loss
 
     return jax.jit(step)
+
+
+def pad_batch_for_mesh(mesh, arrays, batch_size):
+    """Pad leading batch dims up to a multiple of the data axis; returns
+    (padded arrays, weights)."""
+    dp = mesh.shape["data"]
+    Bp = -(-batch_size // dp) * dp
+    padded = []
+    for arr in arrays:
+        arr = np.asarray(arr)
+        pad = [(0, Bp - batch_size)] + [(0, 0)] * (arr.ndim - 1)
+        padded.append(np.pad(arr, pad))
+    weights = np.zeros(Bp, np.float32)
+    weights[:batch_size] = 1.0
+    return padded, weights
 
 
 def build_sharded_decode_step(module, mesh):

@@ -29,6 +29,47 @@ def test_entry_forward_compiles():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_data_parallel_fit_matches_single_device():
+    """SemiMarkovModel.fit with --data_parallel reproduces the
+    single-device loss trajectory (weighted-mean padding, psum grads)."""
+    import argparse
+
+    from action_segmentation_tpu.data.synthetic import SyntheticDatasplit
+    from action_segmentation_tpu.models.base import add_training_args
+    from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+
+    def make_args(**overrides):
+        parser = argparse.ArgumentParser()
+        SemiMarkovModel.add_args(parser)
+        add_training_args(parser)
+        parser.add_argument("--batch_size", type=int, default=6)
+        parser.add_argument("--annotate_background_with_previous", action="store_true")
+        parser.add_argument("--no_merge_classes", action="store_true")
+        args = parser.parse_args([])
+        for k, v in overrides.items():
+            setattr(args, k, v)
+        return args
+
+    train = SyntheticDatasplit(num_videos=13, n_classes=3, max_len=20, span_k=4, seed=0)
+
+    losses = {}
+    for dp in (False, True):
+        args = make_args(
+            sm_max_span_length=8,
+            sm_supervised_method="gradient-based",
+            epochs=2,
+            lr=1e-2,
+            data_parallel=dp,
+        )
+        model = SemiMarkovModel.from_args(args, train)
+        ls = []
+        model.fit(train, use_labels=True, callback_fn=lambda e, s: ls.append(s["train_loss"]))
+        losses[dp] = ls
+        assert ls[-1] < ls[0]
+    assert abs(losses[True][0] - losses[False][0]) < 1e-2, losses
+    assert abs(losses[True][-1] - losses[False][-1]) < 0.1, losses
+
+
 def test_sharded_matches_single_device():
     """Sharded train step produces the same loss as the unsharded one."""
     import argparse
@@ -64,18 +105,20 @@ def test_sharded_matches_single_device():
     vc = np.arange(C, dtype=np.int32)
     inv_map = np.arange(C, dtype=np.int32)
 
+    weights = np.ones(B, np.float32)
     losses = {}
     for mp in (1, 2):
         mesh = make_mesh(8, model_parallel=mp)
         with mesh:
             step = build_sharded_train_step(module, tx, mesh, use_labels=True)
             params, opt, placed = shard_train_inputs(
-                mesh, module.params, opt_state, [features, lengths, gt, cons, end_allowed]
+                mesh, module.params, opt_state,
+                [features, lengths, gt, cons, end_allowed, weights],
             )
             s_vc, s_inv = shard_shared_inputs(mesh, vc, inv_map)
-            b_feat, b_len, b_gt, b_cons, b_end = placed
+            b_feat, b_len, b_gt, b_cons, b_end, b_w = placed
             _, _, loss = step(
-                params, opt, b_feat, b_len, s_vc, s_inv, b_gt, b_cons, b_end,
+                params, opt, b_feat, b_len, s_vc, s_inv, b_gt, b_cons, b_end, b_w,
                 5e-3, jax.random.PRNGKey(0),
             )
             losses[mp] = float(loss)
