@@ -2,26 +2,35 @@
 
 This is the TPU-native replacement for the reference's native kernel
 layer (genbmm's CUDA banded log/max matmuls driven by torch-struct; see
-SURVEY §2.10). One kernel fuses, per video:
+SURVEY §2.10). One kernel fuses, per launch:
 
-  * the banded max-semiring forward scan (duration band on sublanes,
-    classes on lanes, O(K*C) working set held in VMEM scratch),
-  * backpointer recording (VMEM scratch — never touches HBM),
-  * the Viterbi traceback (scalar while-loop over segments in-kernel),
+  * the banded max- (or log-) semiring forward scan over time, with the
+    duration band on sublanes and classes on lanes and an O(K*C) working
+    set in VMEM scratch;
+  * backpointer recording for Viterbi (packed (duration, prev-class)
+    int32 codes) or full boundary-score (alpha) emission for the
+    partition / custom-VJP backward.
 
-and a log-semiring sibling produces the partition function. Because the
-per-task class count C is far below the 128-lane width, the wrapper
-packs several videos into one DP over a block-diagonal transition
-matrix: cross-video transitions are BIG_NEG, so P videos run as one
-independent-chains scan at no extra cost — the lane dimension does the
-batching that the reference got from genbmm's batched bmm.
+Two levels of batching keep the sequential time loop fed:
+  * **lane packing** — per-task class counts are far below the 128-lane
+    width, so P videos share one DP over a block-diagonal transition
+    matrix (cross-video transitions are BIG_NEG, so the chains are
+    independent) — the lane dimension does the batching the reference
+    got from genbmm's batched bmm;
+  * **group stacking** — packed groups ride a leading G dimension of
+    every state tensor, so one T-step loop advances all groups instead
+    of running G sequential grid passes.
 
-Shapes inside the kernel (per grid step = one packed group):
-  trans  (128, 128)  block-diagonal [to, from], BIG_NEG off-blocks
-  init   (1, 128)
-  dur    (Km_pad, 128)   row j scores duration j+1, BIG_NEG padding
-  emit   (T, 128)        per-frame log-likelihoods, 0 padding
-  endm   (8, 128)        per-packed-video end masks (BIG_NEG off-block)
+The Viterbi traceback runs outside the kernel as a single vectorized jnp
+while-loop over the whole batch (in-kernel scalar tracebacks are
+dominated by per-iteration loop overhead on TPU).
+
+Shapes inside a kernel launch (G = packed groups in this chunk):
+  trans  (G, 128, 128)  block-diagonal [to, from], BIG_NEG off-blocks
+  init   (G, 1, 128)
+  dur    (G, Km_pad, 128)  row j scores duration j+1, BIG_NEG padding
+  emit   (G, T, 128)       per-frame log-likelihoods, 0 padding
+  endm   (G, 8, 128)       per-packed-video end masks (BIG_NEG off-block)
 """
 
 import functools
@@ -37,6 +46,9 @@ from action_segmentation_tpu.ops.hsmm import HsmmPotentials
 
 LANES = 128
 MAX_PACK = 8
+# VMEM budget for the per-launch (G, T, 128) f32/i32 planes (emit +
+# alphas + backpointers); chunks of groups are launched separately above this
+_VMEM_PLANE_BUDGET = 8 * 1024 * 1024
 
 
 def _round_up(x, m):
@@ -56,102 +68,100 @@ def pallas_supported(n_classes):
 
 def _viterbi_kernel(pack, lengths_ref, trans_ref, init_ref, dur_ref, emit_ref,
                     endm_ref, bp_ref, scores_ref, c0_ref, W, cum, alphas):
-    """Max-semiring forward scan emitting packed backpointers.
+    """Max-semiring forward scan over all G groups at once.
 
-    bp_ref[t-1, c] packs (best duration argmax for a span ending at t with
-    class c) * LANES + (best previous class at boundary t given next class
-    c). The traceback runs outside the kernel as one vectorized jnp
-    while-loop over the whole batch — in-kernel scalar tracebacks are
-    dominated by per-iteration loop overhead on TPU.
+    bp_ref[g, t-1, c] packs (argmax duration index for a span ending at t
+    with class c) * LANES + (argmax previous class at boundary t given
+    next class c).
     """
-    g = pl.program_id(0)
-    T = emit_ref.shape[1]
-    Km = W.shape[0]
+    G, T, _ = emit_ref.shape
+    Km = W.shape[1]
 
     cum[...] = jnp.zeros_like(cum)
     W[...] = jnp.full_like(W, BIG_NEG)
-    W[0:1, :] = init_ref[0]
+    W[:, 0:1, :] = init_ref[...]
 
-    dur = dur_ref[0]
-    trans = trans_ref[0]
+    dur = dur_ref[...]
+    trans = trans_ref[...]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
     # hot loop: no conditionals — alpha rows are logged to scratch and the
     # per-video finals are gathered after the scan
     def step(t, _):
-        e = emit_ref[0, pl.ds(t - 1, 1), :]  # (1, LANES)
-        cum[0:1, :] += e
-        span = W[...] + dur  # (Km, LANES)
-        alpha = jnp.max(span, axis=0, keepdims=True) + cum[0:1, :]
-        alphas[pl.ds(t - 1, 1), :] = alpha
-        bp_d = jnp.argmax(span, axis=0)[None, :].astype(jnp.int32)
-        arr = trans + alpha  # (to, from) + from-row broadcast over sublanes
-        gamma_col = jnp.max(arr, axis=1, keepdims=True)  # (LANES, 1) by to
-        bp_c = jnp.argmax(arr, axis=1)[None, :].astype(jnp.int32)
-        bp_ref[0, pl.ds(t - 1, 1), :] = bp_d * LANES + bp_c
-        gamma = gamma_col.reshape(1, LANES)
+        e = emit_ref[:, pl.ds(t - 1, 1), :]  # (G, 1, LANES)
+        cum[:, 0:1, :] += e
+        span = W[...] + dur  # (G, Km, LANES)
+        alpha = jnp.max(span, axis=1, keepdims=True) + cum[:, 0:1, :]
+        alphas[:, pl.ds(t - 1, 1), :] = alpha
+        bp_d = jnp.argmax(span, axis=1)[:, None, :].astype(jnp.int32)
+        arr = trans + alpha  # (G, to, from); alpha broadcasts over `to`
+        gamma_col = jnp.max(arr, axis=2, keepdims=True)  # (G, LANES, 1)
+        bp_c = jnp.argmax(arr, axis=2)[:, None, :].astype(jnp.int32)
+        bp_ref[:, pl.ds(t - 1, 1), :] = bp_d * LANES + bp_c
+        gamma = gamma_col.reshape(G, 1, LANES)
         w_prev = W[...]
-        W[1:Km, :] = w_prev[: Km - 1, :]
-        W[0:1, :] = gamma - cum[0:1, :]
+        W[:, 1:Km, :] = w_prev[:, : Km - 1, :]
+        W[:, 0:1, :] = gamma - cum[:, 0:1, :]
         return 0
 
     jax.lax.fori_loop(1, T + 1, step, 0)
 
-    for v in range(pack):
-        length = lengths_ref[g * pack + v]
-        fin = alphas[pl.ds(length - 1, 1), :] + endm_ref[0, v : v + 1, :]
-        m = jnp.max(fin)
-        c0 = jnp.min(jnp.where(fin == m, lane, LANES)).astype(jnp.int32)
-        scores_ref[0, v : v + 1, :] = jnp.full((1, LANES), m, jnp.float32)
-        c0_ref[0, v : v + 1, :] = jnp.full((1, LANES), c0, jnp.int32)
+    for g in range(G):
+        for v in range(pack):
+            length = lengths_ref[g * pack + v]
+            fin = alphas[g, pl.ds(length - 1, 1), :] + endm_ref[g, v : v + 1, :]
+            m = jnp.max(fin)
+            c0 = jnp.min(jnp.where(fin == m, lane, LANES)).astype(jnp.int32)
+            scores_ref[g, v : v + 1, :] = jnp.full((1, LANES), m, jnp.float32)
+            c0_ref[g, v : v + 1, :] = jnp.full((1, LANES), c0, jnp.int32)
 
 
 def _partition_kernel(pack, lengths_ref, trans_ref, init_ref, dur_ref, emit_ref,
                       endm_ref, alphas_ref, scores_ref, W, cum):
     """Log-semiring sibling: logsumexp instead of max, no backpointers.
 
-    Emits the full boundary-score table `alphas` (alphas[t-1, c] = log-mass
-    of segmentations of [0, t) whose final span has class c) — the
-    residual that the custom-VJP backward pass combines with a
-    time-reversed run of this same kernel to produce posterior marginals.
+    Emits the full boundary-score table `alphas` (alphas[g, t-1, c] =
+    log-mass of segmentations of [0, t) whose final span has class c) —
+    the residual the custom-VJP backward combines with a time-reversed
+    run of this same kernel to produce posterior marginals.
     """
-    g = pl.program_id(0)
-    T = emit_ref.shape[1]
-    Km = W.shape[0]
+    G, T, _ = emit_ref.shape
+    Km = W.shape[1]
 
     cum[...] = jnp.zeros_like(cum)
     W[...] = jnp.full_like(W, BIG_NEG)
-    W[0:1, :] = init_ref[0]
+    W[:, 0:1, :] = init_ref[...]
 
-    dur = dur_ref[0]
-    trans = trans_ref[0]
+    dur = dur_ref[...]
+    trans = trans_ref[...]
 
     def lse(x, axis):
         m = jnp.max(x, axis=axis, keepdims=True)
         return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=axis, keepdims=True))
 
     def step(t, _):
-        e = emit_ref[0, pl.ds(t - 1, 1), :]
-        cum[0:1, :] += e
+        e = emit_ref[:, pl.ds(t - 1, 1), :]
+        cum[:, 0:1, :] += e
         span = W[...] + dur
-        alpha = lse(span, 0) + cum[0:1, :]
-        alphas_ref[0, pl.ds(t - 1, 1), :] = alpha
+        alpha = lse(span, 1) + cum[:, 0:1, :]
+        alphas_ref[:, pl.ds(t - 1, 1), :] = alpha
         arr = trans + alpha
-        gamma = lse(arr, 1).reshape(1, LANES)
+        gamma = lse(arr, 2).reshape(G, 1, LANES)
         w_prev = W[...]
-        W[1:Km, :] = w_prev[: Km - 1, :]
-        W[0:1, :] = gamma - cum[0:1, :]
+        W[:, 1:Km, :] = w_prev[:, : Km - 1, :]
+        W[:, 0:1, :] = gamma - cum[:, 0:1, :]
         return 0
 
     jax.lax.fori_loop(1, T + 1, step, 0)
 
-    for v in range(pack):
-        length = lengths_ref[g * pack + v]
-        fin = alphas_ref[0, pl.ds(length - 1, 1), :] + endm_ref[0, v : v + 1, :]
-        m = jnp.max(fin)
-        scores_ref[0, v : v + 1, :] = jnp.full(
-            (1, LANES), m + jnp.log(jnp.sum(jnp.exp(fin - m))), jnp.float32
-        )
+    for g in range(G):
+        for v in range(pack):
+            length = lengths_ref[g * pack + v]
+            fin = alphas_ref[g, pl.ds(length - 1, 1), :] + endm_ref[g, v : v + 1, :]
+            m = jnp.max(fin)
+            scores_ref[g, v : v + 1, :] = jnp.full(
+                (1, LANES), m + jnp.log(jnp.sum(jnp.exp(fin - m))), jnp.float32
+            )
 
 
 def _pack_potentials(pots: HsmmPotentials, lengths, pack):
@@ -206,6 +216,90 @@ def _pack_potentials(pots: HsmmPotentials, lengths, pack):
     return emit, init, dur, trans_bd, endm_p, lengths_p, G, Tp, Km_pad
 
 
+def _full_specs(shapes):
+    return [pl.BlockSpec(memory_space=pltpu.ANY if s is None else pltpu.VMEM) for s in shapes]
+
+
+def _chunk_bounds(G, Tp, planes):
+    """Groups per launch so the (G, Tp, 128) f32 planes fit the budget."""
+    per_group = Tp * LANES * 4 * planes
+    return max(1, min(G, _VMEM_PLANE_BUDGET // max(per_group, 1)))
+
+
+def _launch_viterbi(pack, lengths_p, trans_bd, init, dur, emit, endm, interpret):
+    G, Tp = emit.shape[0], emit.shape[1]
+    Km_pad = dur.shape[1]
+    kernel = functools.partial(_viterbi_kernel, pack)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((G, Km_pad, LANES), jnp.float32),
+            pltpu.VMEM((G, 8, LANES), jnp.float32),
+            pltpu.VMEM((G, Tp, LANES), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((G, Tp, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((G, MAX_PACK, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((G, MAX_PACK, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(lengths_p, trans_bd, init, dur, emit, endm)
+
+
+def _launch_partition(pack, lengths_p, trans_bd, init, dur, emit, endm, interpret):
+    G, Tp = emit.shape[0], emit.shape[1]
+    Km_pad = dur.shape[1]
+    kernel = functools.partial(_partition_kernel, pack)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((G, Km_pad, LANES), jnp.float32),
+            pltpu.VMEM((G, 8, LANES), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((G, Tp, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((G, MAX_PACK, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lengths_p, trans_bd, init, dur, emit, endm)
+
+
+def _chunked(launch, pack, packed, planes, interpret):
+    """Launch over group chunks bounded by the VMEM plane budget."""
+    emit, init, dur, trans_bd, endm, lengths_p, G, Tp, Km_pad = packed
+    Gc = _chunk_bounds(G, Tp, planes)
+    outs = []
+    for start in range(0, G, Gc):
+        end = min(start + Gc, G)
+        outs.append(
+            launch(
+                pack,
+                lengths_p[start * pack : end * pack],
+                trans_bd[start:end],
+                init[start:end],
+                dur[start:end],
+                emit[start:end],
+                endm[start:end],
+                interpret,
+            )
+        )
+    return [jnp.concatenate(parts, axis=0) for parts in zip(*outs)]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def hsmm_viterbi_pallas(pots: HsmmPotentials, lengths, interpret=False):
     """Batched Viterbi via the fused Pallas kernel.
@@ -216,42 +310,10 @@ def hsmm_viterbi_pallas(pots: HsmmPotentials, lengths, interpret=False):
     B, T, C = pots.emit.shape
     assert C <= LANES, "pack wrapper requires C <= 128"
     pack = max(1, min(MAX_PACK, LANES // C, B))
-    emit, init, dur, trans_bd, endm, lengths_p, G, Tp, Km_pad = _pack_potentials(
-        pots, lengths, pack
-    )
-
-    kernel = functools.partial(_viterbi_kernel, pack)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(G,),
-        in_specs=[
-            pl.BlockSpec((1, LANES, LANES), lambda g, *_: (g, 0, 0)),
-            pl.BlockSpec((1, 1, LANES), lambda g, *_: (g, 0, 0)),
-            pl.BlockSpec((1, Km_pad, LANES), lambda g, *_: (g, 0, 0)),
-            pl.BlockSpec((1, Tp, LANES), lambda g, *_: (g, 0, 0)),
-            pl.BlockSpec((1, MAX_PACK, LANES), lambda g, *_: (g, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, Tp, LANES), lambda g, *_: (g, 0, 0)),
-            pl.BlockSpec((1, MAX_PACK, LANES), lambda g, *_: (g, 0, 0)),
-            pl.BlockSpec((1, MAX_PACK, LANES), lambda g, *_: (g, 0, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((Km_pad, LANES), jnp.float32),
-            pltpu.VMEM((8, LANES), jnp.float32),
-            pltpu.VMEM((Tp, LANES), jnp.float32),
-        ],
-    )
-    bp_p, scores_p, c0_p = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((G, Tp, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((G, MAX_PACK, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((G, MAX_PACK, LANES), jnp.int32),
-        ],
-        interpret=interpret,
-    )(lengths_p, trans_bd, init, dur, emit, endm)
+    packed = _pack_potentials(pots, lengths, pack)
+    G = packed[6]
+    bp_p, scores_p, c0_p = _chunked(_launch_viterbi, pack, packed, planes=3,
+                                    interpret=interpret)
 
     scores = scores_p[:, :pack, 0].reshape(G * pack)[:B]
     c0 = c0_p[:, :pack, 0].reshape(G * pack)[:B]
@@ -289,39 +351,11 @@ def _run_partition_kernel(pots, lengths, interpret):
     B, T, C = pots.emit.shape
     assert C <= LANES, "pack wrapper requires C <= 128"
     pack = max(1, min(MAX_PACK, LANES // C, B))
-    emit, init, dur, trans_bd, endm, lengths_p, G, Tp, Km_pad = _pack_potentials(
-        pots, lengths, pack
-    )
-
-    kernel = functools.partial(_partition_kernel, pack)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(G,),
-        in_specs=[
-            pl.BlockSpec((1, LANES, LANES), lambda g, *_: (g, 0, 0)),
-            pl.BlockSpec((1, 1, LANES), lambda g, *_: (g, 0, 0)),
-            pl.BlockSpec((1, Km_pad, LANES), lambda g, *_: (g, 0, 0)),
-            pl.BlockSpec((1, Tp, LANES), lambda g, *_: (g, 0, 0)),
-            pl.BlockSpec((1, MAX_PACK, LANES), lambda g, *_: (g, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, Tp, LANES), lambda g, *_: (g, 0, 0)),
-            pl.BlockSpec((1, MAX_PACK, LANES), lambda g, *_: (g, 0, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((Km_pad, LANES), jnp.float32),
-            pltpu.VMEM((8, LANES), jnp.float32),
-        ],
-    )
-    alphas_p, scores_p = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((G, Tp, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((G, MAX_PACK, LANES), jnp.float32),
-        ],
-        interpret=interpret,
-    )(lengths_p, trans_bd, init, dur, emit, endm)
+    packed = _pack_potentials(pots, lengths, pack)
+    G = packed[6]
+    Tp = packed[7]
+    alphas_p, scores_p = _chunked(_launch_partition, pack, packed, planes=2,
+                                  interpret=interpret)
     scores = scores_p[:, :pack, 0].reshape(G * pack)[:B]
     # unpack alphas: lanes are contiguous per-video C blocks
     alphas = (
