@@ -504,7 +504,7 @@ class SemiMarkovModel(Model):
 
     def _build_decode_step(self):
         from action_segmentation_tpu.ops.hsmm_pallas import (
-            hsmm_viterbi_pallas,
+            hsmm_viterbi_labels_pallas,
             pallas_supported,
         )
 
@@ -516,18 +516,20 @@ class SemiMarkovModel(Model):
             pots, _, _ = module.compute_potentials(
                 params, features, lengths, vc, cons, end_allowed, rng, use_mean_z=True
             )
-            # VMEM bound: the fused kernel holds emit/alphas/backpointers
-            # for the full T on chip; fall back to the scan for very long
+            # VMEM bound: the fused kernel holds emit/alphas for the full
+            # T on chip; fall back to the scan + traceback for very long
             # padded lengths (shape is static at trace time)
-            viterbi_fn = (
-                hsmm_viterbi_pallas
-                if use_pallas and features.shape[1] <= 6144
-                else hsmm_viterbi
-            )
-            spans_sub, scores = viterbi_fn(pots, lengths)
-            spans = jnp.where(spans_sub >= 0, vc[jnp.clip(spans_sub, 0)], -1)
-            labels = spans_to_labels(spans)
-            return spans, labels, scores
+            if use_pallas and features.shape[1] <= 6144:
+                labels_sub, scores = hsmm_viterbi_labels_pallas(pots, lengths)
+            else:
+                spans_sub, scores = hsmm_viterbi(pots, lengths)
+                labels_sub = jnp.where(
+                    jnp.arange(features.shape[1])[None, :] < lengths[:, None],
+                    spans_to_labels(spans_sub),
+                    -1,
+                )
+            labels = jnp.where(labels_sub >= 0, vc[jnp.clip(labels_sub, 0)], -1)
+            return labels, scores
 
         return decode
 
@@ -766,7 +768,7 @@ class SemiMarkovModel(Model):
                 batch, test_data, use_narration
             )
             rng, step_rng = jax.random.split(rng)
-            _, labels, _ = decode(
+            labels, _ = decode(
                 self.module.params,
                 jnp.asarray(batch["features"]),
                 jnp.asarray(batch["lengths"]),

@@ -116,14 +116,16 @@ def _viterbi_kernel(pack, lengths_ref, trans_ref, init_ref, dur_ref, emit_ref,
             c0_ref[g, v : v + 1, :] = jnp.full((1, LANES), c0, jnp.int32)
 
 
-def _partition_kernel(pack, lengths_ref, trans_ref, init_ref, dur_ref, emit_ref,
-                      endm_ref, alphas_ref, scores_ref, W, cum):
-    """Log-semiring sibling: logsumexp instead of max, no backpointers.
+def _forward_kernel(pack, semiring, lengths_ref, trans_ref, init_ref, dur_ref,
+                    emit_ref, endm_ref, alphas_ref, scores_ref, W, cum):
+    """Semiring forward scan, no backpointers.
 
+    `semiring` is 'log' (logsumexp — partition) or 'max' (Viterbi score).
     Emits the full boundary-score table `alphas` (alphas[g, t-1, c] =
-    log-mass of segmentations of [0, t) whose final span has class c) —
-    the residual the custom-VJP backward combines with a time-reversed
-    run of this same kernel to produce posterior marginals.
+    semiring-mass of segmentations of [0, t) whose final span has class
+    c) — the residual that (a) the custom-VJP backward combines with a
+    time-reversed run into posterior marginals (log), or (b) the
+    traceback-free label decode combines into max-marginals (max).
     """
     G, T, _ = emit_ref.shape
     Km = W.shape[1]
@@ -135,18 +137,22 @@ def _partition_kernel(pack, lengths_ref, trans_ref, init_ref, dur_ref, emit_ref,
     dur = dur_ref[...]
     trans = trans_ref[...]
 
-    def lse(x, axis):
-        m = jnp.max(x, axis=axis, keepdims=True)
-        return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=axis, keepdims=True))
+    if semiring == "log":
+        def reduce_(x, axis):
+            m = jnp.max(x, axis=axis, keepdims=True)
+            return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=axis, keepdims=True))
+    else:
+        def reduce_(x, axis):
+            return jnp.max(x, axis=axis, keepdims=True)
 
     def step(t, _):
         e = emit_ref[:, pl.ds(t - 1, 1), :]
         cum[:, 0:1, :] += e
         span = W[...] + dur
-        alpha = lse(span, 1) + cum[:, 0:1, :]
+        alpha = reduce_(span, 1) + cum[:, 0:1, :]
         alphas_ref[:, pl.ds(t - 1, 1), :] = alpha
         arr = trans + alpha
-        gamma = lse(arr, 2).reshape(G, 1, LANES)
+        gamma = reduce_(arr, 2).reshape(G, 1, LANES)
         w_prev = W[...]
         W[:, 1:Km, :] = w_prev[:, : Km - 1, :]
         W[:, 0:1, :] = gamma - cum[:, 0:1, :]
@@ -159,9 +165,9 @@ def _partition_kernel(pack, lengths_ref, trans_ref, init_ref, dur_ref, emit_ref,
             length = lengths_ref[g * pack + v]
             fin = alphas_ref[g, pl.ds(length - 1, 1), :] + endm_ref[g, v : v + 1, :]
             m = jnp.max(fin)
-            scores_ref[g, v : v + 1, :] = jnp.full(
-                (1, LANES), m + jnp.log(jnp.sum(jnp.exp(fin - m))), jnp.float32
-            )
+            if semiring == "log":
+                m = m + jnp.log(jnp.sum(jnp.exp(fin - m)))
+            scores_ref[g, v : v + 1, :] = jnp.full((1, LANES), m, jnp.float32)
 
 
 def _pack_potentials(pots: HsmmPotentials, lengths, pack):
@@ -253,10 +259,10 @@ def _launch_viterbi(pack, lengths_p, trans_bd, init, dur, emit, endm, interpret)
     )(lengths_p, trans_bd, init, dur, emit, endm)
 
 
-def _launch_partition(pack, lengths_p, trans_bd, init, dur, emit, endm, interpret):
+def _launch_forward(semiring, pack, lengths_p, trans_bd, init, dur, emit, endm, interpret):
     G, Tp = emit.shape[0], emit.shape[1]
     Km_pad = dur.shape[1]
-    kernel = functools.partial(_partition_kernel, pack)
+    kernel = functools.partial(_forward_kernel, pack, semiring)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -347,15 +353,17 @@ def hsmm_viterbi_pallas(pots: HsmmPotentials, lengths, interpret=False):
     return spans, scores
 
 
-def _run_partition_kernel(pots, lengths, interpret):
+def _run_forward(pots, lengths, interpret, semiring):
     B, T, C = pots.emit.shape
     assert C <= LANES, "pack wrapper requires C <= 128"
     pack = max(1, min(MAX_PACK, LANES // C, B))
     packed = _pack_potentials(pots, lengths, pack)
     G = packed[6]
     Tp = packed[7]
-    alphas_p, scores_p = _chunked(_launch_partition, pack, packed, planes=2,
-                                  interpret=interpret)
+    alphas_p, scores_p = _chunked(
+        functools.partial(_launch_forward, semiring), pack, packed, planes=2,
+        interpret=interpret,
+    )
     scores = scores_p[:, :pack, 0].reshape(G * pack)[:B]
     # unpack alphas: lanes are contiguous per-video C blocks
     alphas = (
@@ -370,7 +378,7 @@ def _run_partition_kernel(pots, lengths, interpret):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def hsmm_partition_pallas(pots: HsmmPotentials, lengths, interpret=False):
     """Batched log partition via the fused Pallas kernel: (B,) float32."""
-    return _run_partition_kernel(pots, lengths, interpret)[1]
+    return _run_forward(pots, lengths, interpret, "log")[1]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -381,4 +389,97 @@ def hsmm_alphas_pallas(pots: HsmmPotentials, lengths, interpret=False):
     instance b whose final span has class c (rows at/after length are
     unspecified).
     """
-    return _run_partition_kernel(pots, lengths, interpret)
+    return _run_forward(pots, lengths, interpret, "log")
+
+
+def _reverse_within_length(x, lengths):
+    T = x.shape[1]
+    rev = jnp.flip(x, axis=1)
+
+    def roll_row(row, length):
+        return jnp.roll(row, length - T, axis=0)
+
+    return jax.vmap(roll_row)(rev, lengths)
+
+
+def _max_labels_single(trans, init, lens, emit, end_mask, length,
+                       alphas_f, alphas_b, best):
+    """Frame labels from max-semiring forward/backward boundary scores.
+
+    In the max semiring the "marginal" of span (s, d, c) is the score of
+    the best path through it; the argmax path's spans attain the global
+    best, so labels[t] = argmax_c (best span score covering t with class
+    c) — the semiring-gradient decode, with no sequential traceback.
+    """
+    T, C = emit.shape
+    K = lens.shape[0]
+    Km = K - 1
+    t_idx = jnp.arange(T)
+
+    cum = jnp.concatenate(
+        [jnp.zeros((1, C), emit.dtype), jnp.cumsum(emit, axis=0)], axis=0
+    )
+
+    # F[s, c]: best prefix with next span starting at s in class c
+    gammaF = jnp.max(alphas_f[:, None, :] + trans[None, :, :], axis=2)
+    F = jnp.concatenate([init[None, :], gammaF[: T - 1]], axis=0)
+    F = jnp.where((t_idx < length)[:, None], F, BIG_NEG)
+
+    # S2[e, c]: best suffix given previous span class c (reversed model)
+    gammaR = jnp.max(alphas_b[:, None, :] + trans.T[None, :, :], axis=2)
+    e_idx = jnp.arange(T + 1)
+    r_for_e = jnp.clip(length - e_idx, 1, T)
+    S2 = gammaR[r_for_e - 1]
+    S2 = jnp.where((e_idx == length)[:, None], end_mask[None, :], S2)
+    S2 = jnp.where(((e_idx >= 1) & (e_idx <= length))[:, None], S2, BIG_NEG)
+
+    cum_pad = jnp.pad(cum, ((0, K), (0, 0)))
+    S2_pad = jnp.pad(S2, ((0, K), (0, 0)), constant_values=BIG_NEG)
+
+    def shifted(arr, j):
+        return jax.lax.dynamic_slice_in_dim(arr, j + 1, T, axis=0)
+
+    frame_max = jnp.full((T, C), BIG_NEG)
+    for j in range(Km):
+        # spans (s, d=j+1): best-path score through each
+        M = (
+            F
+            + lens[j + 1][None, :]
+            + (shifted(cum_pad, j) - cum[:T])
+            + shifted(S2_pad, j)
+        )
+        valid = (t_idx + j + 1) <= length
+        M = jnp.where(valid[:, None], M, BIG_NEG)
+        # the span covers frames s..s+j: running max over the window
+        col = M
+        for r in range(j + 1):
+            shifted_col = jnp.pad(col, ((r, 0), (0, 0)), constant_values=BIG_NEG)[:T]
+            frame_max = jnp.maximum(frame_max, shifted_col)
+
+    labels = jnp.argmax(frame_max, axis=1).astype(jnp.int32)
+    return jnp.where(t_idx < length, labels, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hsmm_viterbi_labels_pallas(pots: HsmmPotentials, lengths, interpret=False):
+    """Traceback-free Viterbi frame labels: (labels (B, T) int32, scores).
+
+    Two fused max-semiring Pallas scans (forward + time-reversed) plus a
+    vectorized max-marginal combination — no sequential per-segment
+    traceback, so decode throughput is independent of segment count.
+    """
+    alphas_f, scores = _run_forward(pots, lengths, interpret, "max")
+    emit_rev = _reverse_within_length(pots.emit, lengths)
+    rev_pots = HsmmPotentials(
+        trans=jnp.swapaxes(pots.trans, -1, -2),
+        init=pots.end_mask,
+        lens=pots.lens,
+        emit=emit_rev,
+        end_mask=pots.init,
+    )
+    alphas_b, _ = _run_forward(rev_pots, lengths, interpret, "max")
+    labels = jax.vmap(_max_labels_single)(
+        pots.trans, pots.init, pots.lens, pots.emit, pots.end_mask,
+        jnp.asarray(lengths, jnp.int32), alphas_f, alphas_b, scores,
+    )
+    return labels, scores

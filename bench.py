@@ -52,15 +52,14 @@ def bench_tpu_decode():
         poisson_length_log_probs,
         transition_log_probs,
     )
-    from action_segmentation_tpu.ops.hsmm import HsmmPotentials
+    from action_segmentation_tpu.ops.hsmm import HsmmPotentials, hsmm_viterbi
     from action_segmentation_tpu.ops.hsmm_pallas import (
-        hsmm_viterbi_pallas,
+        hsmm_viterbi_labels_pallas,
         pallas_supported,
     )
-    from action_segmentation_tpu.ops.hsmm import hsmm_viterbi
     from action_segmentation_tpu.ops.span_codec import spans_to_labels
 
-    viterbi_fn = hsmm_viterbi_pallas if pallas_supported(C) else hsmm_viterbi
+    use_pallas = pallas_supported(C)
 
     rng = np.random.RandomState(0)
     feats, lengths, means, cov, trans_logits, init_logits, log_rates = build_inputs(
@@ -81,7 +80,9 @@ def bench_tpu_decode():
             emit=emit,
             end_mask=jnp.zeros((b, C), jnp.float32),
         )
-        spans, scores = viterbi_fn(pots, lengths)
+        if use_pallas:
+            return hsmm_viterbi_labels_pallas(pots, lengths)
+        spans, scores = hsmm_viterbi(pots, lengths)
         return spans_to_labels(spans), scores
 
     f, lens_, mu, cv, tl, il, lr = [

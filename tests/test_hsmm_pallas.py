@@ -17,8 +17,10 @@ from action_segmentation_tpu.ops.hsmm import (
 )
 from action_segmentation_tpu.ops.hsmm_pallas import (
     hsmm_partition_pallas,
+    hsmm_viterbi_labels_pallas,
     hsmm_viterbi_pallas,
 )
+from action_segmentation_tpu.ops.span_codec import spans_to_labels
 
 
 def random_pots(rng, B, T, C, K, ragged=True, constrained=False):
@@ -67,6 +69,34 @@ def test_viterbi_matches_jnp(B, T, C, K, constrained):
         np.asarray(got_spans),
         np.asarray(want_spans),
     )
+
+
+@pytest.mark.parametrize(
+    "B,T,C,K,constrained",
+    [
+        (1, 16, 5, 4, False),
+        (3, 24, 5, 6, True),
+        (7, 40, 19, 8, False),
+        (2, 16, 3, 12, True),
+    ],
+)
+def test_viterbi_labels_match_traceback(B, T, C, K, constrained):
+    """Traceback-free max-marginal labels == traceback Viterbi labels."""
+    rng = np.random.RandomState(B * 31 + C)
+    pots, lengths = random_pots(rng, B, T, C, K, constrained=constrained)
+    spans, want_scores = hsmm_viterbi(pots, lengths)
+    want = np.asarray(spans_to_labels(spans))
+    want = np.where(np.asarray(spans) == -2, want, want)  # no-op, keep shape
+    lengths_np = np.asarray(lengths)
+    got, got_scores = hsmm_viterbi_labels_pallas(pots, lengths, interpret=True)
+    got = np.asarray(got)
+    np.testing.assert_allclose(
+        np.asarray(got_scores), np.asarray(want_scores), rtol=1e-5, atol=1e-4
+    )
+    for b in range(B):
+        L = lengths_np[b]
+        assert (got[b, :L] == want[b, :L]).all(), (b, got[b, :L], want[b, :L])
+        assert (got[b, L:] == -1).all()
 
 
 @pytest.mark.parametrize(
