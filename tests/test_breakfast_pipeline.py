@@ -83,6 +83,45 @@ def test_breakfast_semimarkov_pipeline(mini_breakfast):
             assert mof > 0.4, (split, task, mof)
 
 
+def test_breakfast_pca_preprocessing_and_training(mini_breakfast):
+    """PCA CLI writes the processed feature dir; training runs on it."""
+    import re
+
+    from action_segmentation_tpu import main as main_mod
+    from action_segmentation_tpu.data import breakfast as bf
+
+    bdir = os.path.join(mini_breakfast, "breakfast")
+    out_root = os.path.join(
+        bdir, "breakfast_processed", "breakfast_pca-64_with-bkg_by-task"
+    )
+    bf.pca_and_serialize_features(
+        mapping_file=os.path.join(bdir, "mapping.txt"),
+        feature_root=os.path.join(bdir, "reduced_fv_64"),
+        label_root=os.path.join(bdir, "BreakfastII_15fps_qvga_sync"),
+        output_feature_root=out_root,
+        remove_background=False,
+        pca_components_per_group=64,
+        by_task=True,
+        task_ids=list(TASKS.keys()),
+    )
+    written = os.listdir(os.path.join(out_root, "reduced_64"))
+    assert len(written) > 0
+    # the datasplit's recursive walk finds the files inside the group
+    # subdir; BreakfastVideo's first-row/col drop shifts lengths by one,
+    # absorbed by the 50-frame mismatch tolerance (reference behavior)
+    stats = main_mod.main(
+        [
+            "--classifier", "framewise_gaussian_mixture",
+            "--dataset", "breakfast",
+            "--features", "pca",
+            "--pca_components_per_group", "64",
+            "--data_root", mini_breakfast,
+            "--epochs", "1",
+        ]
+    )
+    assert set(stats.keys()) == {"s1", "s2", "s3", "s4"}
+
+
 def test_breakfast_remove_background(mini_breakfast):
     from action_segmentation_tpu.data.breakfast import BreakfastCorpus
 
