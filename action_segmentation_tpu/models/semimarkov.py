@@ -690,6 +690,12 @@ class SemiMarkovModel(Model):
                         step_rng,
                     )
                 loss_f = float(loss)
+                if not np.isfinite(loss_f):
+                    logger.debug(
+                        "WARNING: non-finite loss {} at epoch {} batch {}".format(
+                            loss_f, epoch, batch_ix
+                        )
+                    )
                 losses.append(loss_f)
                 nlls.append(float(aux["nll"]))
                 kls.append(float(aux["kl"]))

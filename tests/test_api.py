@@ -1,0 +1,38 @@
+"""Serving API test: train -> save -> Segmenter.load -> segment arrays."""
+
+import pickle
+
+import numpy as np
+
+from action_segmentation_tpu.api import Segmenter
+from action_segmentation_tpu.data.synthetic import SyntheticDatasplit
+from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+from tests.test_semimarkov_model import make_args
+
+
+def test_segmenter_roundtrip(tmp_path):
+    train = SyntheticDatasplit(num_videos=40, n_classes=3, max_len=40, span_k=5, seed=0)
+    args = make_args(sm_max_span_length=20, sm_supervised_method="closed-form")
+    model = SemiMarkovModel.from_args(args, train)
+    model.fit(train, use_labels=True)
+    path = str(tmp_path / "model.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(model, f)
+
+    seg = Segmenter.load(path)
+    test = SyntheticDatasplit(num_videos=8, n_classes=3, max_len=40, span_k=5, seed=1)
+    feats = []
+    golds = []
+    for name in sorted(test._samples):
+        feats.append(test._samples[name]["features"])
+        golds.append(test._samples[name]["gt_single"])
+    preds = seg.segment_many(feats, batch_size=4)
+    match = total = 0
+    for p, g in zip(preds, golds):
+        assert len(p) == len(g)
+        match += int((p == g).sum())
+        total += len(g)
+    assert match / total > 0.7
+
+    single = seg.segment(feats[0])
+    np.testing.assert_array_equal(single, preds[0])

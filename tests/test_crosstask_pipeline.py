@@ -256,3 +256,29 @@ def test_unsupervised_constrained_pipeline(mini_crosstask):
         ]
     )
     assert "all" in stats
+
+
+def test_narration_constraints_at_test(mini_crosstask):
+    """--sm_constrain_with_narration test (the decode_constrained.sh flow):
+    fixture constraints equal the true step intervals, so constrained
+    decoding pins step frames correctly."""
+    from action_segmentation_tpu import main as main_mod
+
+    root, _ = mini_crosstask
+    stats = main_mod.main(
+        _base_argv(root, "semimarkov")
+        + [
+            "--training", "unsupervised",
+            "--sm_constrain_transitions",
+            "--annotate_background_with_previous",
+            "--sm_constrain_with_narration", "test",
+            "--epochs", "1",
+            "--sm_max_span_length", "10",
+        ]
+    )
+    # narration penalties forbid step labels OUTSIDE their intervals (not
+    # background inside them), so after 1 unsupervised epoch expect decent
+    # but not perfect step placement
+    for task, s in stats["all"].items():
+        nb = s["mof_non_bg"][0] / s["mof_non_bg"][1]
+        assert nb > 0.4, (task, nb)
