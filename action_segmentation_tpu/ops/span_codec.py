@@ -57,6 +57,28 @@ def spans_to_labels(spans):
     return jnp.take_along_axis(spans, last_start, axis=1)
 
 
+def labels_to_spans_np(labels, max_k):
+    """Pure-numpy labels_to_spans for host-side code paths (sufficient
+    statistics, evaluation); avoids per-call device dispatches."""
+    labels = np.asarray(labels)
+    b, T = labels.shape
+    t_idx = np.arange(T)
+    change = np.concatenate(
+        [np.ones((b, 1), bool), labels[:, 1:] != labels[:, :-1]], axis=1
+    )
+    if max_k is None:
+        start = change
+    elif max_k <= 1:
+        start = np.ones_like(change)
+    else:
+        run_start = np.maximum.accumulate(
+            np.where(change, t_idx[None, :], -1), axis=1
+        )
+        pos_in_run = t_idx[None, :] - run_start
+        start = change | (pos_in_run % (max_k - 1) == 0)
+    return np.where(start, labels, -1)
+
+
 def rle_spans(spans, lengths):
     """Run-length encode span arrays into [(symbol, count), ...] per row.
 

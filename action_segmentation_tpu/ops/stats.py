@@ -10,7 +10,7 @@ span start / transition / count / length tallies.
 
 import numpy as np
 
-from action_segmentation_tpu.ops.span_codec import labels_to_spans, rle_spans
+from action_segmentation_tpu.ops.span_codec import labels_to_spans_np, rle_spans
 
 REG_COVAR = 1e-6
 
@@ -48,7 +48,7 @@ def semimarkov_sufficient_stats(feature_list, label_list, n_classes, max_k=None)
         all_sq_sum += (X**2).sum(axis=0)
         n_frames += X.shape[0]
 
-        spans = np.asarray(labels_to_spans(labels[None, :], max_k))
+        spans = labels_to_spans_np(labels[None, :], max_k)
         rle = rle_spans(spans, np.array([spans.shape[1]]))[0]
         last_symbol = None
         for index, (symbol, length) in enumerate(rle):

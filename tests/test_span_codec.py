@@ -8,6 +8,7 @@ max_k splitting checks against a straightforward Python loop oracle.
 import numpy as np
 
 from action_segmentation_tpu.ops import labels_to_spans, spans_to_labels, rle_spans
+from action_segmentation_tpu.ops.span_codec import labels_to_spans_np
 
 
 def _loop_labels_to_spans(labels, max_k):
@@ -58,6 +59,8 @@ def test_max_k_splitting_matches_loop():
         want = _loop_labels_to_spans(labels, max_k)
         assert (got == want).all(), (max_k, got, want)
         assert (np.asarray(spans_to_labels(got)) == labels).all()
+        # pure-numpy host variant matches the jnp one
+        assert (labels_to_spans_np(labels, max_k) == want).all()
 
 
 def test_long_run_split_lengths():
