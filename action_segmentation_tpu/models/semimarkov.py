@@ -445,13 +445,9 @@ class SemiMarkovModel(Model):
 
         def loss_fn(params, features, lengths, vc, inv_map, gt, cons, end_allowed, rng):
             # marginal-likelihood training runs the partition through the
-            # custom-VJP Pallas forward/backward when on TPU (fall back to
-            # the autodiffed scan for very long padded lengths — VMEM)
-            partition_fn = (
-                hsmm_partition_fast
-                if use_pallas and features.shape[1] <= 6144
-                else hsmm_partition
-            )
+            # custom-VJP Pallas forward/backward when on TPU (the forward
+            # kernel streams time chunks, so T is unbounded)
+            partition_fn = hsmm_partition_fast if use_pallas else hsmm_partition
             pots, log_det, kl = module.compute_potentials(
                 params, features, lengths, vc, cons, end_allowed, rng, use_mean_z=use_labels
             )
@@ -516,10 +512,7 @@ class SemiMarkovModel(Model):
             pots, _, _ = module.compute_potentials(
                 params, features, lengths, vc, cons, end_allowed, rng, use_mean_z=True
             )
-            # VMEM bound: the fused kernel holds emit/alphas for the full
-            # T on chip; fall back to the scan + traceback for very long
-            # padded lengths (shape is static at trace time)
-            if use_pallas and features.shape[1] <= 6144:
+            if use_pallas:
                 labels_sub, scores = hsmm_viterbi_labels_pallas(pots, lengths)
             else:
                 spans_sub, scores = hsmm_viterbi(pots, lengths)

@@ -49,6 +49,7 @@ MAX_PACK = 8
 # VMEM budget for the per-launch (G, T, 128) f32/i32 planes (emit +
 # alphas + backpointers); chunks of groups are launched separately above this
 _VMEM_PLANE_BUDGET = 8 * 1024 * 1024
+_TIME_CHUNK = 2048  # forward-scan grid chunk (frames per VMEM-resident block)
 
 
 def _round_up(x, m):
@@ -116,9 +117,9 @@ def _viterbi_kernel(pack, lengths_ref, trans_ref, init_ref, dur_ref, emit_ref,
             c0_ref[g, v : v + 1, :] = jnp.full((1, LANES), c0, jnp.int32)
 
 
-def _forward_kernel(pack, semiring, lengths_ref, trans_ref, init_ref, dur_ref,
-                    emit_ref, endm_ref, alphas_ref, scores_ref, W, cum):
-    """Semiring forward scan, no backpointers.
+def _forward_kernel(semiring, trans_ref, init_ref, dur_ref,
+                    emit_ref, alphas_ref, W, cum):
+    """Semiring forward scan, no backpointers, time-chunked grid.
 
     `semiring` is 'log' (logsumexp — partition) or 'max' (Viterbi score).
     Emits the full boundary-score table `alphas` (alphas[g, t-1, c] =
@@ -126,13 +127,22 @@ def _forward_kernel(pack, semiring, lengths_ref, trans_ref, init_ref, dur_ref,
     c) — the residual that (a) the custom-VJP backward combines with a
     time-reversed run into posterior marginals (log), or (b) the
     traceback-free label decode combines into max-marginals (max).
+    Per-video finals/scores are gathered from `alphas` outside the
+    kernel.
+
+    The grid runs over time chunks: the carry (W, running emission
+    cumsum) lives in scratch that persists across sequential grid steps,
+    so emission/alpha blocks stream through VMEM (pipelined DMA) and T
+    is unbounded.
     """
-    G, T, _ = emit_ref.shape
+    G, Tc, _ = emit_ref.shape
     Km = W.shape[1]
 
-    cum[...] = jnp.zeros_like(cum)
-    W[...] = jnp.full_like(W, BIG_NEG)
-    W[:, 0:1, :] = init_ref[...]
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cum[...] = jnp.zeros_like(cum)
+        W[...] = jnp.full_like(W, BIG_NEG)
+        W[:, 0:1, :] = init_ref[...]
 
     dur = dur_ref[...]
     trans = trans_ref[...]
@@ -145,12 +155,12 @@ def _forward_kernel(pack, semiring, lengths_ref, trans_ref, init_ref, dur_ref,
         def reduce_(x, axis):
             return jnp.max(x, axis=axis, keepdims=True)
 
-    def step(t, _):
-        e = emit_ref[:, pl.ds(t - 1, 1), :]
+    def step(i, _):
+        e = emit_ref[:, pl.ds(i, 1), :]
         cum[:, 0:1, :] += e
         span = W[...] + dur
         alpha = reduce_(span, 1) + cum[:, 0:1, :]
-        alphas_ref[:, pl.ds(t - 1, 1), :] = alpha
+        alphas_ref[:, pl.ds(i, 1), :] = alpha
         arr = trans + alpha
         gamma = reduce_(arr, 2).reshape(G, 1, LANES)
         w_prev = W[...]
@@ -158,16 +168,7 @@ def _forward_kernel(pack, semiring, lengths_ref, trans_ref, init_ref, dur_ref,
         W[:, 0:1, :] = gamma - cum[:, 0:1, :]
         return 0
 
-    jax.lax.fori_loop(1, T + 1, step, 0)
-
-    for g in range(G):
-        for v in range(pack):
-            length = lengths_ref[g * pack + v]
-            fin = alphas_ref[g, pl.ds(length - 1, 1), :] + endm_ref[g, v : v + 1, :]
-            m = jnp.max(fin)
-            if semiring == "log":
-                m = m + jnp.log(jnp.sum(jnp.exp(fin - m)))
-            scores_ref[g, v : v + 1, :] = jnp.full((1, LANES), m, jnp.float32)
+    jax.lax.fori_loop(0, Tc, step, 0)
 
 
 def _pack_potentials(pots: HsmmPotentials, lengths, pack):
@@ -177,7 +178,8 @@ def _pack_potentials(pots: HsmmPotentials, lengths, pack):
     Km = K - 1
     G = -(-B // pack)
     Bp = G * pack
-    Tp = _round_up(T, LANES)
+    # pad T so the time-chunked forward grid divides it evenly
+    Tp = _round_up(T, LANES if T <= _TIME_CHUNK else _TIME_CHUNK)
     Km_pad = _round_up(max(Km, 1), 8)
 
     def pad_b(x):
@@ -226,10 +228,9 @@ def _full_specs(shapes):
     return [pl.BlockSpec(memory_space=pltpu.ANY if s is None else pltpu.VMEM) for s in shapes]
 
 
-def _chunk_bounds(G, Tp, planes):
-    """Groups per launch so the (G, Tp, 128) f32 planes fit the budget."""
-    per_group = Tp * LANES * 4 * planes
-    return max(1, min(G, _VMEM_PLANE_BUDGET // max(per_group, 1)))
+def _chunk_bounds(G, bytes_per_group):
+    """Groups per launch so the VMEM-resident planes fit the budget."""
+    return max(1, min(G, _VMEM_PLANE_BUDGET // max(bytes_per_group, 1)))
 
 
 def _launch_viterbi(pack, lengths_p, trans_bd, init, dur, emit, endm, interpret):
@@ -262,32 +263,39 @@ def _launch_viterbi(pack, lengths_p, trans_bd, init, dur, emit, endm, interpret)
 def _launch_forward(semiring, pack, lengths_p, trans_bd, init, dur, emit, endm, interpret):
     G, Tp = emit.shape[0], emit.shape[1]
     Km_pad = dur.shape[1]
-    kernel = functools.partial(_forward_kernel, pack, semiring)
+    Tc = min(Tp, _TIME_CHUNK)
+    n_chunks = Tp // Tc
+    kernel = functools.partial(_forward_kernel, semiring)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        num_scalar_prefetch=0,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((G, LANES, LANES), lambda i: (0, 0, 0)),
+            pl.BlockSpec((G, 1, LANES), lambda i: (0, 0, 0)),
+            pl.BlockSpec((G, Km_pad, LANES), lambda i: (0, 0, 0)),
+            pl.BlockSpec((G, Tc, LANES), lambda i: (0, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, Tc, LANES), lambda i: (0, i, 0)),
+        ],
         scratch_shapes=[
             pltpu.VMEM((G, Km_pad, LANES), jnp.float32),
             pltpu.VMEM((G, 8, LANES), jnp.float32),
         ],
     )
-    return pl.pallas_call(
+    (alphas_p,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((G, Tp, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((G, MAX_PACK, LANES), jnp.float32),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((G, Tp, LANES), jnp.float32)],
         interpret=interpret,
-    )(lengths_p, trans_bd, init, dur, emit, endm)
+    )(trans_bd, init, dur, emit)
+    return (alphas_p,)
 
 
-def _chunked(launch, pack, packed, planes, interpret):
+def _chunked(launch, pack, packed, bytes_per_group, interpret):
     """Launch over group chunks bounded by the VMEM plane budget."""
     emit, init, dur, trans_bd, endm, lengths_p, G, Tp, Km_pad = packed
-    Gc = _chunk_bounds(G, Tp, planes)
+    Gc = _chunk_bounds(G, bytes_per_group)
     outs = []
     for start in range(0, G, Gc):
         end = min(start + Gc, G)
@@ -317,9 +325,12 @@ def hsmm_viterbi_pallas(pots: HsmmPotentials, lengths, interpret=False):
     assert C <= LANES, "pack wrapper requires C <= 128"
     pack = max(1, min(MAX_PACK, LANES // C, B))
     packed = _pack_potentials(pots, lengths, pack)
-    G = packed[6]
-    bp_p, scores_p, c0_p = _chunked(_launch_viterbi, pack, packed, planes=3,
-                                    interpret=interpret)
+    G, Tp = packed[6], packed[7]
+    # the bp kernel holds emit + alphas scratch + bp planes for full Tp
+    bp_p, scores_p, c0_p = _chunked(
+        _launch_viterbi, pack, packed, bytes_per_group=Tp * LANES * 4 * 3,
+        interpret=interpret,
+    )
 
     scores = scores_p[:, :pack, 0].reshape(G * pack)[:B]
     c0 = c0_p[:, :pack, 0].reshape(G * pack)[:B]
@@ -360,11 +371,12 @@ def _run_forward(pots, lengths, interpret, semiring):
     packed = _pack_potentials(pots, lengths, pack)
     G = packed[6]
     Tp = packed[7]
-    alphas_p, scores_p = _chunked(
-        functools.partial(_launch_forward, semiring), pack, packed, planes=2,
-        interpret=interpret,
+    # time-chunked streaming: VMEM holds ~4 (G, Tc, 128) buffers
+    Tc = min(Tp, _TIME_CHUNK)
+    (alphas_p,) = _chunked(
+        functools.partial(_launch_forward, semiring), pack, packed,
+        bytes_per_group=Tc * LANES * 4 * 4, interpret=interpret,
     )
-    scores = scores_p[:, :pack, 0].reshape(G * pack)[:B]
     # unpack alphas: lanes are contiguous per-video C blocks
     alphas = (
         alphas_p[:, :, : pack * C]
@@ -372,6 +384,15 @@ def _run_forward(pots, lengths, interpret, semiring):
         .transpose(0, 2, 1, 3)
         .reshape(G * pack, Tp, C)[:B, :T]
     )
+    # per-video finals/scores, gathered in jnp (kernel emits alphas only)
+    lengths_i = jnp.asarray(lengths, jnp.int32)
+    fin = jnp.take_along_axis(
+        alphas, jnp.maximum(lengths_i - 1, 0)[:, None, None], axis=1
+    )[:, 0, :] + pots.end_mask
+    if semiring == "log":
+        scores = jax.nn.logsumexp(fin, axis=-1)
+    else:
+        scores = jnp.max(fin, axis=-1)
     return alphas, scores
 
 

@@ -99,6 +99,27 @@ def test_viterbi_labels_match_traceback(B, T, C, K, constrained):
         assert (got[b, L:] == -1).all()
 
 
+def test_long_sequence_time_chunked():
+    """T > the kernel's time chunk: the forward carry must survive the
+    chunk boundary (W/cum scratch persists across grid steps)."""
+    rng = np.random.RandomState(7)
+    B, T, C, K = 2, 700, 6, 7
+    pots, lengths = random_pots(rng, B, T, C, K)
+    want = np.asarray(hsmm_partition(pots, lengths))
+    got = np.asarray(hsmm_partition_pallas(pots, lengths, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
+    spans, want_scores = hsmm_viterbi(pots, lengths)
+    want_labels = np.asarray(spans_to_labels(spans))
+    got_labels, got_scores = hsmm_viterbi_labels_pallas(pots, lengths, interpret=True)
+    got_labels = np.asarray(got_labels)
+    np.testing.assert_allclose(
+        np.asarray(got_scores), np.asarray(want_scores), rtol=1e-5, atol=1e-3
+    )
+    for b in range(B):
+        L = int(np.asarray(lengths)[b])
+        assert (got_labels[b, :L] == want_labels[b, :L]).all()
+
+
 @pytest.mark.parametrize(
     "B,T,C,K",
     [(1, 16, 5, 4), (5, 33, 19, 8), (2, 20, 64, 6)],
