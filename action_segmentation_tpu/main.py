@@ -20,7 +20,7 @@ import numpy as np
 
 from action_segmentation_tpu.data.breakfast import BreakfastCorpus
 from action_segmentation_tpu.data.crosstask import CrosstaskCorpus
-from action_segmentation_tpu.models.base import Model, add_training_args
+from action_segmentation_tpu.models.base import add_training_args
 from action_segmentation_tpu.models.framewise import (
     FramewiseBaseline,
     FramewiseDiscriminative,

@@ -43,7 +43,6 @@ from action_segmentation_tpu.ops.distributions import (
 from action_segmentation_tpu.ops.hsmm import (
     HsmmPotentials,
     hsmm_gold_score,
-    hsmm_log_prob,
     hsmm_partition,
     hsmm_viterbi,
 )
