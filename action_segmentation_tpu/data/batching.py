@@ -27,7 +27,8 @@ def pad_length_to_bucket(T):
     return b
 
 
-def make_batch_keys(videos_by_task, batch_size, batch_by_task=True, shuffle=False, seed=1):
+def make_batch_keys(videos_by_task, batch_size, batch_by_task=True, shuffle=False,
+                    seed=1, length_of=None):
     """List of batches of (task, video_name) keys.
 
     Chunks each task's (sorted) video list into batch_size groups, then
@@ -35,10 +36,16 @@ def make_batch_keys(videos_by_task, batch_size, batch_by_task=True, shuffle=Fals
     batch_by_task is False the chunking is still per task — the reference's
     sampler behaves identically — callers relying on mixed-task batches use
     batch_size=1 anyway.
+
+    `length_of` ((task, name) -> int) groups similar-length videos into the
+    same batch (used at decode time: results are keyed by video, so order
+    is free, and length grouping cuts padded frames per length bucket).
     """
     batches = []
     for task in sorted(videos_by_task.keys()):
         videos = sorted(videos_by_task[task])
+        if length_of is not None:
+            videos = sorted(videos, key=lambda v: (length_of((task, v)), v))
         for i in range(0, len(videos), batch_size):
             batches.append([(task, v) for v in videos[i : i + batch_size]])
     if shuffle:
@@ -90,14 +97,26 @@ def collate(samples, bucket=True):
     return out
 
 
-def iter_batches(datasplit, batch_size, batch_by_task, shuffle, seed=1, bucket=True):
+def iter_batches(datasplit, batch_size, batch_by_task, shuffle, seed=1, bucket=True,
+                 sort_by_length=False):
     """Yield collated batches from a Datasplit-like object.
 
     The datasplit must expose `videos_by_task` (task -> {name: ...}) and
     `__getitem__((task, name)) -> sample dict`.
     """
+    length_of = None
+    if sort_by_length:
+        cache = {}
+
+        def length_of(key):
+            if key not in cache:
+                sample = datasplit[key]
+                cache[key] = 0 if sample is None else sample["features"].shape[0]
+            return cache[key]
+
     keys_batches = make_batch_keys(
-        datasplit.videos_by_task, batch_size, batch_by_task, shuffle, seed
+        datasplit.videos_by_task, batch_size, batch_by_task, shuffle, seed,
+        length_of=length_of,
     )
     for keys in keys_batches:
         samples = [datasplit[key] for key in keys]

@@ -761,6 +761,7 @@ class SemiMarkovModel(Model):
             batch_size=self.args.batch_size,
             batch_by_task=True,
             shuffle=False,
+            sort_by_length=True,
         ):
             vc, _, cons, end_allowed = self._batch_device_args(
                 batch, test_data, use_narration
