@@ -258,6 +258,68 @@ def test_unsupervised_constrained_pipeline(mini_crosstask):
     assert "all" in stats
 
 
+def test_remove_background_pipeline(mini_crosstask):
+    """--remove_background (run_crosstask_no-bkg.sh flow): background
+    frames are filtered from features and gt; constrained transitions use
+    the background-free canonical ordering."""
+    from action_segmentation_tpu import main as main_mod
+
+    root, _ = mini_crosstask
+    stats = main_mod.main(
+        _base_argv(root, "semimarkov")
+        + [
+            "--training", "unsupervised",
+            "--remove_background",
+            "--sm_constrain_transitions",
+            "--epochs", "1",
+            "--sm_max_span_length", "10",
+        ]
+    )
+    assert "all" in stats
+    for task, s in stats["all"].items():
+        # with background removed, every gt frame is a step frame
+        assert s["mof"][1] == s["mof_non_bg"][1]
+
+
+def test_raw_features_path(mini_crosstask, tmp_path):
+    """--features raw loads one unsplit .npy per video
+    (crosstask.py:96-104)."""
+    import shutil
+
+    from action_segmentation_tpu import main as main_mod
+
+    root, _ = mini_crosstask
+    # build raw features by concatenating the fixture's pca groups
+    pca_root = os.path.join(
+        root, "crosstask", "crosstask_processed",
+        "crosstask_primary_pca-200_with-bkg_by-task",
+    )
+    raw_root = os.path.join(root, "crosstask", "crosstask_features")
+    if not os.path.isdir(raw_root):
+        os.makedirs(raw_root)
+        for fname in os.listdir(os.path.join(pca_root, "i3d")):
+            parts = [
+                np.load(os.path.join(pca_root, g, fname))
+                for g in ("i3d", "resnet", "audio")
+            ]
+            np.save(os.path.join(raw_root, fname), np.hstack(parts))
+    stats = main_mod.main(
+        [
+            "--classifier", "semimarkov",
+            "--dataset", "crosstask",
+            "--features", "raw",
+            "--data_root", root,
+            "--mix_tasks",
+            "--task_specific_steps",
+            "--training", "supervised",
+            "--sm_supervised_method", "closed-form",
+            "--epochs", "1",
+        ]
+    )
+    for task, s in stats["all"].items():
+        assert s["mof"][0] / s["mof"][1] > 0.6
+
+
 def test_u7_component_model_pipeline(mini_crosstask):
     """The paper's U7 configuration (README.md:57): unsupervised compound
     HSMM with canonical-ordering constraints and train-time narration."""
