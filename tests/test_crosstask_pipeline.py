@@ -345,6 +345,29 @@ def test_u7_component_model_pipeline(mini_crosstask):
         assert np.isfinite(s["mof"][0])
 
 
+def test_component_decompose_steps(mini_crosstask):
+    """--sm_component_decompose_steps: classes embed as the mean of their
+    word components shared across tasks (Compound-PCFG-style)."""
+    from action_segmentation_tpu import main as main_mod
+
+    root, _ = mini_crosstask
+    stats = main_mod.main(
+        _base_argv(root, "semimarkov")
+        + [
+            "--training", "unsupervised",
+            "--sm_component_model",
+            "--sm_component_decompose_steps",
+            "--sm_component_embedding_dim", "16",
+            "--epochs", "1",
+            "--sm_max_span_length", "10",
+            "--lr", "1e-2",
+        ]
+    )
+    assert "all" in stats
+    for task, s in stats["all"].items():
+        assert np.isfinite(s["mof"][0])
+
+
 def test_narration_constraints_at_test(mini_crosstask):
     """--sm_constrain_with_narration test (the decode_constrained.sh flow):
     fixture constraints equal the true step intervals, so constrained
