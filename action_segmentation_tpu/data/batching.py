@@ -118,11 +118,39 @@ def iter_batches(datasplit, batch_size, batch_by_task, shuffle, seed=1, bucket=T
         datasplit.videos_by_task, batch_size, batch_by_task, shuffle, seed,
         length_of=length_of,
     )
-    for keys in keys_batches:
+
+    def load(keys):
         samples = [datasplit[key] for key in keys]
         samples = [s for s in samples if s is not None]
-        if samples:
-            yield collate(samples, bucket=bucket)
+        return collate(samples, bucket=bucket) if samples else None
+
+    workers = getattr(datasplit, "loader_workers", 0)
+    if workers and workers > 0:
+        # bounded thread-pool prefetch (the reference's --workers
+        # DataLoader processes); numpy .npy reads release the GIL
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            pending = deque()
+            it = iter(keys_batches)
+            for _ in range(2 * workers):
+                keys = next(it, None)
+                if keys is None:
+                    break
+                pending.append(pool.submit(load, keys))
+            while pending:
+                batch = pending.popleft().result()
+                keys = next(it, None)
+                if keys is not None:
+                    pending.append(pool.submit(load, keys))
+                if batch is not None:
+                    yield batch
+    else:
+        for keys in keys_batches:
+            batch = load(keys)
+            if batch is not None:
+                yield batch
 
 
 def num_batches(datasplit, batch_size):

@@ -142,6 +142,7 @@ def write_predictions(test_data, predictions_by_video, output_path):
 
 
 def test(args, model, test_data, test_data_name, verbose=True, prediction_output_path=None):
+    test_data.loader_workers = getattr(args, "workers", 0)
     if args.training == "supervised":
         optimal_assignment = False
     else:
@@ -181,6 +182,9 @@ def make_model_path(path, split_name):
 
 
 def train(args, train_data, dev_data, split_name, verbose=False, train_sub_data=None):
+    for d in (train_data, dev_data, train_sub_data):
+        if d is not None:
+            d.loader_workers = args.workers
     model = CLASSIFIERS[args.classifier].from_args(args, train_data)
 
     if args.training == "supervised":

@@ -240,6 +240,63 @@ def test_related_tasks_training_data(mini_crosstask):
     assert set(stats["all"].keys()) == set(TASKS.keys())
 
 
+def test_workers_prefetch(mini_crosstask):
+    """--workers N: bounded thread-pool batch prefetch."""
+    from action_segmentation_tpu import main as main_mod
+
+    root, _ = mini_crosstask
+    stats = main_mod.main(
+        _base_argv(root, "semimarkov")
+        + [
+            "--training", "supervised",
+            "--sm_supervised_method", "closed-form",
+            "--workers", "2",
+        ]
+    )
+    for task, s in stats["all"].items():
+        assert s["mof"][0] / s["mof"][1] > 0.6
+
+
+def test_compare_load_splits_from_predictions(mini_crosstask, tmp_path):
+    """--compare_load_splits_from_predictions: the comparison folder's
+    y_pred.json defines the validation video set (main.py:325-336)."""
+    import json
+
+    from action_segmentation_tpu import main as main_mod
+
+    root, gt_frames = mini_crosstask
+    cmp_dir = str(tmp_path / "cmp2")
+    os.makedirs(cmp_dir, exist_ok=True)
+    y_true = {}
+    y_pred = {}
+    for task_id, steps in TASKS.items():
+        y_true[str(task_id)] = {}
+        y_pred[str(task_id)] = {}
+        # use TRAIN videos as the override val set
+        for i in range(0, 2):
+            vid = f"v{task_id}_{i}"
+            labels = gt_frames[vid]
+            onehot = np.zeros((len(labels), len(steps) + 1))
+            onehot[np.arange(len(labels)), labels] = 1
+            y_true[str(task_id)][vid] = onehot.tolist()
+            y_pred[str(task_id)][vid] = onehot.tolist()
+    with open(os.path.join(cmp_dir, "y_true.json"), "w") as f:
+        json.dump(y_true, f)
+    with open(os.path.join(cmp_dir, "y_pred.json"), "w") as f:
+        json.dump(y_pred, f)
+
+    stats = main_mod.main(
+        _base_argv(root, "semimarkov")
+        + [
+            "--compare_only",
+            "--compare_to_prediction_folder", cmp_dir,
+            "--compare_load_splits_from_predictions",
+        ]
+    )
+    for task, s in stats["all"].items():
+        assert s["mof"][0] / s["mof"][1] == 1.0
+
+
 def test_unsupervised_constrained_pipeline(mini_crosstask):
     from action_segmentation_tpu import main as main_mod
 
