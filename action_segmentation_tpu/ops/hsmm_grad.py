@@ -185,3 +185,18 @@ def hsmm_partition_fast(pots: HsmmPotentials, lengths, interpret=False):
     return hsmm_partition_fb(
         pots.trans, pots.init, pots.lens, pots.emit, pots.end_mask, lengths, interpret
     )
+
+
+def hsmm_frame_marginals_fast(pots: HsmmPotentials, lengths, interpret=False):
+    """Posterior per-frame class marginals via the Pallas forward/backward
+    pair: d logZ / d emit[t, c] = E[frame t has class c]; (B, T, C).
+
+    Fast sibling of ops.hsmm.hsmm_frame_marginals (which autodiffs the
+    jnp scan)."""
+
+    def total(emit):
+        return hsmm_partition_fb(
+            pots.trans, pots.init, pots.lens, emit, pots.end_mask, lengths, interpret
+        ).sum()
+
+    return jax.grad(total)(pots.emit)

@@ -79,6 +79,20 @@ def test_partition_fb_value_and_grads(B, T, C, K, constrained):
         np.testing.assert_allclose(g, w, rtol=2e-3, atol=2e-4, err_msg=name)
 
 
+def test_fast_marginals_match_autodiff():
+    from action_segmentation_tpu.ops.hsmm import HsmmPotentials as HP
+    from action_segmentation_tpu.ops.hsmm import hsmm_frame_marginals
+    from action_segmentation_tpu.ops.hsmm_grad import hsmm_frame_marginals_fast
+
+    rng = np.random.RandomState(5)
+    B, T, C, K = 3, 18, 4, 5
+    trans, init, lens, emit, end_mask, lengths = random_pots_arrays(rng, B, T, C, K)
+    pots = HP(trans, init, lens, emit, end_mask)
+    want = np.asarray(hsmm_frame_marginals(pots, lengths))
+    got = np.asarray(hsmm_frame_marginals_fast(pots, lengths, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
 def test_frame_marginals_sum_to_one():
     rng = np.random.RandomState(0)
     B, T, C, K = 2, 16, 4, 5
