@@ -24,6 +24,7 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from action_segmentation_tpu.models.base import apply_lr
+from action_segmentation_tpu.utils.logger import logger
 from action_segmentation_tpu.ops.hsmm import (
     hsmm_gold_score,
     hsmm_partition,
@@ -34,12 +35,34 @@ from action_segmentation_tpu.ops.span_codec import labels_to_spans, spans_to_lab
 
 def make_mesh(n_devices=None, model_parallel=1):
     """Mesh over ('data', 'model'); data gets every device not used by
-    model parallelism."""
+    model parallelism.
+
+    Fails loudly when the backend exposes fewer devices than requested
+    (round-1 postmortem: a silent 1-device axon backend made the 8-way
+    dryrun assert); degrades ``model_parallel`` to 1 with a logged
+    message when it does not divide the device count.
+    """
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                "make_mesh: requested {} devices but backend '{}' exposes "
+                "only {}. For a virtual multi-device run, start a process "
+                "with XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                "and call jax.config.update('jax_platforms', 'cpu') before "
+                "any backend use (see tests/conftest.py).".format(
+                    n_devices, devices[0].platform, len(devices)
+                )
+            )
         devices = devices[:n_devices]
     n = len(devices)
-    assert n % model_parallel == 0
+    if model_parallel < 1 or n % model_parallel != 0:
+        logger.warning(
+            "make_mesh: model_parallel=%d does not divide %d devices; "
+            "degrading to model_parallel=1 (data-parallel only)",
+            model_parallel, n,
+        )
+        model_parallel = 1
     shape = (n // model_parallel, model_parallel)
     dev_array = mesh_utils.create_device_mesh(shape, devices=np.array(devices))
     return Mesh(dev_array, ("data", "model"))
