@@ -459,8 +459,7 @@ def _max_labels_single(trans, init, lens, emit, end_mask, length,
     def shifted(arr, j):
         return jax.lax.dynamic_slice_in_dim(arr, j + 1, T, axis=0)
 
-    frame_max = jnp.full((T, C), BIG_NEG)
-    for j in range(Km):
+    def span_scores(j):
         # spans (s, d=j+1): best-path score through each
         M = (
             F
@@ -469,12 +468,18 @@ def _max_labels_single(trans, init, lens, emit, end_mask, length,
             + shifted(S2_pad, j)
         )
         valid = (t_idx + j + 1) <= length
-        M = jnp.where(valid[:, None], M, BIG_NEG)
-        # the span covers frames s..s+j: running max over the window
-        col = M
-        for r in range(j + 1):
-            shifted_col = jnp.pad(col, ((r, 0), (0, 0)), constant_values=BIG_NEG)[:T]
-            frame_max = jnp.maximum(frame_max, shifted_col)
+        return jnp.where(valid[:, None], M, BIG_NEG)
+
+    M = jnp.stack([span_scores(j) for j in range(Km)], axis=1)  # (T, Km, C)
+    # Span (s, d) covers frame t iff r = t - s <= d - 1, so
+    #   frame_max[t] = max_r N[t - r, r]  with  N[s, r] = max_{j >= r} M[s, j]
+    # (suffix max over durations) — O(T*Km) instead of the O(T*Km^2)
+    # per-duration window sweep.
+    N = jnp.flip(jax.lax.cummax(jnp.flip(M, axis=1), axis=1), axis=1)
+    frame_max = jnp.full((T, C), BIG_NEG)
+    for r in range(Km):
+        shifted_col = jnp.pad(N[:, r], ((r, 0), (0, 0)), constant_values=BIG_NEG)[:T]
+        frame_max = jnp.maximum(frame_max, shifted_col)
 
     labels = jnp.argmax(frame_max, axis=1).astype(jnp.int32)
     return jnp.where(t_idx < length, labels, -1)

@@ -1,19 +1,29 @@
-"""Headline benchmark: semi-Markov Viterbi decode frames/sec/chip.
+"""Headline benchmark: semi-Markov decode + training frames/sec/chip.
 
-Measures the full decode step (emission matmul + masked factor
-construction + banded max-semiring scan + traceback) on one chip at a
-CrossTask-like configuration (C classes ~ steps+backgrounds of one task,
-K = 20 duration band, 300-d PCA features), steady-state over several
-timed iterations.
+Two measurements at a CrossTask-like configuration (C classes ~
+steps+backgrounds of one task, K = 20 duration band, 300-d PCA
+features), steady-state over several timed iterations:
+
+* **decode** (the headline): emission matmul + masked factor
+  construction + banded max-semiring scan + label extraction;
+* **train**: the FULL unsupervised gradient step — potentials,
+  marginal likelihood through the Pallas custom-VJP
+  (``hsmm_partition_fb``: fused log-scan forward + time-reversed
+  Pallas backward), parameter gradients, and the Adam update — the
+  reference's actual hot path (semimarkov.py:253-309).
 
 ``vs_baseline`` compares against a reference-style torch implementation
 measured on this host's CPU (the reference repo publishes no numbers —
 BASELINE.md — and its CUDA stack, pytorch-struct + genbmm, is not
-installable here). The torch baseline mirrors the reference's actual
+installable here; the ratio is TPU-chip vs host-CPU, not like-for-like
+vs a CUDA GPU). The torch baselines mirror the reference's actual
 compute: materialize the b x (N-1) x K x C x C edge-potential tensor
-(semimarkov_modules.py:416-523) and run the banded max DP over it.
+(semimarkov_modules.py:416-523) and run the banded DP over it — max
+semiring for decode, log semiring + autograd backward + Adam for train.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric; the LAST line is the headline
+{"metric", "value", "unit", "vs_baseline", ...extras} (extras include
+the train numbers and the FLOP accounting — see docs/DESIGN.md "MFU").
 """
 
 import json
@@ -29,6 +39,34 @@ B = 16          # videos per decode batch
 
 BASELINE_T = 256  # torch baseline runs a smaller problem (same per-frame work)
 BASELINE_B = 2
+
+N_SMALL = 2    # iteration counts for the scan-chained timing pairs
+N_BIG = 22
+REPEATS = 5    # timed repeats; min cancels tunnel-latency noise
+
+
+def measure_pair(run_small, run_big, fetch, *args):
+    """frames-normalized seconds per iteration from a (small, big)
+    iteration-count pair.
+
+    Each timed sample is one dispatch+fetch of a scan-chained program;
+    the remote-TPU tunnel adds large, positive, variable latency to
+    every sample, so we take the MIN over REPEATS (the least-noise
+    sample) before differencing the two iteration counts."""
+    for run in (run_small, run_big):
+        fetch(run(*args))  # compile + warm
+
+    def best(run):
+        times = []
+        for _ in range(REPEATS):
+            start = time.perf_counter()
+            fetch(run(*args))
+            times.append(time.perf_counter() - start)
+        return min(times)
+
+    t_small = best(run_small)
+    t_big = best(run_big)
+    return max((t_big - t_small) / (N_BIG - N_SMALL), 1e-9)
 
 
 def build_inputs(rng, b, t):
@@ -107,21 +145,201 @@ def bench_tpu_decode():
             return s, ys
         return run
 
-    run_small = decode_n(2)
-    run_big = decode_n(12)
-
-    def timed(run):
-        out = run(f, lens_, mu, cv, tl, il, lr)
-        _ = np.asarray(out[0])  # compile + warm
-        start = time.perf_counter()
-        out = run(f, lens_, mu, cv, tl, il, lr)
-        _ = np.asarray(out[0])
-        return time.perf_counter() - start
-
-    t_small = timed(run_small)
-    t_big = timed(run_big)
-    per_iter = max((t_big - t_small) / 10.0, 1e-9)
+    run_small = decode_n(N_SMALL)
+    run_big = decode_n(N_BIG)
+    per_iter = measure_pair(
+        run_small, run_big, lambda out: np.asarray(out[0]),
+        f, lens_, mu, cv, tl, il, lr,
+    )
     return B * T / per_iter
+
+
+def bench_tpu_train():
+    """Full unsupervised gradient step: potentials -> partition through
+    the Pallas custom-VJP (hsmm_partition_fb) -> grads -> clipped Adam.
+
+    The scan carries (params, opt_state) so iterations have a real data
+    dependency (the same discipline as decode_n)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from action_segmentation_tpu.ops.distributions import (
+        gaussian_emission_log_probs,
+        initial_log_probs,
+        poisson_length_log_probs,
+        transition_log_probs,
+    )
+    from action_segmentation_tpu.ops.hsmm import HsmmPotentials, hsmm_partition
+    from action_segmentation_tpu.ops.hsmm_grad import hsmm_partition_fb
+    from action_segmentation_tpu.ops.hsmm_pallas import pallas_supported
+
+    use_pallas = pallas_supported(C)
+
+    rng = np.random.RandomState(0)
+    feats, lengths, means, cov, trans_logits, init_logits, log_rates = build_inputs(
+        rng, B, T
+    )
+    params = {
+        "means": jnp.asarray(means),
+        "log_var": jnp.log(jnp.asarray(cov)),
+        "trans_logits": jnp.asarray(trans_logits),
+        "init_logits": jnp.asarray(init_logits),
+        "log_rates": jnp.asarray(log_rates),
+    }
+    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(5e-3))
+    opt_state = tx.init(params)
+    f = jnp.asarray(feats)
+    lens_ = jnp.asarray(lengths)
+
+    def loss_fn(params, feats, lengths):
+        emit = gaussian_emission_log_probs(
+            feats, params["means"], jnp.exp(params["log_var"])
+        )
+        trans = transition_log_probs(params["trans_logits"])
+        init = initial_log_probs(params["init_logits"])
+        lens = poisson_length_log_probs(params["log_rates"], K)
+        b = feats.shape[0]
+        trans_b = jnp.broadcast_to(trans, (b, C, C))
+        init_b = jnp.broadcast_to(init, (b, C))
+        lens_b = jnp.broadcast_to(lens, (b, K, C))
+        end_mask = jnp.zeros((b, C), jnp.float32)
+        if use_pallas:
+            ll = hsmm_partition_fb(trans_b, init_b, lens_b, emit, end_mask, lengths)
+        else:
+            ll = hsmm_partition(
+                HsmmPotentials(trans_b, init_b, lens_b, emit, end_mask), lengths
+            )
+        return -ll.mean()
+
+    def train_n(n):
+        @jax.jit
+        def run(params, opt_state, feats, lengths):
+            def body(carry, _):
+                params, opt_state = carry
+                loss, grads = jax.value_and_grad(loss_fn)(params, feats, lengths)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=n
+            )
+            return losses
+        return run
+
+    run_small = train_n(N_SMALL)
+    run_big = train_n(N_BIG)
+
+    def fetch(out):
+        losses = np.asarray(out)
+        assert np.all(np.isfinite(losses)), losses
+        return losses
+
+    per_iter = measure_pair(run_small, run_big, fetch, params, opt_state, f, lens_)
+    return B * T / per_iter
+
+
+def bench_torch_train_reference_style():
+    """Reference-style training step on torch CPU: materialized edge
+    potentials, banded log-semiring DP to the partition, autograd
+    backward, clipped Adam — the reference's hot loop
+    (semimarkov.py:253-309), timed per frame."""
+    import torch
+
+    rng = np.random.RandomState(0)
+    feats, lengths, means, cov, trans_logits, init_logits, log_rates = build_inputs(
+        rng, BASELINE_B, BASELINE_T
+    )
+    x = torch.from_numpy(feats)
+    p_means = torch.tensor(means, requires_grad=True)
+    p_logvar = torch.tensor(np.log(cov), requires_grad=True)
+    p_trans = torch.tensor(trans_logits, requires_grad=True)
+    p_init = torch.tensor(init_logits, requires_grad=True)
+    p_rates = torch.tensor(log_rates, requires_grad=True)
+    plist = [p_means, p_logvar, p_trans, p_init, p_rates]
+    opt = torch.optim.Adam(plist, lr=5e-3)
+
+    b, t = BASELINE_B, BASELINE_T
+
+    def step():
+        var = torch.exp(p_logvar)
+        const = -0.5 * (D * np.log(2 * np.pi) + torch.log(var).sum())
+        emits = []
+        for c in range(C):
+            diff = x - p_means[c]
+            emits.append(const - 0.5 * (diff * diff / var).sum(-1))
+        emit = torch.stack(emits, dim=-1)  # (B, T, C)
+        trans = torch.log_softmax(p_trans, dim=0)
+        init = torch.log_softmax(p_init, dim=0)
+        d = torch.arange(K, dtype=torch.float32)[:, None]
+        lens = d * p_rates[None, :] - torch.exp(p_rates)[None, :] - torch.lgamma(d + 1.0)
+
+        cum = torch.cat([torch.zeros(b, 1, C), emit.cumsum(1)], dim=1)
+        scores = trans.view(1, 1, 1, C, C).expand(b, t, K, C, C).clone()
+        scores[:, 0] += init.view(1, 1, 1, C)
+        scores = scores + lens.view(1, 1, K, 1, C)
+        for k in range(1, K):
+            seg = cum[:, k:, :] - cum[:, : t + 1 - k, :]
+            scores[:, : t + 1 - k, k] = scores[:, : t + 1 - k, k] + seg.view(b, -1, 1, C)
+        # banded log-semiring DP (functional: autograd-friendly)
+        ws = [torch.zeros(b, C)]
+        for n in range(1, t + 1):
+            kn = min(K - 1, n)
+            ks = torch.arange(1, kn + 1)
+            s_idx = n - ks
+            window = torch.stack([ws[int(s)] for s in s_idx], dim=1)  # (b, kn, C_from)
+            edge = scores[:, s_idx, ks]  # (b, kn, C_to, C_from)
+            cand = torch.logsumexp(
+                torch.logsumexp(window.unsqueeze(2) + edge, dim=3), dim=1
+            )
+            ws.append(cand)
+        logZ = torch.logsumexp(ws[t], dim=-1)
+        loss = -logZ.mean()
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(plist, 10.0)
+        opt.step()
+
+    step()  # warm (allocator, threads)
+    start = time.perf_counter()
+    step()
+    elapsed = time.perf_counter() - start
+    return b * t / elapsed
+
+
+def flop_accounting():
+    """Analytic useful-FLOP counts per benchmark iteration, split by
+    execution unit (MXU matmuls vs VPU elementwise semiring work).
+    Formulas mirror the kernel shapes in ops/hsmm_pallas.py; see
+    docs/DESIGN.md "MFU and roofline" for the derivation and the
+    peak-comparison discussion."""
+    LANES = 128
+    pack = max(1, min(8, LANES // C, B))
+    G = -(-B // pack)
+    Km = K - 1
+    Km_pad = -(-max(Km, 1) // 8) * 8
+
+    emission_mm = 2 * B * T * D * C  # (B*T, D) x (D, C) on the MXU
+    # per time step per packed group: span add+reduce over the duration
+    # band (Km_pad x 128) and transition combine+reduce (128 x 128)
+    dp_max_step = 2 * Km_pad * LANES + 2 * LANES * LANES
+    dp_log_step = 5 * Km_pad * LANES + 5 * LANES * LANES  # + exp/log passes
+    dp_max_scan = G * T * dp_max_step
+    dp_log_scan = G * T * dp_log_step
+    # decode label combine (_max_labels_single): Km shifted-window passes
+    label_combine = B * T * C * (4 * Km + Km * (Km + 1) // 2)
+    # train cotangent combine (_combine_grads_single): Km-banded stacks,
+    # exp of span marginals, pair marginals over C^2
+    grad_combine = B * T * (8 * Km * C + 3 * C * C)
+
+    decode_flops = emission_mm + 2 * dp_max_scan + label_combine
+    train_flops = 3 * emission_mm + 2 * dp_log_scan + grad_combine
+    return {
+        "decode_flops_per_iter": decode_flops,
+        "train_flops_per_iter": train_flops,
+        "decode_mxu_flops_per_iter": emission_mm,
+        "train_mxu_flops_per_iter": 3 * emission_mm,
+    }
 
 
 def bench_torch_reference_style():
@@ -182,15 +400,41 @@ def main():
     from action_segmentation_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+    import jax
+
+    device_kind = jax.devices()[0].device_kind
     tpu_fps = bench_tpu_decode()
-    try:
-        # median of 3 runs: CPU timing is noisy and the ratio should be
-        # conservative and stable
-        runs = sorted(bench_torch_reference_style() for _ in range(3))
-        ref_fps = runs[1]
-    except Exception:
-        ref_fps = None
+    train_fps = bench_tpu_train()
+
+    def median3(fn):
+        try:
+            # CPU timing is noisy and the ratio should be conservative
+            return sorted(fn() for _ in range(3))[1]
+        except Exception:
+            return None
+
+    ref_fps = median3(bench_torch_reference_style)
+    ref_train_fps = median3(bench_torch_train_reference_style)
     vs = (tpu_fps / ref_fps) if ref_fps else None
+    vs_train = (train_fps / ref_train_fps) if ref_train_fps else None
+
+    flops = flop_accounting()
+    frames = B * T
+    decode_gflops = flops["decode_flops_per_iter"] * tpu_fps / frames / 1e9
+    train_gflops = flops["train_flops_per_iter"] * train_fps / frames / 1e9
+
+    print(
+        json.dumps(
+            {
+                "metric": "semimarkov_train_step_throughput",
+                "value": round(train_fps, 1),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(vs_train, 2) if vs_train else None,
+                "achieved_gflops": round(train_gflops, 1),
+                "path": "pallas_custom_vjp(hsmm_partition_fb)+adam",
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -198,6 +442,12 @@ def main():
                 "value": round(tpu_fps, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(vs, 2) if vs else None,
+                "train_frames_per_sec": round(train_fps, 1),
+                "train_vs_baseline": round(vs_train, 2) if vs_train else None,
+                "achieved_gflops_decode": round(decode_gflops, 1),
+                "achieved_gflops_train": round(train_gflops, 1),
+                "device_kind": device_kind,
+                "mfu_note": "VPU-bound banded DP; see docs/DESIGN.md#mfu",
             }
         )
     )
