@@ -86,20 +86,51 @@ def main():
             L = int(np.asarray(lengths)[b])
             assert (bp_labels[b, :L] == want_labels[b, :L]).all(), (B, T, C, b)
 
-        # gradient parity on a smaller case
+        # full training-path gradient parity: every cotangent of the
+        # custom-VJP (trans/init/lens/emit/end_mask) vs autodiff of the
+        # jnp scan, compiled on the real chip
         if T <= 200:
-            def ref_loss(emit):
-                return hsmm_partition(pots._replace(emit=emit), lengths).sum()
+            w = jnp.asarray(rng.randn(B).astype(np.float32))
 
-            def fast_loss(emit):
-                return hsmm_partition_fb(
-                    pots.trans, pots.init, pots.lens, emit, pots.end_mask, lengths
+            def ref_loss(trans, init, lens, emit, end):
+                return (
+                    hsmm_partition(
+                        HsmmPotentials(trans, init, lens, emit, end), lengths
+                    )
+                    * w
                 ).sum()
 
-            g_ref = np.asarray(jax.grad(ref_loss)(pots.emit))
-            g_fast = np.asarray(jax.grad(fast_loss)(pots.emit))
-            np.testing.assert_allclose(g_fast, g_ref, rtol=3e-3, atol=3e-4)
+            def fast_loss(trans, init, lens, emit, end):
+                return (
+                    hsmm_partition_fb(trans, init, lens, emit, end, lengths) * w
+                ).sum()
+
+            argnums = (0, 1, 2, 3, 4)
+            g_ref = jax.grad(ref_loss, argnums)(*pots)
+            g_fast = jax.grad(fast_loss, argnums)(*pots)
+            for name, gr, gf in zip(
+                ("trans", "init", "lens", "emit", "end_mask"), g_ref, g_fast
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(gf), np.asarray(gr), rtol=3e-3, atol=3e-4,
+                    err_msg=f"cotangent {name} (B={B}, T={T}, C={C}, K={K})",
+                )
         print(f"OK (B={B}, T={T}, C={C}, K={K})", flush=True)
+
+    # packed videos with wildly diverging score scales: the log kernel's
+    # MXU transition combine normalizes per video block; a group-global
+    # normalizer would zero out every non-leading video (regression for
+    # the blockmax in _forward_kernel)
+    B, T, C, K = 6, 512, 19, 8
+    pots, lengths = random_pots(rng, B, T, C, K)
+    offsets = jnp.asarray(
+        np.linspace(0.0, -5.0, B, dtype=np.float32)[:, None, None]
+    )
+    pots = pots._replace(emit=pots.emit + offsets)  # ~2500 nats spread
+    want_z = np.asarray(hsmm_partition(pots, lengths))
+    got_z = np.asarray(hsmm_partition_pallas(pots, lengths))
+    np.testing.assert_allclose(got_z, want_z, rtol=1e-4, atol=5e-2)
+    print(f"OK diverging-scale pack (B={B}, T={T}, C={C}, K={K})", flush=True)
 
     print("TPU compiled-kernel check OK", flush=True)
 

@@ -130,3 +130,19 @@ def test_partition_matches_jnp(B, T, C, K):
     want = np.asarray(hsmm_partition(pots, lengths))
     got = np.asarray(hsmm_partition_pallas(pots, lengths, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_diverging_scale_pack():
+    """Videos packed into one lane group whose forward scores diverge by
+    thousands of nats: the log kernel's MXU transition combine must
+    normalize per video block, not per group (regression for the
+    blockmax in _forward_kernel — a group-global max silently zeroes
+    every non-leading video's mass)."""
+    rng = np.random.RandomState(3)
+    B, T, C, K = 6, 300, 19, 8
+    pots, lengths = random_pots(rng, B, T, C, K)
+    offsets = jnp.asarray(np.linspace(0.0, -6.0, B, dtype=np.float32)[:, None, None])
+    pots = pots._replace(emit=pots.emit + offsets)  # ~1800-nat spread
+    want = np.asarray(hsmm_partition(pots, lengths))
+    got = np.asarray(hsmm_partition_pallas(pots, lengths, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-2)
