@@ -753,7 +753,29 @@ class SemiMarkovModel(Model):
 
     def predict(self, test_data):
         predictions = {}
-        decode = self._get_jitted("decode", self._build_decode_step)
+        # data-parallel decode: per-epoch evaluation dominates wall clock
+        # in real experiments (reference main.py:207-244 evaluates every
+        # epoch), so decode shards the batch axis over the mesh when
+        # --data_parallel is on and multiple devices exist
+        use_dp = (
+            getattr(self.args, "data_parallel", False) and len(jax.devices()) > 1
+        )
+        if use_dp:
+            from action_segmentation_tpu.parallel.mesh import (
+                build_sharded_decode_step,
+                make_mesh,
+                pad_batch_for_mesh,
+            )
+
+            mesh = make_mesh(model_parallel=1)
+            decode = self._get_jitted(
+                "decode_dp",
+                lambda: build_sharded_decode_step(
+                    self.module, mesh, n_classes=self.n_classes
+                ),
+            )
+        else:
+            decode = self._get_jitted("decode", self._build_decode_step)
         use_narration = "test" in self.args.sm_constrain_with_narration
         rng = jax.random.PRNGKey(0)
         for batch in iter_batches(
@@ -767,16 +789,23 @@ class SemiMarkovModel(Model):
                 batch, test_data, use_narration
             )
             rng, step_rng = jax.random.split(rng)
+            features = np.asarray(batch["features"])
+            lengths = np.asarray(batch["lengths"])
+            B = features.shape[0]
+            if use_dp:
+                (features, lengths, cons, end_allowed), _ = pad_batch_for_mesh(
+                    mesh, [features, lengths, cons, end_allowed], B
+                )
             labels, _ = decode(
                 self.module.params,
-                jnp.asarray(batch["features"]),
-                jnp.asarray(batch["lengths"]),
+                jnp.asarray(features),
+                jnp.asarray(lengths),
                 jnp.asarray(vc),
                 jnp.asarray(cons),
                 jnp.asarray(end_allowed),
                 step_rng,
             )
-            labels = np.asarray(labels)
+            labels = np.asarray(labels)[:B]
             for i, video in enumerate(batch["video_name"]):
                 L = int(batch["lengths"][i])
                 preds = labels[i, :L]

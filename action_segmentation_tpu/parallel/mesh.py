@@ -158,18 +158,62 @@ def pad_batch_for_mesh(mesh, arrays, batch_size):
     return padded, weights
 
 
-def build_sharded_decode_step(module, mesh):
-    """Data-parallel Viterbi decode over the mesh."""
+def build_sharded_decode_step(module, mesh, n_classes=None):
+    """Data-parallel Viterbi decode over the mesh's 'data' axis.
 
-    def decode(params, features, lengths, vc, cons, end_allowed, rng):
+    Same contract as SemiMarkovModel._build_decode_step: returns
+    (labels (B, T) int32 global class ids with -1 padding, scores (B,)).
+    Built with shard_map so each device decodes its local batch shard —
+    on TPU the fused Pallas kernels run per shard (pallas_call inside a
+    plainly-sharded jit would see a partitioned batch axis it cannot
+    repack). The caller pads B to a multiple of the data axis
+    (pad_batch_for_mesh) and drops the padded rows; padded lengths of 0
+    are clamped to 1 locally so the traceback stays well-defined.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from action_segmentation_tpu.ops.hsmm_pallas import (
+        hsmm_viterbi_labels_pallas,
+        pallas_supported,
+    )
+
+    if n_classes is None:
+        n_classes = getattr(module, "n_classes", None)
+    use_pallas = n_classes is not None and pallas_supported(n_classes)
+
+    def decode_local(params, features, lengths, vc, cons, end_allowed, rng):
+        lengths = jnp.maximum(lengths, 1)
         pots, _, _ = module.compute_potentials(
             params, features, lengths, vc, cons, end_allowed, rng, use_mean_z=True
         )
-        spans_sub, scores = hsmm_viterbi(pots, lengths)
-        spans = jnp.where(spans_sub >= 0, vc[jnp.clip(spans_sub, 0)], -1)
-        return spans_to_labels(spans), scores
+        if use_pallas:
+            labels_sub, scores = hsmm_viterbi_labels_pallas(pots, lengths)
+        else:
+            spans_sub, scores = hsmm_viterbi(pots, lengths)
+            labels_sub = jnp.where(
+                jnp.arange(features.shape[1])[None, :] < lengths[:, None],
+                spans_to_labels(spans_sub),
+                -1,
+            )
+        labels = jnp.where(labels_sub >= 0, vc[jnp.clip(labels_sub, 0)], -1)
+        return labels, scores
 
-    return jax.jit(decode)
+    sharded = shard_map(
+        decode_local,
+        mesh=mesh,
+        in_specs=(
+            P(),            # params (replicated pytree)
+            P("data"),      # features
+            P("data"),      # lengths
+            P(),            # valid classes
+            P("data"),      # constraint penalties
+            P("data"),      # end masks
+            P(),            # rng
+        ),
+        out_specs=(P("data"), P("data")),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
 
 
 def shard_train_inputs(mesh, params, opt_state, batch_args):

@@ -143,3 +143,41 @@ def test_sharded_matches_single_device():
     )
     for mp, loss in losses.items():
         assert abs(loss - want) < 1e-2, (mp, loss, want)
+
+
+def test_data_parallel_predict_matches_single_device():
+    """SemiMarkovModel.predict with --data_parallel shards decode over
+    the mesh and must produce exactly the single-device labels (padding
+    rows dropped, weighted batches resharded)."""
+    import argparse
+
+    from action_segmentation_tpu.data.synthetic import SyntheticDatasplit
+    from action_segmentation_tpu.models.base import add_training_args
+    from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+
+    def make_args(**overrides):
+        parser = argparse.ArgumentParser()
+        SemiMarkovModel.add_args(parser)
+        add_training_args(parser)
+        parser.add_argument("--batch_size", type=int, default=5)
+        parser.add_argument("--annotate_background_with_previous", action="store_true")
+        parser.add_argument("--no_merge_classes", action="store_true")
+        args = parser.parse_args([])
+        for k, v in overrides.items():
+            setattr(args, k, v)
+        return args
+
+    data = SyntheticDatasplit(num_videos=11, n_classes=3, max_len=24, span_k=4, seed=1)
+
+    preds = {}
+    for dp in (False, True):
+        args = make_args(sm_max_span_length=8, epochs=1, data_parallel=dp)
+        model = SemiMarkovModel.from_args(args, data)
+        model.fit_supervised(data)
+        preds[dp] = model.predict(data)
+
+    assert set(preds[True]) == set(preds[False])
+    for video, want in preds[False].items():
+        got = preds[True][video]
+        assert got.shape == want.shape, video
+        assert (got == want).all(), video
