@@ -66,54 +66,50 @@ def pallas_supported(n_classes):
     return platform in ("tpu", "axon")
 
 
-def _viterbi_kernel(pack, lengths_ref, trans_ref, init_ref, dur_ref, emit_ref,
-                    endm_ref, bp_ref, scores_ref, c0_ref, W, cum, alphas):
-    """Max-semiring forward scan over all G groups at once.
+def _viterbi_kernel(trans_ref, init_ref, dur_ref, emit_ref,
+                    bp_ref, alphas_ref, W, cum):
+    """Max-semiring forward scan with backpointers, time-chunked grid.
 
     bp_ref[g, t-1, c] packs (argmax duration index for a span ending at t
     with class c) * LANES + (argmax previous class at boundary t given
     next class c).
+
+    Like _forward_kernel, the grid runs over time chunks with the carry
+    (W, running emission cumsum) in persistent scratch, so the bp and
+    alpha planes stream through VMEM (pipelined DMA) and T is unbounded
+    — no VMEM cliff on long videos. Per-video finals (scores, starting
+    class) are gathered from the alphas output outside the kernel.
     """
-    G, T, _ = emit_ref.shape
+    G, Tc, _ = emit_ref.shape
     Km = W.shape[1]
 
-    cum[...] = jnp.zeros_like(cum)
-    W[...] = jnp.full_like(W, BIG_NEG)
-    W[:, 0:1, :] = init_ref[...]
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cum[...] = jnp.zeros_like(cum)
+        W[...] = jnp.full_like(W, BIG_NEG)
+        W[:, 0:1, :] = init_ref[...]
 
     dur = dur_ref[...]
     trans = trans_ref[...]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
-    # hot loop: no conditionals — alpha rows are logged to scratch and the
-    # per-video finals are gathered after the scan
-    def step(t, _):
-        e = emit_ref[:, pl.ds(t - 1, 1), :]  # (G, 1, LANES)
+    def step(i, _):
+        e = emit_ref[:, pl.ds(i, 1), :]  # (G, 1, LANES)
         cum[:, 0:1, :] += e
         span = W[...] + dur  # (G, Km, LANES)
         alpha = jnp.max(span, axis=1, keepdims=True) + cum[:, 0:1, :]
-        alphas[:, pl.ds(t - 1, 1), :] = alpha
+        alphas_ref[:, pl.ds(i, 1), :] = alpha
         bp_d = jnp.argmax(span, axis=1)[:, None, :].astype(jnp.int32)
         arr = trans + alpha  # (G, to, from); alpha broadcasts over `to`
         gamma_col = jnp.max(arr, axis=2, keepdims=True)  # (G, LANES, 1)
         bp_c = jnp.argmax(arr, axis=2)[:, None, :].astype(jnp.int32)
-        bp_ref[:, pl.ds(t - 1, 1), :] = bp_d * LANES + bp_c
+        bp_ref[:, pl.ds(i, 1), :] = bp_d * LANES + bp_c
         gamma = gamma_col.reshape(G, 1, LANES)
         w_prev = W[...]
         W[:, 1:Km, :] = w_prev[:, : Km - 1, :]
         W[:, 0:1, :] = gamma - cum[:, 0:1, :]
         return 0
 
-    jax.lax.fori_loop(1, T + 1, step, 0)
-
-    for g in range(G):
-        for v in range(pack):
-            length = lengths_ref[g * pack + v]
-            fin = alphas[g, pl.ds(length - 1, 1), :] + endm_ref[g, v : v + 1, :]
-            m = jnp.max(fin)
-            c0 = jnp.min(jnp.where(fin == m, lane, LANES)).astype(jnp.int32)
-            scores_ref[g, v : v + 1, :] = jnp.full((1, LANES), m, jnp.float32)
-            c0_ref[g, v : v + 1, :] = jnp.full((1, LANES), c0, jnp.int32)
+    jax.lax.fori_loop(0, Tc, step, 0)
 
 
 def _forward_kernel(semiring, trans_ref, init_ref, dur_ref,
@@ -235,28 +231,35 @@ def _chunk_bounds(G, bytes_per_group):
 def _launch_viterbi(pack, lengths_p, trans_bd, init, dur, emit, endm, interpret):
     G, Tp = emit.shape[0], emit.shape[1]
     Km_pad = dur.shape[1]
-    kernel = functools.partial(_viterbi_kernel, pack)
+    Tc = min(Tp, _TIME_CHUNK)
+    n_chunks = Tp // Tc
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        num_scalar_prefetch=0,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((G, LANES, LANES), lambda i: (0, 0, 0)),
+            pl.BlockSpec((G, 1, LANES), lambda i: (0, 0, 0)),
+            pl.BlockSpec((G, Km_pad, LANES), lambda i: (0, 0, 0)),
+            pl.BlockSpec((G, Tc, LANES), lambda i: (0, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, Tc, LANES), lambda i: (0, i, 0)),
+            pl.BlockSpec((G, Tc, LANES), lambda i: (0, i, 0)),
+        ],
         scratch_shapes=[
             pltpu.VMEM((G, Km_pad, LANES), jnp.float32),
             pltpu.VMEM((G, 8, LANES), jnp.float32),
-            pltpu.VMEM((G, Tp, LANES), jnp.float32),
         ],
     )
     return pl.pallas_call(
-        kernel,
+        _viterbi_kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((G, Tp, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((G, MAX_PACK, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((G, MAX_PACK, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((G, Tp, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(lengths_p, trans_bd, init, dur, emit, endm)
+    )(trans_bd, init, dur, emit)
 
 
 def _launch_forward(semiring, pack, lengths_p, trans_bd, init, dur, emit, endm, interpret):
@@ -325,16 +328,23 @@ def hsmm_viterbi_pallas(pots: HsmmPotentials, lengths, interpret=False):
     pack = max(1, min(MAX_PACK, LANES // C, B))
     packed = _pack_potentials(pots, lengths, pack)
     G, Tp = packed[6], packed[7]
-    # the bp kernel holds emit + alphas scratch + bp planes for full Tp
-    bp_p, scores_p, c0_p = _chunked(
-        _launch_viterbi, pack, packed, bytes_per_group=Tp * LANES * 4 * 3,
+    # bp + alpha planes stream through VMEM time-chunked (like the
+    # forward kernel), so T is unbounded; group chunks bound G
+    Tc = min(Tp, _TIME_CHUNK)
+    bp_p, alphas_p = _chunked(
+        _launch_viterbi, pack, packed, bytes_per_group=Tc * LANES * 4 * 6,
         interpret=interpret,
     )
 
-    scores = scores_p[:, :pack, 0].reshape(G * pack)[:B]
-    c0 = c0_p[:, :pack, 0].reshape(G * pack)[:B]
     group_of = jnp.arange(B) // pack
     offsets = ((jnp.arange(B) % pack) * C).astype(jnp.int32)
+    # per-video finals from the alphas plane at t = length - 1
+    lengths_i = jnp.asarray(lengths, jnp.int32)
+    rows = alphas_p[group_of, jnp.maximum(lengths_i - 1, 0), :]  # (B, LANES)
+    lanes = offsets[:, None] + jnp.arange(C)[None, :]
+    fin = jnp.take_along_axis(rows, lanes, axis=1) + pots.end_mask  # (B, C)
+    scores = jnp.max(fin, axis=1)
+    c0 = (offsets + jnp.argmax(fin, axis=1).astype(jnp.int32)).astype(jnp.int32)
 
     def traceback(g, c_start, length, off):
         spans0 = jnp.full((T,), -1, jnp.int32)

@@ -117,6 +117,24 @@ def main():
                 )
         print(f"OK (B={B}, T={T}, C={C}, K={K})", flush=True)
 
+    # long-video spans path: the backpointer kernel streams bp/alpha
+    # planes through the time-chunked grid, so T = 8192 must run on the
+    # real chip without a VMEM cliff (round-1 weakness: full-T planes
+    # were VMEM-resident and the spans API broke past T ~ 5k)
+    B, T, C, K = 2, 8192, 12, 10
+    pots, lengths = random_pots(rng, B, T, C, K)
+    spans, want_s = hsmm_viterbi(pots, lengths)
+    want_labels = np.asarray(spans_to_labels(spans))
+    got_spans, got_s = hsmm_viterbi_pallas(pots, lengths)
+    bp_labels = np.asarray(spans_to_labels(got_spans))
+    np.testing.assert_allclose(
+        np.asarray(got_s), np.asarray(want_s), rtol=1e-5, atol=5e-2
+    )
+    for b in range(B):
+        L = int(np.asarray(lengths)[b])
+        assert (bp_labels[b, :L] == want_labels[b, :L]).all(), b
+    print(f"OK long-video spans path (B={B}, T={T}, C={C}, K={K})", flush=True)
+
     # packed videos with wildly diverging score scales: the log kernel's
     # MXU transition combine normalizes per video block; a group-global
     # normalizer would zero out every non-leading video (regression for

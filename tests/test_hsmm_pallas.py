@@ -118,6 +118,16 @@ def test_long_sequence_time_chunked():
     for b in range(B):
         L = int(np.asarray(lengths)[b])
         assert (got_labels[b, :L] == want_labels[b, :L]).all()
+    # the backpointer (spans) path streams bp/alpha planes through the
+    # same time-chunked grid — no VMEM cliff past the chunk boundary
+    spans_bp, scores_bp = hsmm_viterbi_pallas(pots, lengths, interpret=True)
+    bp_labels = np.asarray(spans_to_labels(spans_bp))
+    np.testing.assert_allclose(
+        np.asarray(scores_bp), np.asarray(want_scores), rtol=1e-5, atol=1e-3
+    )
+    for b in range(B):
+        L = int(np.asarray(lengths)[b])
+        assert (bp_labels[b, :L] == want_labels[b, :L]).all()
 
 
 @pytest.mark.parametrize(
