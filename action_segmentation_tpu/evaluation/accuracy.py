@@ -50,7 +50,9 @@ class Accuracy:
         self._corpus = corpus
 
         self._gt2cluster = defaultdict(list)
-        self.exclude = {}
+        # (the reference's `exclude` machinery, accuracy.py:266-276 and
+        # 497-518, is only reachable from commented-out code there and
+        # is deliberately not carried over)
 
         self._predicted_labels_per_video = []
         self._predicted_rle_per_video = []

@@ -48,7 +48,9 @@ def add_training_args(parser):
         "--model_parallel",
         type=int,
         default=1,
-        help="devices on the 'model' mesh axis (class-table tensor parallelism)",
+        help="devices on the 'model' mesh axis (class-table tensor "
+        "parallelism; experimental — the tables are small at reference "
+        "scales, keep 1 unless profiling shows a win)",
     )
 
 
