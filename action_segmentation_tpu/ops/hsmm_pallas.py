@@ -45,9 +45,12 @@ from action_segmentation_tpu.ops.hsmm import HsmmPotentials
 
 LANES = 128
 MAX_PACK = 8
-# VMEM budget for the per-launch (G, T, 128) f32/i32 planes (emit +
-# alphas + backpointers); chunks of groups are launched separately above this
-_VMEM_PLANE_BUDGET = 8 * 1024 * 1024
+# VMEM budget for the per-launch time-chunk planes (emit in + alpha/bp
+# out, double-buffered by the pipeline); chunks of groups are launched
+# separately above this. TPU v4/v5 chips carry 64-128 MB of VMEM; 48 MB
+# keeps headroom for scratch while letting serving-size batches (G up
+# to ~24 at the 2048-frame time chunk) run as a single launch.
+_VMEM_PLANE_BUDGET = 48 * 1024 * 1024
 _TIME_CHUNK = 2048  # forward-scan grid chunk (frames per VMEM-resident block)
 
 

@@ -35,7 +35,9 @@ C = 19          # one CrossTask task: steps + per-step backgrounds
 D = 300         # 3 feature groups x 100 PCA dims
 K = 20          # --sm_max_span_length default
 T = 1024        # frames per video (CrossTask videos are 100s-1000s frames)
-B = 16          # videos per decode batch
+B = 18          # videos per batch: a multiple of the lane pack (6
+                # videos of C=19 classes share each 128-lane group), so
+                # every lane block is occupied — the serving batch shape
 
 BASELINE_T = 256  # torch baseline runs a smaller problem (same per-frame work)
 BASELINE_B = 2
