@@ -30,7 +30,9 @@ Shapes inside a kernel launch (G = packed groups in this chunk):
   init   (G, 1, 128)
   dur    (G, Km_pad, 128)  row j scores duration j+1, BIG_NEG padding
   emit   (G, T, 128)       per-frame log-likelihoods, 0 padding
-  endm   (G, 8, 128)       per-packed-video end masks (BIG_NEG off-block)
+
+End masks and per-video lengths stay outside the kernels: finals are
+gathered from the emitted alpha planes in plain jnp.
 """
 
 import functools
@@ -169,8 +171,11 @@ def _forward_kernel(semiring, trans_ref, init_ref, dur_ref,
     jax.lax.fori_loop(0, Tc, step, 0)
 
 
-def _pack_potentials(pots: HsmmPotentials, lengths, pack):
-    """Pack B videos into G groups of `pack` along the lane axis."""
+def _pack_potentials(pots: HsmmPotentials, pack):
+    """Pack B videos into G groups of `pack` along the lane axis.
+
+    End masks and lengths are NOT packed: per-video finals are gathered
+    from the kernels' alpha-plane output in plain jnp."""
     B, T, C = pots.emit.shape
     K = pots.lens.shape[1]
     Km = K - 1
@@ -210,20 +215,7 @@ def _pack_potentials(pots: HsmmPotentials, lengths, pack):
             trans_bd, trans_g[:, v], (0, v * C, v * C)
         )
 
-    endm = pad_b(pots.end_mask)  # (Bp, C)
-    endm_p = jnp.full((G, MAX_PACK, LANES), BIG_NEG, jnp.float32)
-    endm_g = endm.reshape(G, pack, C)
-    for v in range(pack):
-        endm_p = jax.lax.dynamic_update_slice(
-            endm_p, endm_g[:, v : v + 1], (0, v, v * C)
-        )
-
-    lengths_p = jnp.pad(jnp.asarray(lengths, jnp.int32), (0, Bp - B))
-    return emit, init, dur, trans_bd, endm_p, lengths_p, G, Tp, Km_pad
-
-
-def _full_specs(shapes):
-    return [pl.BlockSpec(memory_space=pltpu.ANY if s is None else pltpu.VMEM) for s in shapes]
+    return emit, init, dur, trans_bd, G, Tp, Km_pad
 
 
 def _chunk_bounds(G, bytes_per_group):
@@ -231,7 +223,7 @@ def _chunk_bounds(G, bytes_per_group):
     return max(1, min(G, _VMEM_PLANE_BUDGET // max(bytes_per_group, 1)))
 
 
-def _launch_viterbi(pack, lengths_p, trans_bd, init, dur, emit, endm, interpret):
+def _launch_viterbi(trans_bd, init, dur, emit, interpret):
     G, Tp = emit.shape[0], emit.shape[1]
     Km_pad = dur.shape[1]
     Tc = min(Tp, _TIME_CHUNK)
@@ -265,7 +257,7 @@ def _launch_viterbi(pack, lengths_p, trans_bd, init, dur, emit, endm, interpret)
     )(trans_bd, init, dur, emit)
 
 
-def _launch_forward(semiring, pack, lengths_p, trans_bd, init, dur, emit, endm, interpret):
+def _launch_forward(semiring, trans_bd, init, dur, emit, interpret):
     G, Tp = emit.shape[0], emit.shape[1]
     Km_pad = dur.shape[1]
     Tc = min(Tp, _TIME_CHUNK)
@@ -297,22 +289,19 @@ def _launch_forward(semiring, pack, lengths_p, trans_bd, init, dur, emit, endm, 
     return (alphas_p,)
 
 
-def _chunked(launch, pack, packed, bytes_per_group, interpret):
+def _chunked(launch, packed, bytes_per_group, interpret):
     """Launch over group chunks bounded by the VMEM plane budget."""
-    emit, init, dur, trans_bd, endm, lengths_p, G, Tp, Km_pad = packed
+    emit, init, dur, trans_bd, G, Tp, Km_pad = packed
     Gc = _chunk_bounds(G, bytes_per_group)
     outs = []
     for start in range(0, G, Gc):
         end = min(start + Gc, G)
         outs.append(
             launch(
-                pack,
-                lengths_p[start * pack : end * pack],
                 trans_bd[start:end],
                 init[start:end],
                 dur[start:end],
                 emit[start:end],
-                endm[start:end],
                 interpret,
             )
         )
@@ -329,13 +318,13 @@ def hsmm_viterbi_pallas(pots: HsmmPotentials, lengths, interpret=False):
     B, T, C = pots.emit.shape
     assert C <= LANES, "pack wrapper requires C <= 128"
     pack = max(1, min(MAX_PACK, LANES // C, B))
-    packed = _pack_potentials(pots, lengths, pack)
-    G, Tp = packed[6], packed[7]
+    packed = _pack_potentials(pots, pack)
+    G, Tp = packed[4], packed[5]
     # bp + alpha planes stream through VMEM time-chunked (like the
     # forward kernel), so T is unbounded; group chunks bound G
     Tc = min(Tp, _TIME_CHUNK)
     bp_p, alphas_p = _chunked(
-        _launch_viterbi, pack, packed, bytes_per_group=Tc * LANES * 4 * 6,
+        _launch_viterbi, packed, bytes_per_group=Tc * LANES * 4 * 6,
         interpret=interpret,
     )
 
@@ -380,13 +369,13 @@ def _run_forward(pots, lengths, interpret, semiring):
     B, T, C = pots.emit.shape
     assert C <= LANES, "pack wrapper requires C <= 128"
     pack = max(1, min(MAX_PACK, LANES // C, B))
-    packed = _pack_potentials(pots, lengths, pack)
-    G = packed[6]
-    Tp = packed[7]
+    packed = _pack_potentials(pots, pack)
+    G = packed[4]
+    Tp = packed[5]
     # time-chunked streaming: VMEM holds ~4 (G, Tc, 128) buffers
     Tc = min(Tp, _TIME_CHUNK)
     (alphas_p,) = _chunked(
-        functools.partial(_launch_forward, semiring), pack, packed,
+        functools.partial(_launch_forward, semiring), packed,
         bytes_per_group=Tc * LANES * 4 * 4, interpret=interpret,
     )
     # unpack alphas: lanes are contiguous per-video C blocks

@@ -328,8 +328,9 @@ def flop_accounting():
     dp_log_step = 5 * Km_pad * LANES + 5 * LANES * LANES  # + exp/log passes
     dp_max_scan = G * T * dp_max_step
     dp_log_scan = G * T * dp_log_step
-    # decode label combine (_max_labels_single): Km shifted-window passes
-    label_combine = B * T * C * (4 * Km + Km * (Km + 1) // 2)
+    # decode label combine (_max_labels_single): Km span-score passes +
+    # duration suffix-max (cummax) + Km shifted maxes — O(T*Km) form
+    label_combine = B * T * C * 6 * Km
     # train cotangent combine (_combine_grads_single): Km-banded stacks,
     # exp of span marginals, pair marginals over C^2
     grad_combine = B * T * (8 * Km * C + 3 * C * C)

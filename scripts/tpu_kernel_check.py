@@ -51,13 +51,77 @@ def random_pots(rng, B, T, C, K, constrained=False):
     return pots, jnp.asarray(lengths)
 
 
+def f64_tie_gaps(pots, lengths, b, frames, labels_got):
+    """Float64 max-marginal gap (best class minus decoded class) at each
+    queried frame of instance b.
+
+    At long T the fp32 forward scores reach magnitudes where ULP is
+    ~5e-4, and random potentials produce frames whose top-two
+    max-marginals sit closer than that; compiled-vs-interpreted
+    association order then flips them. A decoded label is acceptable
+    exactly when its float64 gap to the best class is at fp32 noise
+    level — this checks that, instead of a blind mismatch budget.
+    """
+    L = int(np.asarray(lengths)[b])
+    C = pots.emit.shape[2]
+    K = pots.lens.shape[1]
+    NEG = -1e18
+    trans = np.asarray(pots.trans[b], np.float64)
+    init = np.asarray(pots.init[b], np.float64)
+    lens = np.asarray(pots.lens[b], np.float64)
+    emit = np.asarray(pots.emit[b], np.float64)[:L]
+    end = np.asarray(pots.end_mask[b], np.float64)
+    cum = np.vstack([np.zeros(C), np.cumsum(emit, 0)])
+    # F[s, c]: best prefix with the next span starting at s in class c
+    F = np.full((L + 1, C), NEG)
+    F[0] = init
+    alphas = np.full((L, C), NEG)
+    for t in range(1, L + 1):
+        lo = max(0, t - (K - 1))
+        cands = np.stack([F[s] + lens[t - s] + (cum[t] - cum[s]) for s in range(lo, t)])
+        alphas[t - 1] = cands.max(0)
+        if t < L:
+            F[t] = (trans + alphas[t - 1][None, :]).max(1)
+    # S[e, c_prev]: best suffix of [e, L) given the previous span class
+    S = np.full((L + 1, C), NEG)
+    S[L] = end
+    for e in range(L - 1, 0, -1):
+        hi = min(L, e + (K - 1))
+        cands = np.stack(
+            [lens[d] + (cum[e + d] - cum[e]) + S[e + d] for d in range(1, hi - e + 1)]
+        )
+        S[e] = (trans.T + cands.max(0)[None, :]).max(1)
+    gaps = []
+    for t0 in frames:
+        fm = np.full(C, NEG)
+        for s in range(max(0, t0 - K + 2), t0 + 1):
+            for d in range(t0 - s + 1, min(K - 1, L - s) + 1):
+                fm = np.maximum(fm, F[s] + lens[d] + (cum[s + d] - cum[s]) + S[s + d])
+        gaps.append(fm.max() - fm[labels_got[t0]])
+    return np.asarray(gaps)
+
+
+def assert_labels_viterbi(pots, lengths, got_labels, want_labels, ctx):
+    """Exact label match, except frames whose float64 max-marginal gap
+    is below fp32 resolution at the score magnitude (genuine ties)."""
+    B = got_labels.shape[0]
+    for b in range(B):
+        L = int(np.asarray(lengths)[b])
+        mism = np.nonzero(got_labels[b, :L] != want_labels[b, :L])[0]
+        if len(mism) == 0:
+            continue
+        assert len(mism) <= max(2, L // 200), (ctx, b, len(mism))
+        gaps = f64_tie_gaps(pots, lengths, b, mism.tolist(), got_labels[b])
+        assert (gaps <= 1e-2).all(), (ctx, b, mism[:10], gaps[:10])
+
+
 def main():
     enable_compilation_cache()
     rng = np.random.RandomState(0)
     for (B, T, C, K, constrained) in [
         (3, 96, 5, 6, True),
         (7, 160, 19, 8, False),
-        (2, 1200, 6, 7, False),  # time-chunked (T > chunk)
+        (2, 2600, 6, 7, False),  # time-chunked (T > the 2048-frame chunk)
     ]:
         pots, lengths = random_pots(rng, B, T, C, K, constrained)
         want_z = np.asarray(hsmm_partition(pots, lengths))
@@ -71,9 +135,9 @@ def main():
         np.testing.assert_allclose(
             np.asarray(got_s), np.asarray(want_s), rtol=1e-5, atol=1e-2
         )
-        for b in range(B):
-            L = int(np.asarray(lengths)[b])
-            assert (got_labels[b, :L] == want_labels[b, :L]).all(), (B, T, C, b)
+        assert_labels_viterbi(
+            pots, lengths, got_labels, want_labels, ("labels", B, T, C)
+        )
 
         # compiled float association order can flip exact ties in where a
         # same-class run splits into spans; compare frame labels + scores
@@ -82,9 +146,9 @@ def main():
         np.testing.assert_allclose(
             np.asarray(got_s2), np.asarray(want_s), rtol=1e-5, atol=1e-2
         )
-        for b in range(B):
-            L = int(np.asarray(lengths)[b])
-            assert (bp_labels[b, :L] == want_labels[b, :L]).all(), (B, T, C, b)
+        assert_labels_viterbi(
+            pots, lengths, bp_labels, want_labels, ("spans", B, T, C)
+        )
 
         # full training-path gradient parity: every cotangent of the
         # custom-VJP (trans/init/lens/emit/end_mask) vs autodiff of the
@@ -130,15 +194,17 @@ def main():
     np.testing.assert_allclose(
         np.asarray(got_s), np.asarray(want_s), rtol=1e-5, atol=5e-2
     )
-    for b in range(B):
-        L = int(np.asarray(lengths)[b])
-        assert (bp_labels[b, :L] == want_labels[b, :L]).all(), b
+    assert_labels_viterbi(
+        pots, lengths, bp_labels, want_labels, ("long-spans", B, T, C)
+    )
     print(f"OK long-video spans path (B={B}, T={T}, C={C}, K={K})", flush=True)
 
-    # packed videos with wildly diverging score scales: the log kernel's
-    # MXU transition combine normalizes per video block; a group-global
-    # normalizer would zero out every non-leading video (regression for
-    # the blockmax in _forward_kernel)
+    # packed videos with wildly diverging score scales: every reduction
+    # in the log kernel (and any future replacement of its VPU
+    # logsumexp) must normalize per video, not per 128-lane group —
+    # a group-global normalizer underflows every non-leading video.
+    # (An MXU transition combine with a group-global max failed exactly
+    # here; see docs/DESIGN.md §7 for the rejected experiment.)
     B, T, C, K = 6, 512, 19, 8
     pots, lengths = random_pots(rng, B, T, C, K)
     offsets = jnp.asarray(

@@ -144,10 +144,12 @@ def test_partition_matches_jnp(B, T, C, K):
 
 def test_diverging_scale_pack():
     """Videos packed into one lane group whose forward scores diverge by
-    thousands of nats: the log kernel's MXU transition combine must
-    normalize per video block, not per group (regression for the
-    blockmax in _forward_kernel — a group-global max silently zeroes
-    every non-leading video's mass)."""
+    thousands of nats: every reduction in the log kernel must stay
+    numerically per-video. The VPU logsumexp passes because its per-row
+    max is per-video automatically (BIG_NEG off-blocks); any future
+    combine that normalizes with a group-global statistic silently
+    zeroes every non-leading video's mass and fails here (an MXU
+    variant did; see docs/DESIGN.md §7)."""
     rng = np.random.RandomState(3)
     B, T, C, K = 6, 300, 19, 8
     pots, lengths = random_pots(rng, B, T, C, K)
@@ -156,3 +158,37 @@ def test_diverging_scale_pack():
     want = np.asarray(hsmm_partition(pots, lengths))
     got = np.asarray(hsmm_partition_pallas(pots, lengths, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-2)
+
+
+def test_cross_chunk_carry(monkeypatch):
+    """T spanning multiple kernel time chunks: the scan carry (W, running
+    emission cumsum) must survive chunk boundaries in all three kernels
+    (log forward, max forward, backpointer). The production chunk is
+    2048 frames — too slow for CI in interpret mode — so the chunk is
+    shrunk to 64 here, giving a 5-chunk grid at T=300."""
+    from action_segmentation_tpu.ops import hsmm_pallas as hp
+
+    monkeypatch.setattr(hp, "_TIME_CHUNK", 64)
+    rng = np.random.RandomState(11)
+    B, T, C, K = 3, 300, 7, 6
+    pots, lengths = random_pots(rng, B, T, C, K)
+    want_z = np.asarray(hsmm_partition(pots, lengths))
+    got_z = np.asarray(hsmm_partition_pallas(pots, lengths, interpret=True))
+    np.testing.assert_allclose(got_z, want_z, rtol=1e-4, atol=1e-2)
+
+    spans, want_scores = hsmm_viterbi(pots, lengths)
+    want_labels = np.asarray(spans_to_labels(spans))
+    got_labels, got_scores = hsmm_viterbi_labels_pallas(pots, lengths, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got_scores), np.asarray(want_scores), rtol=1e-5, atol=1e-3
+    )
+    spans_bp, scores_bp = hsmm_viterbi_pallas(pots, lengths, interpret=True)
+    bp_labels = np.asarray(spans_to_labels(spans_bp))
+    np.testing.assert_allclose(
+        np.asarray(scores_bp), np.asarray(want_scores), rtol=1e-5, atol=1e-3
+    )
+    got_labels = np.asarray(got_labels)
+    for b in range(B):
+        L = int(np.asarray(lengths)[b])
+        assert (got_labels[b, :L] == want_labels[b, :L]).all()
+        assert (bp_labels[b, :L] == want_labels[b, :L]).all()
