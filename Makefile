@@ -12,6 +12,9 @@ native:
 tpu-check:
 	python scripts/tpu_kernel_check.py
 
+tpu-e2e:
+	python scripts/tpu_e2e_check.py
+
 scale-check:
 	python scripts/tpu_scale_check.py
 

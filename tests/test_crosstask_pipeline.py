@@ -11,87 +11,14 @@ import os
 import numpy as np
 import pytest
 
-TASKS = {
-    16815: ["stepA", "stepB", "stepC"],
-    23521: ["stepX", "stepY"],
-}
-RELATED_TASKS = {
-    1373: ["stepR1", "stepR2"],
-}
+from action_segmentation_tpu.data.minigen import (
+    DIM_PER_GROUP,
+    TASKS,
+    write_mini_crosstask as _write_release,
+)
+
 N_TRAIN = 4
 N_VAL = 2
-DIM_PER_GROUP = 4
-SHIFT = 3.0
-
-
-def _write_release(root, rng):
-    release = os.path.join(root, "crosstask", "crosstask_release")
-    os.makedirs(os.path.join(release, "annotations"), exist_ok=True)
-    constraints = os.path.join(root, "crosstask", "crosstask_constraints")
-    os.makedirs(constraints, exist_ok=True)
-    pca_root = os.path.join(
-        root,
-        "crosstask",
-        "crosstask_processed",
-        "crosstask_primary_pca-200_with-bkg_by-task",
-    )
-    for group in ("i3d", "resnet", "audio"):
-        os.makedirs(os.path.join(pca_root, group), exist_ok=True)
-
-    with open(os.path.join(release, "tasks_primary.txt"), "w") as f:
-        for task_id, steps in TASKS.items():
-            f.write(f"{task_id}\ntask {task_id}\nhttp://x\n{len(steps)}\n")
-            f.write(",".join(steps) + "\n\n")
-    with open(os.path.join(release, "tasks_related.txt"), "w") as f:
-        for task_id, steps in RELATED_TASKS.items():
-            f.write(f"{task_id}\ntask {task_id}\nhttp://x\n{len(steps)}\n")
-            f.write(",".join(steps) + "\n\n")
-
-    videos = []
-    val_videos = []
-    gt_frames = {}
-    for task_id, steps in {**TASKS, **RELATED_TASKS}.items():
-        for i in range(N_TRAIN + N_VAL):
-            vid = f"v{task_id}_{i}"
-            videos.append((task_id, vid))
-            if i >= N_TRAIN:
-                val_videos.append((task_id, vid))
-            # segments: bkg, step1, bkg, step2, ... with random durations
-            rows = []
-            t = rng.randint(2, 5)
-            frame_labels = [0] * t
-            for s_ix in range(len(steps)):
-                dur = rng.randint(3, 8)
-                rows.append((s_ix + 1, t, t + dur))
-                frame_labels.extend([s_ix + 1] * dur)
-                t += dur
-                gap = rng.randint(1, 4)
-                frame_labels.extend([0] * gap)
-                t += gap
-            T = len(frame_labels)
-            gt_frames[vid] = np.array(frame_labels)
-            with open(
-                os.path.join(release, "annotations", f"{task_id}_{vid}.csv"), "w"
-            ) as f:
-                for step, s, e in rows:
-                    f.write(f"{step},{s},{e}\n")
-            with open(os.path.join(constraints, f"{task_id}_{vid}.csv"), "w") as f:
-                for step, s, e in rows:
-                    f.write(f"{step},{s},{e}\n")
-            # informative per-group features: class-shifted gaussians
-            for g_ix, group in enumerate(("i3d", "resnet", "audio")):
-                feats = rng.randn(T, DIM_PER_GROUP).astype(np.float32)
-                for t_ix, lab in enumerate(frame_labels):
-                    feats[t_ix, lab % DIM_PER_GROUP] += SHIFT * (1 + 0.1 * g_ix)
-                np.save(os.path.join(pca_root, group, f"{vid}.npy"), feats)
-
-    with open(os.path.join(release, "videos.csv"), "w") as f:
-        for task_id, vid in videos:
-            f.write(f"{task_id},{vid},http://u\n")
-    with open(os.path.join(release, "videos_val.csv"), "w") as f:
-        for task_id, vid in val_videos:
-            f.write(f"{task_id},{vid},http://u\n")
-    return gt_frames
 
 
 @pytest.fixture(scope="module")
