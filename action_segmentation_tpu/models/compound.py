@@ -199,33 +199,39 @@ class ComponentHsmm(GaussianHsmm):
     ):
         B = features.shape[0]
         C_sub = vc.shape[0]
-        mvc = jnp.asarray(self.merge_map)[vc] if self.merge_map is not None else vc
+        # vc == -1 marks shape padding (class-count bucketing): masked
+        # to BIG_NEG before every softmax, gathered with a clipped index
+        pad = vc < 0
+        vcs = jnp.where(pad, 0, vc)
+        mvc = jnp.asarray(self.merge_map)[vcs] if self.merge_map is not None else vcs
 
         feats, log_det = self.project_features(params, features)
         z, kl = self._get_z_and_kl(params, feats, lengths, rng, use_mean_z)
 
         # initial: w . embed(class) (+ class bias), masked log-softmax
-        init_emb = self._embed(params, "initial_embeddings", vc, self.structure_uses_z, z)
+        init_emb = self._embed(params, "initial_embeddings", vcs, self.structure_uses_z, z)
         x = _linear(params["initial_weights"], init_emb)[..., 0]  # (B|1, C_sub)
         if self.init_dis is not None:
-            x = jnp.where(jnp.asarray(self.init_dis)[vc][None], BIG_NEG, x)
+            x = jnp.where(jnp.asarray(self.init_dis)[vcs][None], BIG_NEG, x)
         if self.per_class_bias:
-            x = x + params["initial_bias"][vc][None]
+            x = x + params["initial_bias"][vcs][None]
+        x = jnp.where(pad[None], BIG_NEG, x)
         init = jax.nn.log_softmax(x, axis=-1)
         init = jnp.broadcast_to(init, (B, C_sub))
 
         # transition: f(embed(from)) . embed(to), [to, from] indexing
         tr_emb = self._embed(
-            params, "transition_embeddings", vc, self.structure_uses_z, z
+            params, "transition_embeddings", vcs, self.structure_uses_z, z
         )
         f_emb = _linear(params["transition_weights"], tr_emb)
         x = jnp.einsum("bfe,bte->btf", f_emb, tr_emb)  # (B|1, to, from)
         if self.trans_dis is not None:
-            x = jnp.where(jnp.asarray(self.trans_dis)[vc][:, vc][None], BIG_NEG, x)
+            x = jnp.where(jnp.asarray(self.trans_dis)[vcs][:, vcs][None], BIG_NEG, x)
         if self.per_class_bias:
-            x = x + params["transition_bias"][vc][None, :, None]
+            x = x + params["transition_bias"][vcs][None, :, None]
         if not self.allow_self_transitions:
             x = jnp.where(jnp.eye(C_sub, dtype=bool)[None], BIG_NEG, x)
+        x = jnp.where(pad[None, :, None], BIG_NEG, x)
         trans = jax.nn.log_softmax(x, axis=-2)
         trans = jnp.broadcast_to(trans, (B, C_sub, C_sub))
 
@@ -235,7 +241,7 @@ class ComponentHsmm(GaussianHsmm):
         )
         log_rates = _residual_mlp(params["length_mlp"], len_emb)[..., 0]
         if self.per_class_bias:
-            log_rates = log_rates + params["length_bias"][vc][None]
+            log_rates = log_rates + params["length_bias"][vcs][None]
         lens = poisson_length_log_probs(log_rates, self.max_k)  # (B|1, K, C_sub)
         lens = jnp.broadcast_to(lens, (B,) + lens.shape[-2:])
 

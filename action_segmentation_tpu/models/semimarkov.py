@@ -149,20 +149,29 @@ class GaussianHsmm:
         constraints_add: (B, T, C_sub) additive emission penalties (zeros
         when unused); end_allowed: (B, C_sub) additive end mask.
         Returns (pots, log_det (B,), kl (B,)).
+
+        vc entries of -1 are shape padding (class-count bucketing, so
+        tasks with different class counts share one compiled program):
+        their initial/transition rows are masked to BIG_NEG before every
+        softmax, so they carry no probability mass and are never
+        decoded; parameter gathers use a clipped index.
         """
         B = features.shape[0]
         C_sub = vc.shape[0]
-        mvc = jnp.asarray(self.merge_map)[vc] if self.merge_map is not None else vc
+        pad = vc < 0
+        vcs = jnp.where(pad, 0, vc)
+        mvc = jnp.asarray(self.merge_map)[vcs] if self.merge_map is not None else vcs
 
-        init = initial_log_probs(
-            params["init_logits"][vc],
-            jnp.asarray(self.init_dis)[vc] if self.init_dis is not None else None,
-        )
+        init_mask = pad
+        if self.init_dis is not None:
+            init_mask = init_mask | jnp.asarray(self.init_dis)[vcs]
+        init = initial_log_probs(params["init_logits"][vcs], init_mask)
+        trans_mask = pad[:, None] | pad[None, :]
+        if self.trans_dis is not None:
+            trans_mask = trans_mask | jnp.asarray(self.trans_dis)[vcs][:, vcs]
         trans = transition_log_probs(
-            params["transition_logits"][vc][:, vc],
-            jnp.asarray(self.trans_dis)[vc][:, vc]
-            if self.trans_dis is not None
-            else None,
+            params["transition_logits"][vcs][:, vcs],
+            trans_mask,
             self.allow_self_transitions,
         )
         lens = poisson_length_log_probs(params["poisson_log_rates"][mvc], self.max_k)
@@ -246,6 +255,15 @@ class SemiMarkovModel(Model):
     @classmethod
     def add_args(cls, parser):
         parser.add_argument("--sm_max_span_length", type=int, default=20)
+        parser.add_argument(
+            "--sm_class_shape_bucket",
+            type=int,
+            default=4,
+            help="round each task's class count up to a multiple of this "
+            "for jit shapes (padded classes are exactly masked out), so "
+            "tasks with different step counts share compiled programs; "
+            "1 disables",
+        )
         parser.add_argument("--sm_supervised_state_smoothing", type=float, default=1e-2)
         parser.add_argument("--sm_supervised_length_smoothing", type=float, default=1e-1)
         parser.add_argument(
@@ -397,6 +415,21 @@ class SemiMarkovModel(Model):
                 mask = np.array([ix in allowed for ix in vc])
                 assert mask.any(), "no allowed end classes for instance"
                 end_allowed[i] = np.where(mask, 0.0, BIG_NEG)
+
+        # class-count bucketing: pad the valid-class set to a multiple of
+        # --sm_class_shape_bucket with -1 sentinels (masked to BIG_NEG in
+        # compute_potentials) so tasks with different step counts reuse
+        # one compiled program per length bucket — jit compiles are
+        # minutes each through the remote-TPU tunnel
+        bucket = max(1, getattr(self.args, "sm_class_shape_bucket", 1) or 1)
+        Cp = -(-C_sub // bucket) * bucket
+        if Cp > C_sub:
+            extra = Cp - C_sub
+            vc = np.concatenate([vc, np.full(extra, -1, np.int32)])
+            cons = np.pad(cons, ((0, 0), (0, 0), (0, extra)))
+            end_allowed = np.pad(
+                end_allowed, ((0, 0), (0, extra)), constant_values=BIG_NEG
+            )
 
         return vc, inv_map, cons.astype(np.float32), end_allowed
 

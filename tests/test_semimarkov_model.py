@@ -100,3 +100,51 @@ def test_pickle_roundtrip(toy_data):
     acc1 = token_accuracy(model, test)
     acc2 = token_accuracy(model2, test)
     assert abs(acc1 - acc2) < 1e-9
+
+
+def test_class_shape_bucket_parity():
+    """Padding the valid-class set with -1 sentinels (shape bucketing,
+    --sm_class_shape_bucket) must not change predictions or training
+    losses: padded classes are exactly masked out of every softmax."""
+    import argparse
+
+    from action_segmentation_tpu.data.synthetic import SyntheticDatasplit
+    from action_segmentation_tpu.models.base import add_training_args
+    from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+
+    def make_args(**overrides):
+        parser = argparse.ArgumentParser()
+        SemiMarkovModel.add_args(parser)
+        add_training_args(parser)
+        parser.add_argument("--batch_size", type=int, default=4)
+        parser.add_argument("--annotate_background_with_previous", action="store_true")
+        parser.add_argument("--no_merge_classes", action="store_true")
+        args = parser.parse_args([])
+        for k, v in overrides.items():
+            setattr(args, k, v)
+        return args
+
+    data = SyntheticDatasplit(num_videos=9, n_classes=3, max_len=22, span_k=4, seed=2)
+
+    preds = {}
+    losses = {}
+    for bucket in (1, 4, 7):
+        args = make_args(
+            sm_max_span_length=8,
+            sm_supervised_method="gradient-based",
+            epochs=2,
+            lr=1e-2,
+            sm_class_shape_bucket=bucket,
+        )
+        model = SemiMarkovModel.from_args(args, data)
+        ls = []
+        model.fit(data, use_labels=True, callback_fn=lambda e, s: ls.append(s["train_loss"]))
+        losses[bucket] = ls
+        preds[bucket] = model.predict(data)
+
+    for bucket in (4, 7):
+        assert np.allclose(losses[bucket], losses[1], rtol=1e-5, atol=1e-4), (
+            bucket, losses[bucket], losses[1],
+        )
+        for video, want in preds[1].items():
+            assert (preds[bucket][video] == want).all(), (bucket, video)
