@@ -433,6 +433,28 @@ class SemiMarkovModel(Model):
 
         return vc, inv_map, cons.astype(np.float32), end_allowed
 
+    def _pad_batch_rows(self, features, lengths, gt, cons, end_allowed):
+        """Pad the batch to --batch_size rows (weight-0, length-1
+        dummies) so partial final batches reuse the full batch's
+        compiled program; returns (padded arrays..., weights (Bp,))."""
+        B = len(lengths)
+        Bp = max(int(getattr(self.args, "batch_size", B) or B), B)
+        weights = np.zeros(Bp, np.float32)
+        weights[:B] = 1.0
+        if Bp > B:
+            def padz(arr):
+                arr = np.asarray(arr)
+                return np.pad(arr, [(0, Bp - B)] + [(0, 0)] * (arr.ndim - 1))
+
+            features = padz(features)
+            gt = padz(gt)
+            cons = padz(cons)
+            end_allowed = padz(end_allowed)
+            lengths = np.concatenate(
+                [np.asarray(lengths), np.ones(Bp - B, np.asarray(lengths).dtype)]
+            )
+        return features, lengths, gt, cons, end_allowed, weights
+
     def _expand_constraints(self, datasplit, task, vc, constraints):
         """(B, T, K_steps) narration 0/1 -> (B, T, C_sub) penalties of
         (1 - constraint) at each step's column (semimarkov.py:149-157)."""
@@ -475,11 +497,19 @@ class SemiMarkovModel(Model):
         discriminative = getattr(self.args, "sm_train_discriminatively", False)
         use_pallas = pallas_supported(self.n_classes)
 
-        def loss_fn(params, features, lengths, vc, inv_map, gt, cons, end_allowed, rng):
+        def loss_fn(params, features, lengths, vc, inv_map, gt, cons, end_allowed, weights, rng):
             # marginal-likelihood training runs the partition through the
             # custom-VJP Pallas forward/backward when on TPU (the forward
-            # kernel streams time chunks, so T is unbounded)
+            # kernel streams time chunks, so T is unbounded).
+            # `weights` (B,) supports batches padded to a fixed size for
+            # jit-shape reuse: padded rows get weight 0 and every mean is
+            # weighted, so padding never changes the loss.
             partition_fn = hsmm_partition_fast if use_pallas else hsmm_partition
+            denom = jnp.maximum(weights.sum(), 1.0)
+
+            def wmean(x):
+                return jnp.sum(x * weights) / denom
+
             pots, log_det, kl = module.compute_potentials(
                 params, features, lengths, vc, cons, end_allowed, rng, use_mean_z=use_labels
             )
@@ -487,19 +517,19 @@ class SemiMarkovModel(Model):
                 labels_sub = inv_map[gt]
                 spans = labels_to_spans(labels_sub, K)
                 if discriminative:
-                    ll = (
+                    ll = wmean(
                         hsmm_gold_score(pots, lengths, spans)
                         - partition_fn(pots, lengths)
-                    ).mean()
+                    )
                 else:
-                    ll = hsmm_gold_score(pots, lengths, spans).mean()
+                    ll = wmean(hsmm_gold_score(pots, lengths, spans))
             else:
-                ll = partition_fn(pots, lengths).mean()
+                ll = wmean(partition_fn(pots, lengths))
             nll = -ll
-            loss = nll - log_det.mean()
+            loss = nll - wmean(log_det)
             if not use_labels:
-                loss = loss + kl.mean()
-            return loss, {"nll": nll, "kl": kl.mean(), "log_det": log_det.mean()}
+                loss = loss + wmean(kl)
+            return loss, {"nll": nll, "kl": wmean(kl), "log_det": wmean(log_det)}
 
         return loss_fn
 
@@ -507,9 +537,9 @@ class SemiMarkovModel(Model):
         loss_fn = self._build_loss_fn(use_labels)
 
         @jax.jit
-        def grad_step(params, features, lengths, vc, inv_map, gt, cons, end_allowed, rng):
+        def grad_step(params, features, lengths, vc, inv_map, gt, cons, end_allowed, weights, rng):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, features, lengths, vc, inv_map, gt, cons, end_allowed, rng
+                params, features, lengths, vc, inv_map, gt, cons, end_allowed, weights, rng
             )
             return loss, aux, grads
 
@@ -689,6 +719,7 @@ class SemiMarkovModel(Model):
                         mesh,
                         [batch["features"], batch["lengths"], gt, cons, end_allowed],
                         B,
+                        pad_to=args.batch_size,
                     )
                     placed = [
                         jax.device_put(jnp.asarray(a), batch_sharding(mesh, a.ndim))
@@ -703,15 +734,19 @@ class SemiMarkovModel(Model):
                     aux = {"nll": loss, "kl": 0.0, "log_det": 0.0}
                     grads = None
                 else:
+                    feat_p, len_p, gt_p, cons_p, end_p, w = self._pad_batch_rows(
+                        batch["features"], batch["lengths"], gt, cons, end_allowed
+                    )
                     loss, aux, grads = grad_step(
                         params,
-                        jnp.asarray(batch["features"]),
-                        jnp.asarray(batch["lengths"]),
+                        jnp.asarray(feat_p),
+                        jnp.asarray(len_p),
                         jnp.asarray(vc),
                         jnp.asarray(inv_map),
-                        jnp.asarray(gt),
-                        jnp.asarray(cons),
-                        jnp.asarray(end_allowed),
+                        jnp.asarray(gt_p),
+                        jnp.asarray(cons_p),
+                        jnp.asarray(end_p),
+                        jnp.asarray(w),
                         step_rng,
                     )
                 loss_f = float(loss)
@@ -827,7 +862,14 @@ class SemiMarkovModel(Model):
             B = features.shape[0]
             if use_dp:
                 (features, lengths, cons, end_allowed), _ = pad_batch_for_mesh(
-                    mesh, [features, lengths, cons, end_allowed], B
+                    mesh, [features, lengths, cons, end_allowed], B,
+                    pad_to=self.args.batch_size,
+                )
+            else:
+                # fixed-B decode shapes: partial final batches reuse the
+                # full batch's compiled program; padded rows are dropped
+                features, lengths, _, cons, end_allowed, _ = self._pad_batch_rows(
+                    features, lengths, np.zeros((B, 1), np.int64), cons, end_allowed
                 )
             labels, _ = decode(
                 self.module.params,

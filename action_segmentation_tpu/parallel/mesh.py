@@ -143,11 +143,12 @@ def build_sharded_train_step(module, tx, mesh, use_labels):
     return jax.jit(step)
 
 
-def pad_batch_for_mesh(mesh, arrays, batch_size):
-    """Pad leading batch dims up to a multiple of the data axis; returns
-    (padded arrays, weights)."""
+def pad_batch_for_mesh(mesh, arrays, batch_size, pad_to=None):
+    """Pad leading batch dims up to a multiple of the data axis (and at
+    least `pad_to`, for jit-shape reuse across partial final batches);
+    returns (padded arrays, weights)."""
     dp = mesh.shape["data"]
-    Bp = -(-batch_size // dp) * dp
+    Bp = -(-max(batch_size, pad_to or 0) // dp) * dp
     padded = []
     for arr in arrays:
         arr = np.asarray(arr)
