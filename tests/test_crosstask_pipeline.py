@@ -376,3 +376,37 @@ def test_narration_constraints_at_test(mini_crosstask):
     for task, s in stats["all"].items():
         nb = s["mof_non_bg"][0] / s["mof_non_bg"][1]
         assert nb > 0.4, (task, nb)
+
+
+def test_shape_bucketing_bounds_compiles(mini_crosstask):
+    """Class-count bucketing + fixed-B padding bound the number of jit
+    traces: tasks with different step counts (C_sub 3 and 4 here, both
+    bucketed to 4) and partial final batches must share decode programs,
+    so the trace count is at most the number of length buckets."""
+    from action_segmentation_tpu import main as main_mod
+    from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+
+    root, _ = mini_crosstask
+    parser = main_mod.build_parser()
+    args = parser.parse_args(
+        _base_argv(root, "semimarkov")
+        + ["--training", "supervised", "--sm_supervised_method", "closed-form"]
+    )
+    (train_data, _, test_data) = main_mod.make_data_splits(args)["all"]
+    model = SemiMarkovModel.from_args(args, train_data)
+    model.fit_supervised(train_data)
+    model.predict(test_data)
+
+    decode = model._jit_cache["decode"]
+    # every video's features bucket to a padded length; distinct decode
+    # traces = distinct (T_bucket,) shapes only — C and B are pinned
+    traces = decode._cache_size()
+    from action_segmentation_tpu.data.batching import pad_length_to_bucket
+
+    buckets = set()
+    for task, vids in test_data.videos_by_task.items():
+        for name in vids:
+            sample = test_data[(task, name)]
+            if sample is not None:
+                buckets.add(pad_length_to_bucket(sample["features"].shape[0]))
+    assert traces <= len(buckets), (traces, buckets)
