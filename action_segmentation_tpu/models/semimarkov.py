@@ -701,9 +701,16 @@ class SemiMarkovModel(Model):
                 nonlocal train_nll, train_kl, train_log_det
                 if not pending:
                     return
-                fetched = jax.device_get(
-                    [(l, a["nll"], a["kl"], a["log_det"]) for _, _, l, a in pending]
+                # stack on device first: each scalar fetch is a full
+                # ~30 ms round trip through the remote tunnel, so the
+                # whole drain must be ONE transfer
+                stacked = jnp.stack(
+                    [
+                        jnp.stack((l, a["nll"], a["kl"], a["log_det"]))
+                        for _, _, l, a in pending
+                    ]
                 )
+                fetched = np.asarray(stacked)
                 for (bix, Bb, _, _), (loss_f, nll_f, kl_f, ld_f) in zip(
                     pending, fetched
                 ):
@@ -764,18 +771,12 @@ class SemiMarkovModel(Model):
                     feat_p, len_p, gt_p, cons_p, end_p, w = self._pad_batch_rows(
                         batch["features"], batch["lengths"], gt, cons, end_allowed
                     )
-                    loss, aux, grads = grad_step(
-                        params,
-                        jnp.asarray(feat_p),
-                        jnp.asarray(len_p),
-                        jnp.asarray(vc),
-                        jnp.asarray(inv_map),
-                        jnp.asarray(gt_p),
-                        jnp.asarray(cons_p),
-                        jnp.asarray(end_p),
-                        jnp.asarray(w),
-                        step_rng,
+                    # one device_put for the whole batch: each separate
+                    # transfer pays a tunnel round trip
+                    dev = jax.device_put(
+                        (feat_p, len_p, vc, inv_map, gt_p, cons_p, end_p, w)
                     )
+                    loss, aux, grads = grad_step(params, *dev, step_rng)
                 # defer the scalar fetches: float(loss) here would force a
                 # full device sync every batch, serializing the next
                 # batch's 10s-of-MB host->device transfer behind the step
@@ -871,7 +872,13 @@ class SemiMarkovModel(Model):
             decode = self._get_jitted("decode", self._build_decode_step)
         use_narration = "test" in self.args.sm_constrain_with_narration
         rng = jax.random.PRNGKey(0)
-        in_flight = None  # previous batch's (names, lengths, labels, B)
+        # decode outputs stay on device until the very end: every
+        # dispatch->fetch round trip through the remote-TPU tunnel costs
+        # ~0.5 s regardless of size, so per-batch fetches would dominate
+        # the per-epoch evaluation wall clock. All batches are decoded
+        # asynchronously, padded to a common width and concatenated on
+        # device, and fetched in ONE transfer.
+        in_flight = []  # (names, real lengths, labels_dev, B) per batch
         for batch in iter_batches(
             test_data,
             batch_size=self.args.batch_size,
@@ -897,29 +904,31 @@ class SemiMarkovModel(Model):
                 features, lengths, _, cons, end_allowed, _ = self._pad_batch_rows(
                     features, lengths, np.zeros((B, 1), np.int64), cons, end_allowed
                 )
-            labels, _ = decode(
-                self.module.params,
-                jnp.asarray(features),
-                jnp.asarray(lengths),
-                jnp.asarray(vc),
-                jnp.asarray(cons),
-                jnp.asarray(end_allowed),
-                step_rng,
-            )
-            # one-deep pipeline: dispatch this batch's decode (and its
-            # host->device transfer) before fetching the previous
-            # batch's labels, so transfer and compute overlap
-            if in_flight is not None:
-                self._collect_predictions(predictions, *in_flight)
-            in_flight = (batch["video_name"], batch["lengths"], labels, B)
-        if in_flight is not None:
-            self._collect_predictions(predictions, *in_flight)
-        return predictions
+            dev = jax.device_put((features, lengths, vc, cons, end_allowed))
+            labels, _ = decode(self.module.params, *dev, step_rng)
+            in_flight.append((batch["video_name"], batch["lengths"], labels, B))
+            if len(in_flight) % 16 == 0:
+                # backpressure: one tiny fetch per 16 batches bounds the
+                # queued input buffers (features of undecoded batches)
+                # without a per-batch round trip
+                np.asarray(in_flight[-16][2][0, 0])
 
-    def _collect_predictions(self, predictions, video_names, lengths, labels_dev, B):
-        labels = np.asarray(labels_dev)[:B]
-        for i, video in enumerate(video_names):
-            L = int(lengths[i])
-            preds = labels[i, :L]
-            assert (preds >= 0).all() and (preds < self.n_classes).all()
-            predictions[video] = preds
+        if in_flight:
+            t_max = max(lab.shape[1] for _, _, lab, _ in in_flight)
+            stacked = jnp.concatenate(
+                [
+                    jnp.pad(lab[:B], ((0, 0), (0, t_max - lab.shape[1])))
+                    for _, _, lab, B in in_flight
+                ],
+                axis=0,
+            )
+            all_labels = np.asarray(stacked)  # the single fetch
+            row = 0
+            for names, lengths_np, _, B in in_flight:
+                for i, video in enumerate(names):
+                    L = int(lengths_np[i])
+                    preds = all_labels[row + i, :L]
+                    assert (preds >= 0).all() and (preds < self.n_classes).all()
+                    predictions[video] = preds
+                row += B
+        return predictions
