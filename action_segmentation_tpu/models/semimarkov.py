@@ -423,6 +423,11 @@ class SemiMarkovModel(Model):
         # minutes each through the remote-TPU tunnel
         bucket = max(1, getattr(self.args, "sm_class_shape_bucket", 1) or 1)
         Cp = -(-C_sub // bucket) * bucket
+        if C_sub <= 128:
+            # never pad past the Pallas lane width: pallas_supported()
+            # checks the unpadded count, and a padded C above 128 would
+            # crash the kernels' lane packing at trace time
+            Cp = min(Cp, 128)
         if Cp > C_sub:
             extra = Cp - C_sub
             vc = np.concatenate([vc, np.full(extra, -1, np.int32)])

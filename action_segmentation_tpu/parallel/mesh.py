@@ -106,6 +106,10 @@ def build_sharded_train_step(module, tx, mesh, use_labels):
     K = module.max_k
 
     def loss_fn(params, features, lengths, vc, inv_map, gt, cons, end_allowed, weights, rng):
+        # pad_batch_for_mesh fills dummy rows with length 0; clamp so the
+        # weight-0 rows still run a well-defined length-1 DP (a 0-length
+        # forward pass going non-finite would NaN the batch via 0 * nan)
+        lengths = jnp.maximum(lengths, 1)
         pots, log_det, kl = module.compute_potentials(
             params, features, lengths, vc, cons, end_allowed, rng, use_mean_z=use_labels
         )

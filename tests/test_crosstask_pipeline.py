@@ -13,12 +13,11 @@ import pytest
 
 from action_segmentation_tpu.data.minigen import (
     DIM_PER_GROUP,
+    N_TRAIN,
+    N_VAL,
     TASKS,
     write_mini_crosstask as _write_release,
 )
-
-N_TRAIN = 4
-N_VAL = 2
 
 
 @pytest.fixture(scope="module")
