@@ -97,6 +97,25 @@ def main():
         results["unsupervised_constrained_mof"] = round(min(mofs.values()), 3)
         results["unsupervised_constrained_sec"] = round(dt, 1)
 
+        # the paper's U7 row uses the neural/compound module
+        # (--sm_component_model: embedding-MLP heads + VAE latent)
+        mofs, dt = run(
+            [
+                "--training", "unsupervised",
+                "--sm_constrain_transitions",
+                "--sm_constrain_with_narration", "train",
+                "--annotate_background_with_previous",
+                "--sm_component_model",
+                "--lr", "1e-2",
+            ],
+            root,
+            epochs=3,
+        )
+        for task, mof in mofs.items():
+            assert mof > 0.2, ("compound", task, mof)
+        results["unsupervised_compound_mof"] = round(min(mofs.values()), 3)
+        results["unsupervised_compound_sec"] = round(dt, 1)
+
         print(json.dumps(results))
         print("TPU end-to-end check OK", flush=True)
 
