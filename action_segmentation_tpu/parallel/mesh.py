@@ -175,7 +175,14 @@ def build_sharded_decode_step(module, mesh, n_classes=None):
     (pad_batch_for_mesh) and drops the padded rows; padded lengths of 0
     are clamped to 1 locally so the traceback stays well-defined.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+
+        check_kwargs = {"check_vma": False}
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+        check_kwargs = {"check_rep": False}
 
     from action_segmentation_tpu.ops.hsmm_pallas import (
         hsmm_viterbi_labels_pallas,
@@ -216,7 +223,7 @@ def build_sharded_decode_step(module, mesh, n_classes=None):
             P(),            # rng
         ),
         out_specs=(P("data"), P("data")),
-        check_rep=False,
+        **check_kwargs,
     )
     return jax.jit(sharded)
 

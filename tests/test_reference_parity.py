@@ -216,3 +216,46 @@ def test_sufficient_stats_parity(ref_modules):
     np.testing.assert_allclose(
         got["gaussian_cov"], gmm.covariances_[0], rtol=1e-5, atol=1e-7
     )
+
+
+def test_flag_name_parity_with_reference():
+    """Every flag declared (uncommented) in the reference's argparse
+    surface is accepted by our CLI parser. Flags that exist only in
+    commented-out reference code are excluded by construction (the scan
+    skips comment lines)."""
+    import re
+
+    from action_segmentation_tpu import main as main_mod
+
+    ref_files = [
+        "main.py",
+        "models/model.py",
+        "models/flow.py",
+        "models/framewise.py",
+        "models/sequential.py",
+        "models/semimarkov/semimarkov.py",
+        "models/semimarkov/semimarkov_modules.py",
+    ]
+    pat = re.compile(r"add_argument\(\s*['\"](--[\w-]+)")
+    ref_flags = set()
+    for rel in ref_files:
+        path = os.path.join(REF, rel)
+        for line in open(path):
+            stripped = line.lstrip()
+            if stripped.startswith("#"):
+                continue
+            for m in pat.finditer(line):
+                ref_flags.add(m.group(1))
+    assert len(ref_flags) > 40, ref_flags  # sanity: the scan found the surface
+
+    parser = main_mod.build_parser()
+    ours = set()
+    for action in parser._actions:
+        ours.update(action.option_strings)
+
+    # deliberate deltas, documented in PARITY.md
+    known_absent = {
+        "--cuda",  # device selection is implicit on TPU (PARITY.md)
+    }
+    missing = ref_flags - ours - known_absent
+    assert not missing, sorted(missing)
