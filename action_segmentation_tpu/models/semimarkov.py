@@ -421,13 +421,15 @@ class SemiMarkovModel(Model):
         # compute_potentials) so tasks with different step counts reuse
         # one compiled program per length bucket — jit compiles are
         # minutes each through the remote-TPU tunnel
+        from action_segmentation_tpu.ops.hsmm_pallas import LANES
+
         bucket = max(1, getattr(self.args, "sm_class_shape_bucket", 1) or 1)
         Cp = -(-C_sub // bucket) * bucket
-        if C_sub <= 128:
+        if C_sub <= LANES:
             # never pad past the Pallas lane width: pallas_supported()
-            # checks the unpadded count, and a padded C above 128 would
+            # checks the unpadded count, and a padded C above it would
             # crash the kernels' lane packing at trace time
-            Cp = min(Cp, 128)
+            Cp = min(Cp, LANES)
         if Cp > C_sub:
             extra = Cp - C_sub
             vc = np.concatenate([vc, np.full(extra, -1, np.int32)])
@@ -760,10 +762,12 @@ class SemiMarkovModel(Model):
                         B,
                         pad_to=args.batch_size,
                     )
-                    placed = [
-                        jax.device_put(jnp.asarray(a), batch_sharding(mesh, a.ndim))
-                        for a in (feat_p, len_p, gt_p, cons_p, end_p, w)
-                    ]
+                    arrs = (feat_p, len_p, gt_p, cons_p, end_p, w)
+                    # one device_put for the whole batch (round-trip rule)
+                    placed = jax.device_put(
+                        arrs,
+                        tuple(batch_sharding(mesh, np.asarray(a).ndim) for a in arrs),
+                    )
                     s_vc, s_inv = shard_shared_inputs(mesh, vc, inv_map)
                     params, opt_state, loss = sharded_step(
                         params, opt_state,

@@ -223,7 +223,10 @@ def _chunk_bounds(G, bytes_per_group):
     return max(1, min(G, _VMEM_PLANE_BUDGET // max(bytes_per_group, 1)))
 
 
-def _launch_viterbi(trans_bd, init, dur, emit, interpret):
+def _launch_scan(kernel, out_dtypes, trans_bd, init, dur, emit, interpret):
+    """Shared time-chunked launcher for the forward/backpointer kernels:
+    static factor tables, emission blocks streamed by chunk, one
+    (G, Tc, LANES) output plane per dtype in `out_dtypes`."""
     G, Tp = emit.shape[0], emit.shape[1]
     Km_pad = dur.shape[1]
     Tc = min(Tp, _TIME_CHUNK)
@@ -238,8 +241,8 @@ def _launch_viterbi(trans_bd, init, dur, emit, interpret):
             pl.BlockSpec((G, Tc, LANES), lambda i: (0, i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((G, Tc, LANES), lambda i: (0, i, 0)),
-            pl.BlockSpec((G, Tc, LANES), lambda i: (0, i, 0)),
+            pl.BlockSpec((G, Tc, LANES), lambda i: (0, i, 0))
+            for _ in out_dtypes
         ],
         scratch_shapes=[
             pltpu.VMEM((G, Km_pad, LANES), jnp.float32),
@@ -247,46 +250,27 @@ def _launch_viterbi(trans_bd, init, dur, emit, interpret):
         ],
     )
     return pl.pallas_call(
-        _viterbi_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((G, Tp, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((G, Tp, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((G, Tp, LANES), dt) for dt in out_dtypes
         ],
         interpret=interpret,
     )(trans_bd, init, dur, emit)
+
+
+def _launch_viterbi(trans_bd, init, dur, emit, interpret):
+    return _launch_scan(
+        _viterbi_kernel, (jnp.int32, jnp.float32),
+        trans_bd, init, dur, emit, interpret,
+    )
 
 
 def _launch_forward(semiring, trans_bd, init, dur, emit, interpret):
-    G, Tp = emit.shape[0], emit.shape[1]
-    Km_pad = dur.shape[1]
-    Tc = min(Tp, _TIME_CHUNK)
-    n_chunks = Tp // Tc
-    kernel = functools.partial(_forward_kernel, semiring)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((G, LANES, LANES), lambda i: (0, 0, 0)),
-            pl.BlockSpec((G, 1, LANES), lambda i: (0, 0, 0)),
-            pl.BlockSpec((G, Km_pad, LANES), lambda i: (0, 0, 0)),
-            pl.BlockSpec((G, Tc, LANES), lambda i: (0, i, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((G, Tc, LANES), lambda i: (0, i, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((G, Km_pad, LANES), jnp.float32),
-            pltpu.VMEM((G, 8, LANES), jnp.float32),
-        ],
+    return _launch_scan(
+        functools.partial(_forward_kernel, semiring), (jnp.float32,),
+        trans_bd, init, dur, emit, interpret,
     )
-    (alphas_p,) = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((G, Tp, LANES), jnp.float32)],
-        interpret=interpret,
-    )(trans_bd, init, dur, emit)
-    return (alphas_p,)
 
 
 def _chunked(launch, packed, bytes_per_group, interpret):
