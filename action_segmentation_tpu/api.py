@@ -74,3 +74,55 @@ class Segmenter:
     def segment(self, features):
         """Segment one (T, D) float array -> (T,) int labels."""
         return self.segment_many([np.asarray(features)])[0]
+
+    def segment_with_marginals(self, features):
+        """Segment one (T, D) array and return posterior frame marginals.
+
+        Returns (labels (T,), marginals (T, C)): marginals[t, c] is the
+        posterior probability that frame t belongs to class c under the
+        HSMM, computed as d logZ / d emit via the Pallas custom-VJP
+        forward/backward pair (ops/hsmm_grad.py) — the calibrated
+        confidence signal the argmax labels alone don't carry.
+        """
+        import jax
+
+        from action_segmentation_tpu.ops.hsmm import hsmm_frame_marginals
+        from action_segmentation_tpu.ops.hsmm_grad import hsmm_frame_marginals_fast
+        from action_segmentation_tpu.ops.hsmm_pallas import pallas_supported
+
+        features = np.asarray(features, np.float32)
+        T, D = features.shape
+        Tpad = pad_length_to_bucket(T)
+        feats = np.zeros((1, Tpad, D), np.float32)
+        feats[0, :T] = features
+        lengths = np.array([T], np.int32)
+        C = len(self.valid_classes)
+        module = self.model.module
+
+        def run(params, feats, lengths, vc):
+            cons = jnp.zeros(feats.shape[:2] + (C,), jnp.float32)
+            end_allowed = jnp.zeros((feats.shape[0], C), jnp.float32)
+            pots, _, _ = module.compute_potentials(
+                params, feats, lengths, vc, cons, end_allowed,
+                jax.random.PRNGKey(0), use_mean_z=True,
+            )
+            fn = (
+                hsmm_frame_marginals_fast
+                if pallas_supported(C)
+                else hsmm_frame_marginals
+            )
+            return fn(pots, lengths)
+
+        marg_fn = self.model._get_jitted(
+            "frame_marginals", lambda: jax.jit(run)
+        )
+        marg = np.asarray(
+            marg_fn(
+                module.params,
+                jnp.asarray(feats),
+                jnp.asarray(lengths),
+                jnp.asarray(self.valid_classes),
+            )
+        )[0, :T]
+        labels = self.segment(features)
+        return labels, marg

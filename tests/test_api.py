@@ -36,3 +36,24 @@ def test_segmenter_roundtrip(tmp_path):
 
     single = seg.segment(feats[0])
     np.testing.assert_array_equal(single, preds[0])
+
+
+def test_segment_with_marginals():
+    train = SyntheticDatasplit(num_videos=40, n_classes=3, max_len=40, span_k=5, seed=0)
+    args = make_args(sm_max_span_length=20, sm_supervised_method="closed-form")
+    model = SemiMarkovModel.from_args(args, train)
+    model.fit(train, use_labels=True)
+    seg = Segmenter(model)
+
+    test = SyntheticDatasplit(num_videos=2, n_classes=3, max_len=40, span_k=5, seed=1)
+    feats = test._samples[sorted(test._samples)[0]]["features"]
+    labels, marg = seg.segment_with_marginals(feats)
+    assert labels.shape == (feats.shape[0],)
+    assert marg.shape == (feats.shape[0], model.n_classes)
+    # marginals are a distribution per frame...
+    np.testing.assert_allclose(marg.sum(axis=1), 1.0, atol=1e-3)
+    assert (marg >= -1e-5).all()
+    # ...and agree with the decode on confident frames
+    conf = marg.max(axis=1) > 0.9
+    assert conf.any()
+    assert (marg.argmax(axis=1)[conf] == labels[conf]).mean() > 0.95
