@@ -112,3 +112,51 @@ def write_mini_crosstask(
         for task_id, vid in val_videos:
             f.write(f"{task_id},{vid},http://u\n")
     return gt_frames
+
+
+BREAKFAST_TASKS = {
+    "coffee": ["pour_coffee", "pour_milk"],
+    "tea": ["add_teabag", "pour_water"],
+}
+BREAKFAST_LABELS = ["SIL", "pour_coffee", "pour_milk", "add_teabag", "pour_water"]
+BREAKFAST_DIM = 6
+BREAKFAST_PARTICIPANTS = ["P03", "P16", "P29", "P42"]  # one per split s1-s4
+
+
+def write_mini_breakfast(root, rng, dur_range=(4, 9), dim=BREAKFAST_DIM, shift=SHIFT):
+    """Write a miniature Breakfast layout (mapping.txt, per-participant
+    annotation txts under camera dirs, fisher-vector .npy features with
+    the reference's first-row/column convention); returns the breakfast
+    dir. Layout matches reference breakfast.py:142-377."""
+    bdir = os.path.join(root, "breakfast")
+    feat_dir = os.path.join(bdir, "reduced_fv_64")
+    label_dir = os.path.join(bdir, "BreakfastII_15fps_qvga_sync")
+    os.makedirs(feat_dir, exist_ok=True)
+    with open(os.path.join(bdir, "mapping.txt"), "w") as f:
+        for i, lab in enumerate(BREAKFAST_LABELS):
+            f.write(f"{i} {lab}\n")
+
+    for p in BREAKFAST_PARTICIPANTS:
+        cam = "cam01"
+        os.makedirs(os.path.join(label_dir, p, cam), exist_ok=True)
+        for task, steps in BREAKFAST_TASKS.items():
+            # segments: SIL, step1, SIL, step2, SIL
+            segs = []
+            t = 1
+            labels = []
+            for lab in ["SIL", steps[0], "SIL", steps[1], "SIL"]:
+                dur = rng.randint(*dur_range)
+                segs.append((lab, t, t + dur - 1))
+                labels.extend([BREAKFAST_LABELS.index(lab)] * dur)
+                t += dur
+            gt_name = f"{p}_{task}"
+            with open(os.path.join(label_dir, p, cam, f"{gt_name}.txt"), "w") as f:
+                for lab, s, e in segs:
+                    f.write(f"{s}-{e} {lab}\n")
+            T = len(labels)
+            feats = rng.randn(T + 1, dim + 1).astype(np.float32)
+            for t_ix, lab in enumerate(labels):
+                feats[t_ix + 1, 1 + (lab % dim)] += shift
+            vid_name = f"{p}_{cam}_{gt_name}"
+            np.save(os.path.join(feat_dir, f"{vid_name}.npy"), feats)
+    return bdir

@@ -116,6 +116,36 @@ def main():
         results["unsupervised_compound_mof"] = round(min(mofs.values()), 3)
         results["unsupervised_compound_sec"] = round(dt, 1)
 
+        # Breakfast (BASELINE.json config 4): longer fisher-vector
+        # videos through the 4-fold participant splits
+        from action_segmentation_tpu import main as main_mod
+        from action_segmentation_tpu.data.minigen import write_mini_breakfast
+
+        write_mini_breakfast(root, rng, dur_range=(40, 90))
+        start = time.perf_counter()
+        stats = main_mod.main(
+            [
+                "--classifier", "semimarkov",
+                "--dataset", "breakfast",
+                "--features", "raw",
+                "--data_root", root,
+                "--training", "supervised",
+                "--sm_supervised_method", "closed-form",
+                "--sm_max_span_length", "100",
+                "--epochs", "1",
+            ]
+        )
+        dt = time.perf_counter() - start
+        assert set(stats.keys()) == {"s1", "s2", "s3", "s4"}
+        worst = min(
+            s["mof"][0] / s["mof"][1]
+            for by_task in stats.values()
+            for s in by_task.values()
+        )
+        assert worst > 0.4, worst
+        results["breakfast_closed_form_mof"] = round(worst, 3)
+        results["breakfast_closed_form_sec"] = round(dt, 1)
+
         print(json.dumps(results))
         print("TPU end-to-end check OK", flush=True)
 

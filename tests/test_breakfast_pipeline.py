@@ -11,46 +11,13 @@ import os
 import numpy as np
 import pytest
 
-TASKS = {"coffee": ["pour_coffee", "pour_milk"], "tea": ["add_teabag", "pour_water"]}
-LABELS = ["SIL", "pour_coffee", "pour_milk", "add_teabag", "pour_water"]
-DIM = 6
-SHIFT = 3.0
-PARTICIPANTS = ["P03", "P16", "P29", "P42"]  # one per split s1-s4
-
-
-def _write_breakfast(root, rng):
-    bdir = os.path.join(root, "breakfast")
-    feat_dir = os.path.join(bdir, "reduced_fv_64")
-    label_dir = os.path.join(bdir, "BreakfastII_15fps_qvga_sync")
-    os.makedirs(feat_dir, exist_ok=True)
-    with open(os.path.join(bdir, "mapping.txt"), "w") as f:
-        for i, lab in enumerate(LABELS):
-            f.write(f"{i} {lab}\n")
-
-    for p in PARTICIPANTS:
-        cam = "cam01"
-        os.makedirs(os.path.join(label_dir, p, cam), exist_ok=True)
-        for task, steps in TASKS.items():
-            # segments: SIL, step1, SIL, step2, SIL
-            segs = []
-            t = 1
-            labels = []
-            for lab in ["SIL", steps[0], "SIL", steps[1], "SIL"]:
-                dur = rng.randint(4, 9)
-                segs.append((lab, t, t + dur - 1))
-                labels.extend([LABELS.index(lab)] * dur)
-                t += dur
-            gt_name = f"{p}_{task}"
-            with open(os.path.join(label_dir, p, cam, f"{gt_name}.txt"), "w") as f:
-                for lab, s, e in segs:
-                    f.write(f"{s}-{e} {lab}\n")
-            T = len(labels)
-            feats = rng.randn(T + 1, DIM + 1).astype(np.float32)
-            for t_ix, lab in enumerate(labels):
-                feats[t_ix + 1, 1 + (lab % DIM)] += SHIFT
-            vid_name = f"{p}_{cam}_{gt_name}"
-            np.save(os.path.join(feat_dir, f"{vid_name}.npy"), feats)
-    return bdir
+from action_segmentation_tpu.data.minigen import (
+    BREAKFAST_DIM as DIM,
+    BREAKFAST_LABELS as LABELS,
+    BREAKFAST_PARTICIPANTS as PARTICIPANTS,
+    BREAKFAST_TASKS as TASKS,
+    write_mini_breakfast as _write_breakfast,
+)
 
 
 @pytest.fixture(scope="module")
