@@ -451,6 +451,9 @@ def main():
                 "achieved_gflops_train": round(train_gflops, 1),
                 "device_kind": device_kind,
                 "mfu_note": "VPU-bound banded DP; see docs/DESIGN.md#mfu",
+                "timing_note": "min over 5 repeats of scan-chained pairs; "
+                "round-1 used single-sample differencing whose tunnel "
+                "noise swung results ~2x (6.9M-18.9M observed)",
             }
         )
     )
