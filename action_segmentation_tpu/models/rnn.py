@@ -10,6 +10,10 @@ the jit-friendly equivalent of pack_padded_sequence.
 import jax
 import jax.numpy as jnp
 
+from action_segmentation_tpu.ops.hsmm import (
+    reverse_within_length as _reverse_within_length,
+)
+
 
 def _cell_init(rng, in_dim, hidden):
     """torch LSTM default init: U(-1/sqrt(hidden), 1/sqrt(hidden))."""
@@ -59,17 +63,6 @@ def _run_direction(cell, x, mask):
         step, init, (jnp.swapaxes(x, 0, 1), jnp.swapaxes(mask, 0, 1))
     )
     return jnp.swapaxes(hs, 0, 1)
-
-
-def _reverse_within_length(x, lengths):
-    """Reverse each row's first `length` steps, leaving padding in place."""
-    T = x.shape[1]
-    rev = jnp.flip(x, axis=1)
-
-    def roll_row(row, length):
-        return jnp.roll(row, length - T, axis=0)
-
-    return jax.vmap(roll_row)(rev, lengths)
 
 
 def lstm_apply(params, x, lengths, output_padding_value=0.0):

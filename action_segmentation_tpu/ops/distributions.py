@@ -36,10 +36,7 @@ def gaussian_emission_log_probs(features, means, cov_diag):
         preferred_element_type=jnp.float32,
     )
     mu_sq = jnp.sum(means**2 * inv_v, axis=-1)  # (..., C)
-    if means.ndim == 2 and features.ndim == 3:
-        mu_sq = mu_sq[None, None, :]
-    else:
-        mu_sq = jnp.expand_dims(mu_sq, axis=-2)
+    mu_sq = jnp.expand_dims(mu_sq, axis=-2)  # broadcasts over T (and B)
     return const - 0.5 * (x_sq[..., None] - 2.0 * cross + mu_sq)
 
 

@@ -31,7 +31,9 @@ All public entry points take batched arrays:
                        (row 0 is unused and should be BIG_NEG)
   emit:     (B, T, C)  per-frame log-likelihoods (padded arbitrarily
                        beyond each instance's length)
-  lengths:  (B,) int32
+  lengths:  (B,) int32, each >= 1 (entry points clamp to 1 defensively,
+                       matching the Pallas wrappers — a 0 would otherwise
+                       read the last padded row via negative indexing)
   end_mask: (B, C)
 """
 
@@ -57,6 +59,19 @@ def _emission_cumsum(emit):
     """(T, C) -> (T+1, C) exclusive prefix sums of frame log-likelihoods."""
     zero = jnp.zeros((1, emit.shape[1]), emit.dtype)
     return jnp.concatenate([zero, jnp.cumsum(emit, axis=0)], axis=0)
+
+
+def reverse_within_length(x, lengths):
+    """Reverse each (B, T, ...) row's first `length` steps in place
+    (padding beyond each length stays put). Shared by the reversed-model
+    backward/decode passes and the BiLSTM."""
+    T = x.shape[1]
+    rev = jnp.flip(x, axis=1)
+
+    def roll_row(row, length):
+        return jnp.roll(row, length - T, axis=0)
+
+    return jax.vmap(roll_row)(rev, lengths)
 
 
 def _forward_scan_single(trans, init, lens, emit, semiring):
@@ -122,6 +137,7 @@ def _partition_single(trans, init, lens, emit, length, end_mask):
 @jax.jit
 def hsmm_partition(pots: HsmmPotentials, lengths):
     """Log partition function per batch element: (B,) float32."""
+    lengths = jnp.maximum(jnp.asarray(lengths), 1)
     return jax.vmap(_partition_single)(
         pots.trans, pots.init, pots.lens, pots.emit, lengths, pots.end_mask
     )
@@ -173,6 +189,7 @@ def _viterbi_single(trans, init, lens, emit, length, end_mask):
 @jax.jit
 def hsmm_viterbi(pots: HsmmPotentials, lengths):
     """Batched Viterbi decode: (spans (B, T) int32, scores (B,))."""
+    lengths = jnp.maximum(jnp.asarray(lengths), 1)
     return jax.vmap(_viterbi_single)(
         pots.trans, pots.init, pots.lens, pots.emit, lengths, pots.end_mask
     )
@@ -197,7 +214,11 @@ def _gold_score_single(trans, init, lens, emit, length, end_mask, spans):
     next_start = jnp.minimum(
         jnp.concatenate([suffix_min[1:], jnp.array([T + 1])]), length
     )
-    dur = jnp.clip(next_start - t_idx, 0, K - 1)
+    dur_raw = next_start - t_idx
+    dur = jnp.clip(dur_raw, 0, K - 1)
+    # durations the DP cannot represent score BIG_NEG, not a clipped
+    # finite value (a span longer than K-1 has zero probability)
+    over_band = start & (dur_raw > K - 1)
 
     cls = jnp.clip(spans, 0, C - 1)
     # emission sum over each span, gathered at its class
@@ -210,6 +231,7 @@ def _gold_score_single(trans, init, lens, emit, length, end_mask, spans):
     trans_term = trans[cls, prev_cls]
 
     per_start = span_emit + len_term + jnp.where(t_idx > 0, trans_term, init[cls])
+    per_start = jnp.where(over_band, BIG_NEG, per_start)
     total = jnp.sum(jnp.where(start, per_start, 0.0))
     last_cls = filled[length - 1]
     return total + end_mask[last_cls]
@@ -222,6 +244,7 @@ def hsmm_gold_score(pots: HsmmPotentials, lengths, spans):
     Matches the reference's ``dist.struct().score(log_potentials, parts)``
     (semimarkov_modules.py:644-655) including the EOS end-mask term.
     """
+    lengths = jnp.maximum(jnp.asarray(lengths), 1)
     return jax.vmap(_gold_score_single)(
         pots.trans, pots.init, pots.lens, pots.emit, lengths, pots.end_mask, spans
     )

@@ -30,19 +30,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from action_segmentation_tpu import BIG_NEG
-from action_segmentation_tpu.ops.hsmm import HsmmPotentials
+from action_segmentation_tpu.ops.hsmm import (
+    HsmmPotentials,
+    _emission_cumsum,
+    reverse_within_length as _reverse_within_length,
+)
 from action_segmentation_tpu.ops.hsmm_pallas import hsmm_alphas_pallas
-
-
-def _reverse_within_length(x, lengths):
-    """Reverse each (T, ...) row's first `length` steps (padding stays)."""
-    T = x.shape[1]
-    rev = jnp.flip(x, axis=1)
-
-    def roll_row(row, length):
-        return jnp.roll(row, length - T, axis=0)
-
-    return jax.vmap(roll_row)(rev, lengths)
 
 
 def _lse(x, axis):
@@ -57,9 +50,7 @@ def _combine_grads_single(trans, init, lens, emit, end_mask, length,
     Km = K - 1
     t_idx = jnp.arange(T)
 
-    cum = jnp.concatenate(
-        [jnp.zeros((1, C), emit.dtype), jnp.cumsum(emit, axis=0)], axis=0
-    )  # (T+1, C)
+    cum = _emission_cumsum(emit)  # (T+1, C)
 
     # F[s, c], s = 0..T-1: prefix mass with next span starting at s, class c
     gammaF = _lse(alphas_f[:, None, :] + trans[None, :, :], axis=2)  # (T, C) at s=1..T

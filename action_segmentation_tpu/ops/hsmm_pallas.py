@@ -43,15 +43,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from action_segmentation_tpu import BIG_NEG
-from action_segmentation_tpu.ops.hsmm import HsmmPotentials
+from action_segmentation_tpu.ops.hsmm import (
+    HsmmPotentials,
+    _emission_cumsum,
+    reverse_within_length as _reverse_within_length,
+)
 
 LANES = 128
 MAX_PACK = 8
 # VMEM budget for the per-launch time-chunk planes (emit in + alpha/bp
 # out, double-buffered by the pipeline); chunks of groups are launched
 # separately above this. TPU v4/v5 chips carry 64-128 MB of VMEM; 48 MB
-# keeps headroom for scratch while letting serving-size batches (G up
-# to ~24 at the 2048-frame time chunk) run as a single launch.
+# keeps headroom for scratch while letting serving-size batches run as
+# one launch (G up to 12 forward / 8 viterbi at the 2048-frame chunk).
 _VMEM_PLANE_BUDGET = 48 * 1024 * 1024
 _TIME_CHUNK = 2048  # forward-scan grid chunk (frames per VMEM-resident block)
 
@@ -398,18 +402,8 @@ def hsmm_alphas_pallas(pots: HsmmPotentials, lengths, interpret=False):
     return _run_forward(pots, lengths, interpret, "log")
 
 
-def _reverse_within_length(x, lengths):
-    T = x.shape[1]
-    rev = jnp.flip(x, axis=1)
-
-    def roll_row(row, length):
-        return jnp.roll(row, length - T, axis=0)
-
-    return jax.vmap(roll_row)(rev, lengths)
-
-
 def _max_labels_single(trans, init, lens, emit, end_mask, length,
-                       alphas_f, alphas_b, best):
+                       alphas_f, alphas_b):
     """Frame labels from max-semiring forward/backward boundary scores.
 
     In the max semiring the "marginal" of span (s, d, c) is the score of
@@ -422,9 +416,7 @@ def _max_labels_single(trans, init, lens, emit, end_mask, length,
     Km = K - 1
     t_idx = jnp.arange(T)
 
-    cum = jnp.concatenate(
-        [jnp.zeros((1, C), emit.dtype), jnp.cumsum(emit, axis=0)], axis=0
-    )
+    cum = _emission_cumsum(emit)
 
     # F[s, c]: best prefix with next span starting at s in class c
     gammaF = jnp.max(alphas_f[:, None, :] + trans[None, :, :], axis=2)
@@ -491,6 +483,6 @@ def hsmm_viterbi_labels_pallas(pots: HsmmPotentials, lengths, interpret=False):
     alphas_b, _ = _run_forward(rev_pots, lengths, interpret, "max")
     labels = jax.vmap(_max_labels_single)(
         pots.trans, pots.init, pots.lens, pots.emit, pots.end_mask,
-        jnp.asarray(lengths, jnp.int32), alphas_f, alphas_b, scores,
+        jnp.asarray(lengths, jnp.int32), alphas_f, alphas_b,
     )
     return labels, scores

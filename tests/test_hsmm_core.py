@@ -20,6 +20,7 @@ from action_segmentation_tpu.ops.hsmm import (
     hsmm_frame_marginals,
 )
 from action_segmentation_tpu.ops import spans_to_labels
+from tests.test_hsmm_pallas import random_pots
 
 
 def enumerate_segmentations(T, max_d):
@@ -184,3 +185,37 @@ def test_constructed_periodic_decode():
     for i in range(b):
         for t in range(lengths[i]):
             assert labels[i, t] == (t // step) % C, (i, t, labels[i, t])
+
+
+def test_gold_score_rejects_over_band_durations():
+    """A span longer than K-1 frames has zero probability under the DP;
+    hsmm_gold_score must return ~BIG_NEG for it, not a clipped finite
+    score (which would let gold - partition exceed 0)."""
+    rng = np.random.RandomState(0)
+    B, T, C, K = 1, 12, 3, 4
+    pots, lengths = random_pots(rng, B, T, C, K, ragged=False)
+    # one span covering all 12 frames: duration 12 > K-1 = 3
+    spans = np.full((B, T), -1, np.int32)
+    spans[0, 0] = 1
+    score = float(np.asarray(hsmm_gold_score(pots, lengths, spans))[0])
+    assert score < -1e8, score
+    # a legal segmentation of the same video stays finite
+    legal = np.full((B, T), -1, np.int32)
+    legal[0, 0::3] = np.arange(4, dtype=np.int32) % C
+    legal_score = float(np.asarray(hsmm_gold_score(pots, lengths, legal))[0])
+    assert legal_score > -1e6, legal_score
+
+
+def test_zero_length_clamped_consistently():
+    """lengths of 0 are defensively clamped to 1 by the jnp entry points,
+    matching the Pallas wrappers (a 0 would read the last padded row via
+    negative indexing)."""
+    rng = np.random.RandomState(1)
+    pots, _ = random_pots(rng, 2, 10, 3, 4, ragged=False)
+    zero_len = jnp.asarray(np.array([0, 10], np.int32))
+    one_len = jnp.asarray(np.array([1, 10], np.int32))
+    np.testing.assert_allclose(
+        np.asarray(hsmm_partition(pots, zero_len)),
+        np.asarray(hsmm_partition(pots, one_len)),
+        rtol=1e-6,
+    )
