@@ -70,6 +70,11 @@ def _combine_grads_single(trans, init, lens, emit, end_mask, length,
     # S2s[s, j] = S2[s+j+1], valid when s+j+1 <= length. Pad to T+K rows
     # first — dynamic_slice clamps out-of-bounds starts, which would
     # silently alias rows for j >= 1.
+    # Deliberately UNROLLED over the duration band: a gather-based form
+    # (end_idx = s+j+1 advanced indexing, scatter-add for `stops`) was
+    # measured 3-5x slower end-to-end on TPU v5e (train 6.5M -> 2.0M
+    # frames/s) — static slices fuse, dynamic gathers do not. The cost
+    # is HLO size linear in max_k, which is acceptable (max_k <= ~100).
     cum_pad = jnp.pad(cum, ((0, K), (0, 0)))
     S2_pad = jnp.pad(S2, ((0, K), (0, 0)), constant_values=BIG_NEG)
 
