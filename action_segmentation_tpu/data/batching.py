@@ -106,13 +106,19 @@ def iter_batches(datasplit, batch_size, batch_by_task, shuffle, seed=1, bucket=T
     """
     length_of = None
     if sort_by_length:
-        cache = {}
+        # sort keys only need relative order: prefer the datasplit's
+        # cheap annotation-based estimate (no feature IO) over building
+        # every sample twice per pass (once for its length, once to
+        # collate)
+        length_of = getattr(datasplit, "approx_length", None)
+        if length_of is None:
+            cache = {}
 
-        def length_of(key):
-            if key not in cache:
-                sample = datasplit[key]
-                cache[key] = 0 if sample is None else sample["features"].shape[0]
-            return cache[key]
+            def length_of(key):
+                if key not in cache:
+                    sample = datasplit[key]
+                    cache[key] = 0 if sample is None else sample["features"].shape[0]
+                return cache[key]
 
     keys_batches = make_batch_keys(
         datasplit.videos_by_task, batch_size, batch_by_task, shuffle, seed,
@@ -153,5 +159,3 @@ def iter_batches(datasplit, batch_size, batch_by_task, shuffle, seed=1, bucket=T
                 yield batch
 
 
-def num_batches(datasplit, batch_size):
-    return len(make_batch_keys(datasplit.videos_by_task, batch_size))

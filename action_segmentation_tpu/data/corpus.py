@@ -100,6 +100,16 @@ class Video:
     def n_frames(self):
         return self._n_frames
 
+    def approx_n_frames(self):
+        """Cheap length estimate (no feature IO) for batching sort keys;
+        may exceed the true sample length by at most the feature/label
+        mismatch tolerance (50 frames) before truncation applies."""
+        if self._remove_background and self._nonbackground_timesteps is not None:
+            return len(self._nonbackground_timesteps)
+        if self._gt_with_background is not None:
+            return len(self._gt_with_background)
+        return self._n_frames or 0
+
     def _check_truncation(self):
         if not self._has_label:
             return
@@ -202,6 +212,12 @@ class Datasplit:
 
     def __len__(self):
         return len(self._tasks_and_video_names)
+
+    def approx_length(self, task_and_video_name):
+        """Cheap per-video length for length-sorted batching (no feature
+        IO; relative order is what matters for bucketing)."""
+        task_name, video_name = task_and_video_name
+        return self._videos_by_task[task_name][video_name].approx_n_frames()
 
     def __getitem__(self, task_and_video_name):
         task_name, video_name = task_and_video_name

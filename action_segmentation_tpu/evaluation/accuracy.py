@@ -376,8 +376,13 @@ class Accuracy:
         ):
             num_videos += 1
             pred_labels = np.asarray(pred_labels)
+            # remap through the PASSED mapping (reference accuracy.py:435)
+            # — callers may re-score under a different correspondence
             gt_remapped = np.asarray(
-                [self._cluster_of(g) for g in gt_labels]
+                [
+                    gt2cluster[g][0] if len(gt2cluster[g]) > 0 else None
+                    for g in gt_labels
+                ]
             )
             for label in np.unique(pred_labels):
                 predicted_label_types += 1

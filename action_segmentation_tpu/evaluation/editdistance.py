@@ -22,6 +22,31 @@ _SRC = os.path.join(_REPO_ROOT, "native", "editdistance.cpp")
 _SO = os.path.join(_REPO_ROOT, "native", "libeditdistance.so")
 
 
+def _build():
+    """Compile to a temp file and rename into place: concurrent or
+    interrupted builds can never leave a half-written .so that the
+    mtime check would treat as current forever."""
+    tmp = "{}.{}.tmp".format(_SO, os.getpid())
+    subprocess.run(
+        ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
+        check=True,
+        capture_output=True,
+    )
+    os.replace(tmp, _SO)
+
+
+def _open():
+    lib = ctypes.CDLL(_SO)
+    lib.edit_distance.restype = ctypes.c_int64
+    lib.edit_distance.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+    ]
+    return lib
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
@@ -29,20 +54,14 @@ def _load():
     _TRIED = True
     try:
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
-                check=True,
-                capture_output=True,
-            )
-        lib = ctypes.CDLL(_SO)
-        lib.edit_distance.restype = ctypes.c_int64
-        lib.edit_distance.argtypes = [
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64,
-        ]
-        _LIB = lib
+            _build()
+        try:
+            _LIB = _open()
+        except OSError:
+            # stale/corrupt artifact (e.g. from an interrupted build of
+            # an older toolchain): rebuild once before giving up
+            _build()
+            _LIB = _open()
     except Exception:
         _LIB = None
     return _LIB
