@@ -44,8 +44,13 @@ def _args_to_jsonable(args):
     }
 
 
-def save_orbax(params, args, step, directory):
-    """Write an orbax checkpoint of the params pytree plus args metadata."""
+def save_orbax(params, args, step, directory, lr=None):
+    """Write an orbax checkpoint of a pytree plus args metadata.
+
+    `params` may be a bare parameter pytree or a full train state
+    ({"params": ..., "opt_state": ...}); `lr` (the live learning rate,
+    which the host-side plateau scheduler mutates) is stored in the
+    sidecar json so resume restarts from it."""
     assert HAVE_ORBAX, "orbax not available"
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
@@ -54,8 +59,11 @@ def save_orbax(params, args, step, directory):
             os.path.join(directory, f"step_{step}"),
             jax.tree_util.tree_map(np.asarray, params),
         )
+    meta = {"step": step, "args": _args_to_jsonable(args)}
+    if lr is not None:
+        meta["lr"] = float(lr)
     with open(os.path.join(directory, f"step_{step}.args.json"), "w") as f:
-        json.dump({"step": step, "args": _args_to_jsonable(args)}, f, indent=2)
+        json.dump(meta, f, indent=2)
 
 
 def latest_step(directory):
@@ -93,6 +101,15 @@ def load_orbax(directory, step=None, target=None):
         with open(meta_path) as f:
             args_dict = json.load(f)["args"]
     return params, args_dict, step
+
+
+def load_meta(directory, step):
+    """The sidecar json for a step (args + saved lr), or None."""
+    meta_path = os.path.join(os.path.abspath(directory), f"step_{step}.args.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        return json.load(f)
 
 
 def init_subset_from(params, source_params, exclude_prefixes=("feature_projector",)):

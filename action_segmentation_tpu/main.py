@@ -244,15 +244,19 @@ def train(args, train_data, dev_data, split_name, verbose=False, train_sub_data=
 
     model.fit(train_data, use_labels=use_labels, callback_fn=callback_fn)
 
+    # ignore stat-less callback entries (fit emits an epoch -1 callback
+    # with {} after warm-start initialization) when picking the best
+    # train-loss epoch
+    loss_epochs = {e: s for e, s in stats_by_epoch.items() if "train_loss" in s}
     if early_stopping_on_dev and dev_mof_by_epoch:
         best_dev_epoch, best_dev_mof = max(dev_mof_by_epoch.items(), key=lambda t: t[1])
         logger.debug(
             "best dev mof {:.4f} in epoch {}".format(best_dev_mof, best_dev_epoch)
         )
         best_model = pickle.loads(models_by_epoch[best_dev_epoch])
-    elif stats_by_epoch and "train_loss" in next(iter(stats_by_epoch.values())):
+    elif loss_epochs:
         best_epoch, best_train_stats = min(
-            stats_by_epoch.items(), key=lambda t: t[1]["train_loss"]
+            loss_epochs.items(), key=lambda t: t[1]["train_loss"]
         )
         logger.debug(
             "best train loss {:.4f} in epoch {}".format(
@@ -471,6 +475,9 @@ def main(argv=None):
                                 key, cmd_d.get(key, "<NP>"), ser_d.get(key, "<NP>")
                             )
                         )
+                # the reference prints this exact (misleading) message and
+                # then assigns the COMMAND-LINE args (main.py:460-461);
+                # decode flows rely on CLI args winning, so both are kept
                 print("setting model args to serialized args")
             model.args = args
         else:
@@ -527,8 +534,17 @@ def main(argv=None):
     print(", ".join(DISPLAY_STAT_KEYS))
     print(", ".join("{:.4f}".format(stat_dict[key]) for key in DISPLAY_STAT_KEYS))
 
-    if any(stat.startswith("compare_") for stat in stat_dict):
-        compare_keys = ["comparison_{}".format(key) for key in DISPLAY_STAT_KEYS]
+    # NOTE the reference checks startswith('compare_') here (main.py:534)
+    # while its corpus emits 'comparison_*' keys, so its comparison rows
+    # never actually print; we match the intended behavior instead
+    # (restricted to the comparison stats the corpus actually emits —
+    # not every display stat has a comparison counterpart)
+    compare_keys = [
+        k
+        for k in ("comparison_{}".format(key) for key in DISPLAY_STAT_KEYS)
+        if k in stat_dict
+    ]
+    if compare_keys:
         print(", ".join(compare_keys))
         print(", ".join("{:.4f}".format(stat_dict[key]) for key in compare_keys))
 

@@ -172,7 +172,12 @@ class ComponentHsmm(GaussianHsmm):
                 jnp.zeros((B,), jnp.float32),
             )
         encoded = rnn.lstm_apply(params["encoder"], features, lengths)
-        pooled = jnp.max(encoded, axis=1)
+        # masked max: pooling over zero-padded frames would clamp every
+        # dimension at >= 0 AND make z depend on the batch's pad width
+        frame_mask = (
+            jnp.arange(features.shape[1])[None, :] < lengths[:, None]
+        )[:, :, None]
+        pooled = jnp.max(jnp.where(frame_mask, encoded, -jnp.inf), axis=1)
         stats = _linear(params["encoder_to_params"], pooled)
         mean, logvar = stats[:, : self.z_dim], stats[:, self.z_dim :]
         eps = jax.random.normal(rng, mean.shape)
@@ -205,7 +210,7 @@ class ComponentHsmm(GaussianHsmm):
         vcs = jnp.where(pad, 0, vc)
         mvc = jnp.asarray(self.merge_map)[vcs] if self.merge_map is not None else vcs
 
-        feats, log_det = self.project_features(params, features)
+        feats, log_det = self.project_features(params, features, lengths)
         z, kl = self._get_z_and_kl(params, feats, lengths, rng, use_mean_z)
 
         # initial: w . embed(class) (+ class bias), masked log-softmax

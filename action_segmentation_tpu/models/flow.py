@@ -77,17 +77,19 @@ def nice_init(rng, args, features):
     return p
 
 
-def nice_apply(params, x):
-    """x: (..., D) -> (h (..., D), log_det over all non-batch axes (B,)).
+def nice_apply(params, x, per_step=False):
+    """x: (..., D) -> (h (..., D), log_det).
 
     Alternating-half additive (or affine, with flow_scale) couplings,
-    mirroring flow.py:94-126. The log-det sums the scale outputs over
-    every axis except the leading batch axis.
+    mirroring flow.py:94-126. By default log_det sums the scale outputs
+    over every axis except the leading batch axis -> (B,); with
+    ``per_step=True`` it sums over the feature axis only -> x.shape[:-1]
+    (so callers can mask padded frames before reducing over time).
     """
     features = x.shape[-1]
     half = features // 2
     batch = x.shape[0]
-    log_det = jnp.zeros((batch,), jnp.float32)
+    log_det = jnp.zeros(x.shape[:-1], jnp.float32)
     h = x
     scale_cells = params.get("scale_cells")
     for i, cell in enumerate(params["cells"]):
@@ -98,11 +100,13 @@ def nice_apply(params, x):
         t = relu_net_apply(cell, h1)
         if scale_cells is not None:
             s = relu_net_apply(scale_cells[i], h1)
-            log_det = log_det + s.reshape(batch, -1).sum(axis=-1)
+            log_det = log_det + s.sum(axis=-1)
             h2p = jnp.exp(s) * h2 + t
         else:
             h2p = h2 + t
         if i % 2 == 1:
             h1, h2p = h2p, h1
         h = jnp.concatenate([h1, h2p], axis=-1)
+    if not per_step:
+        log_det = log_det.reshape(batch, -1).sum(axis=-1)
     return h, log_det

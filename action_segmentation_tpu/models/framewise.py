@@ -17,7 +17,10 @@ from action_segmentation_tpu import BIG_NEG
 from action_segmentation_tpu.data.batching import iter_batches
 from action_segmentation_tpu.models.base import Model, apply_lr, make_optimizer
 from action_segmentation_tpu.models import nn
-from action_segmentation_tpu.ops.distributions import gaussian_emission_log_probs
+from action_segmentation_tpu.ops.distributions import (
+    gaussian_emission_log_probs,
+    gaussian_emission_log_probs_diag,
+)
 from action_segmentation_tpu.ops.stats import semimarkov_sufficient_stats
 
 
@@ -188,7 +191,16 @@ class FramewiseGaussianMixture(Model):
             feature_list, label_list, n_classes=self.n_classes, max_k=100
         )
         self.means = stats["gaussian_means"]
-        self.cov = stats["gaussian_cov"]
+        cov_type = getattr(self.args, "gm_covariance", "tied_diag")
+        if cov_type == "tied_diag":
+            self.cov = stats["gaussian_cov"]
+        elif cov_type == "diag":
+            self.cov = stats["gaussian_cov_diag"]
+        else:
+            raise NotImplementedError(
+                "--gm_covariance {} requires full-covariance Gaussians; "
+                "only tied_diag and diag are implemented (PARITY.md)".format(cov_type)
+            )
         counts = np.zeros(self.n_classes)
         for labels in label_list:
             np.add.at(counts, labels, 1.0)
@@ -201,7 +213,12 @@ class FramewiseGaussianMixture(Model):
 
         @jax.jit
         def infer(feats, means, cov, log_priors, valid_mask):
-            logp = gaussian_emission_log_probs(feats[None], means, cov)[0]
+            emit_fn = (
+                gaussian_emission_log_probs_diag
+                if np.ndim(cov) == 2
+                else gaussian_emission_log_probs
+            )
+            logp = emit_fn(feats[None], means, cov)[0]
             logp = logp + log_priors[None, :]
             return jnp.argmax(jnp.where(valid_mask, logp, -jnp.inf), axis=-1)
 

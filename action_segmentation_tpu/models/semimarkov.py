@@ -85,7 +85,12 @@ class GaussianHsmm:
         self.n_classes = n_classes
         self.feature_dim = n_dims
         self.allow_self_transitions = allow_self_transitions
-        self.max_k = args.sm_max_span_length
+        # --sm_hidden_markov fixes K=1 (degenerate HSMM -> HMM); the
+        # reference declares but never wires this flag — its help text
+        # ("fix K=1") is honored here
+        self.max_k = (
+            1 if getattr(args, "sm_hidden_markov", False) else args.sm_max_span_length
+        )
         self.init_dis, self.trans_dis, self.allowed_ends = _constraint_buffers(
             n_classes, allowed_starts, allowed_transitions, allowed_ends
         )
@@ -118,14 +123,14 @@ class GaussianHsmm:
     def _load_nonprojection_params(self, path):
         """Warm-start every non-flow parameter from a serialized model
         (semimarkov_modules.py:90-94, :125-129)."""
+        from action_segmentation_tpu.checkpoint import init_subset_from
+
         logger.debug(f"loading all non-flow parameters from {path}")
         with open(path, "rb") as f:
             other = pickle.load(f)
         src = other.module.params if hasattr(other, "module") else other
-        for key, val in src.items():
-            if key == "feature_projector":
-                continue
-            self.params[key] = jnp.asarray(val)
+        src = {k: jnp.asarray(v) for k, v in src.items()}
+        self.params = init_subset_from(self.params, src)
 
     @property
     def trainable_mask(self):
@@ -136,8 +141,19 @@ class GaussianHsmm:
 
     # ----- factor computation (runs under jit) -----
 
-    def project_features(self, params, features):
+    def project_features(self, params, features, lengths=None):
         if "feature_projector" in params:
+            if features.ndim == 3 and lengths is not None:
+                # mask the log-det to real frames: with --flow_scale the
+                # padded frames contribute nonzero scale outputs, making
+                # the loss depend on the length bucket
+                h, ld_steps = nice_flow.nice_apply(
+                    params["feature_projector"], features, per_step=True
+                )
+                mask = (
+                    jnp.arange(features.shape[1])[None, :] < lengths[:, None]
+                ).astype(ld_steps.dtype)
+                return h, (ld_steps * mask).sum(axis=1)
             return nice_flow.nice_apply(params["feature_projector"], features)
         return features, jnp.zeros(features.shape[0], jnp.float32)
 
@@ -176,7 +192,7 @@ class GaussianHsmm:
         )
         lens = poisson_length_log_probs(params["poisson_log_rates"][mvc], self.max_k)
 
-        feats, log_det = self.project_features(params, features)
+        feats, log_det = self.project_features(params, features, lengths)
         cov = jax.lax.stop_gradient(params["gaussian_cov"])
         emit = gaussian_emission_log_probs(feats, params["gaussian_means"][mvc], cov)
         emit = emit + constraints_add
@@ -683,11 +699,30 @@ class SemiMarkovModel(Model):
 
             step = ckpt.latest_step(ckpt_dir)
             if step is not None:
-                params, _, step = ckpt.load_orbax(ckpt_dir, target=params)
+                # restore the full train state (params + Adam moments)
+                # when the checkpoint has it; fall back to the params-only
+                # layout of older checkpoints
+                try:
+                    state, _, step = ckpt.load_orbax(
+                        ckpt_dir, target={"params": params, "opt_state": opt_state}
+                    )
+                    params = state["params"]
+                    opt_state = jax.tree_util.tree_map(
+                        jnp.asarray, state["opt_state"]
+                    )
+                except Exception:
+                    params, _, step = ckpt.load_orbax(ckpt_dir, target=params)
                 params = jax.tree_util.tree_map(jnp.asarray, params)
+                meta = ckpt.load_meta(ckpt_dir, step)
+                if meta and meta.get("lr") is not None:
+                    lr = float(meta["lr"])  # the plateau scheduler's live rate
+                    if scheduler is not None:
+                        scheduler.lr = lr
                 start_epoch = step + 1
                 logger.debug(
-                    "resumed from {} at epoch {}".format(ckpt_dir, start_epoch)
+                    "resumed from {} at epoch {} (lr {})".format(
+                        ckpt_dir, start_epoch, lr
+                    )
                 )
 
         profile_dir = getattr(args, "profile_dir", None)
@@ -799,6 +834,10 @@ class SemiMarkovModel(Model):
 
                 if use_dp:
                     continue  # sharded step already applied the update
+                # NOTE a partial accumulation window left at epoch end is
+                # dropped, matching the reference exactly (its
+                # multi_batch_losses are never flushed after the batch
+                # loop, semimarkov.py:284-309)
                 acc_grads = (
                     grads
                     if acc_grads is None
@@ -838,7 +877,10 @@ class SemiMarkovModel(Model):
             if ckpt_dir and epoch % getattr(args, "checkpoint_every", 5) == 0:
                 from action_segmentation_tpu import checkpoint as ckpt
 
-                ckpt.save_orbax(params, args, epoch, ckpt_dir)
+                ckpt.save_orbax(
+                    {"params": params, "opt_state": opt_state},
+                    args, epoch, ckpt_dir, lr=lr,
+                )
             train_loss = float(np.mean(losses)) if losses else 0.0
             if scheduler is not None:
                 lr = scheduler.step(train_loss)

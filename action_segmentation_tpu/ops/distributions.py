@@ -40,6 +40,25 @@ def gaussian_emission_log_probs(features, means, cov_diag):
     return const - 0.5 * (x_sq[..., None] - 2.0 * cross + mu_sq)
 
 
+def gaussian_emission_log_probs_diag(features, means, cov_diag):
+    """Per-class diagonal-covariance Gaussian log-likelihoods.
+
+    features: (..., T, D); means (C, D); cov_diag (C, D). Returns
+    (..., T, C). Same expansion as the tied case but with per-class
+    inverse variances, so the cross term stays one matmul.
+    """
+    inv_v = 1.0 / cov_diag  # (C, D)
+    D = features.shape[-1]
+    const = -0.5 * (D * LOG_2PI + jnp.sum(jnp.log(cov_diag), axis=-1))  # (C,)
+    x_sq = jnp.einsum("...td,cd->...tc", features**2, inv_v)
+    cross = jnp.einsum(
+        "...td,cd->...tc", features, means * inv_v,
+        preferred_element_type=jnp.float32,
+    )
+    mu_sq = jnp.sum(means**2 * inv_v, axis=-1)  # (C,)
+    return const - 0.5 * (x_sq - 2.0 * cross + mu_sq)
+
+
 def poisson_length_log_probs(log_rates, max_k):
     """Duration table: row d = Poisson(exp(log_rate)) log-pmf at d.
 

@@ -23,7 +23,9 @@ def semimarkov_sufficient_stats(feature_list, label_list, n_classes, max_k=None)
     Returns a dict with keys:
       span_counts (C,), span_lengths (C,), span_start_counts (C,),
       span_transition_counts (C, C) [to, from], instance_count,
-      gaussian_means (C, D), gaussian_cov (D,) tied diagonal.
+      gaussian_means (C, D), gaussian_cov (D,) tied diagonal,
+      gaussian_cov_diag (C, D) per-class diagonal (sklearn
+      GaussianMixture covariance_type='diag' moments + REG_COVAR).
     """
     assert len(feature_list) == len(label_list)
     D = feature_list[0].shape[1]
@@ -33,6 +35,7 @@ def semimarkov_sufficient_stats(feature_list, label_list, n_classes, max_k=None)
     span_transition_counts = np.zeros((n_classes, n_classes), np.float32)
 
     feat_sums = np.zeros((n_classes, D), np.float64)
+    feat_sq_sums = np.zeros((n_classes, D), np.float64)
     frame_counts = np.zeros(n_classes, np.float64)
 
     all_sum = np.zeros(D, np.float64)
@@ -43,6 +46,7 @@ def semimarkov_sufficient_stats(feature_list, label_list, n_classes, max_k=None)
         X = np.asarray(X)
         labels = np.asarray(labels)
         np.add.at(feat_sums, labels, X)
+        np.add.at(feat_sq_sums, labels, X**2)
         np.add.at(frame_counts, labels, 1.0)
         all_sum += X.sum(axis=0)
         all_sq_sum += (X**2).sum(axis=0)
@@ -68,6 +72,9 @@ def semimarkov_sufficient_stats(feature_list, label_list, n_classes, max_k=None)
     mean_all = all_sum / n_frames
     var_all = all_sq_sum / n_frames - mean_all**2
     cov = (var_all + REG_COVAR).astype(np.float32)
+    cov_diag = (
+        feat_sq_sums / nk[:, None] - (feat_sums / nk[:, None]) ** 2 + REG_COVAR
+    ).astype(np.float32)
 
     return {
         "span_counts": span_counts,
@@ -77,4 +84,5 @@ def semimarkov_sufficient_stats(feature_list, label_list, n_classes, max_k=None)
         "instance_count": len(feature_list),
         "gaussian_means": means,
         "gaussian_cov": cov,
+        "gaussian_cov_diag": cov_diag,
     }

@@ -82,3 +82,45 @@ def test_init_subset_from():
         np.asarray(out["feature_projector"]["w"]), np.zeros(2)
     )
     assert "extra" not in out
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    """Resume restores the FULL train state: params, Adam moments, and
+    the plateau scheduler's live learning rate (a params-only restore
+    silently resets optimizer state)."""
+    import argparse
+
+    import optax
+
+    from action_segmentation_tpu import checkpoint as ckpt
+
+    params = {
+        "w": jnp.arange(6.0).reshape(2, 3),
+        "b": jnp.ones(3),
+    }
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+    # take one update so the moments are nonzero
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+
+    args = argparse.Namespace(lr=5e-3, foo="bar")
+    d = str(tmp_path / "ck")
+    ckpt.save_orbax(
+        {"params": params, "opt_state": opt_state}, args, 3, d, lr=1e-3
+    )
+
+    target = {"params": jax.tree_util.tree_map(jnp.zeros_like, params),
+              "opt_state": tx.init(jax.tree_util.tree_map(jnp.zeros_like, params))}
+    state, args_dict, step = ckpt.load_orbax(d, target=target)
+    assert step == 3
+    for k in params:
+        np.testing.assert_allclose(np.asarray(state["params"][k]), np.asarray(params[k]))
+    got_mu = jax.tree_util.tree_leaves(state["opt_state"])
+    want_mu = jax.tree_util.tree_leaves(opt_state)
+    assert len(got_mu) == len(want_mu)
+    for g, w in zip(got_mu, want_mu):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w))
+    meta = ckpt.load_meta(d, step)
+    assert meta["lr"] == 1e-3
