@@ -24,6 +24,7 @@ class Segmenter:
     """Serving wrapper around a trained SemiMarkovModel."""
 
     def __init__(self, model, valid_classes=None):
+        from action_segmentation_tpu import BIG_NEG
         from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
 
         assert isinstance(model, SemiMarkovModel), type(model)
@@ -31,6 +32,17 @@ class Segmenter:
         if valid_classes is None:
             valid_classes = np.arange(model.n_classes, dtype=np.int64)
         self.valid_classes = np.asarray(valid_classes, np.int64)
+        # honor the model's end-class constraints (canonical-ordering
+        # training sets allowed_ends; predict() applies the same mask)
+        if model.module.allowed_ends is not None:
+            allowed = set(model.module.allowed_ends)
+            self._end_row = np.where(
+                np.array([ix in allowed for ix in self.valid_classes]),
+                0.0,
+                BIG_NEG,
+            ).astype(np.float32)
+        else:
+            self._end_row = np.zeros(len(self.valid_classes), np.float32)
         self._decode = model._get_jitted("decode", model._build_decode_step)
 
     @classmethod
@@ -55,7 +67,7 @@ class Segmenter:
                 feats[row, : lengths[row]] = feature_list[i]
             C = len(self.valid_classes)
             cons = np.zeros((len(idxs), Tpad, C), np.float32)
-            end_allowed = np.zeros((len(idxs), C), np.float32)
+            end_allowed = np.broadcast_to(self._end_row, (len(idxs), C)).copy()
             rng, step_rng = jax.random.split(rng)
             labels, _ = self._decode(
                 self.model.module.params,
@@ -78,17 +90,27 @@ class Segmenter:
     def segment_with_marginals(self, features):
         """Segment one (T, D) array and return posterior frame marginals.
 
-        Returns (labels (T,), marginals (T, C)): marginals[t, c] is the
-        posterior probability that frame t belongs to class c under the
-        HSMM, computed as d logZ / d emit via the Pallas custom-VJP
-        forward/backward pair (ops/hsmm_grad.py) — the calibrated
-        confidence signal the argmax labels alone don't carry.
+        Returns (labels (T,), marginals (T, n_classes)): marginals[t, c]
+        is the posterior probability that frame t belongs to GLOBAL
+        class c under the HSMM (zero for classes outside this
+        segmenter's valid set), computed as d logZ / d emit via the
+        Pallas custom-VJP forward/backward pair (ops/hsmm_grad.py) — the
+        calibrated confidence signal the argmax labels alone don't
+        carry. Labels and marginals come from ONE jitted pass (shared
+        potentials; decode is the extra max-semiring scan).
         """
         import jax
 
-        from action_segmentation_tpu.ops.hsmm import hsmm_frame_marginals
+        from action_segmentation_tpu.ops.hsmm import (
+            hsmm_frame_marginals,
+            hsmm_viterbi,
+        )
         from action_segmentation_tpu.ops.hsmm_grad import hsmm_frame_marginals_fast
-        from action_segmentation_tpu.ops.hsmm_pallas import pallas_supported
+        from action_segmentation_tpu.ops.hsmm_pallas import (
+            hsmm_viterbi_labels_pallas,
+            pallas_supported,
+        )
+        from action_segmentation_tpu.ops.span_codec import spans_to_labels
 
         features = np.asarray(features, np.float32)
         T, D = features.shape
@@ -98,31 +120,46 @@ class Segmenter:
         lengths = np.array([T], np.int32)
         C = len(self.valid_classes)
         module = self.model.module
+        use_pallas = pallas_supported(C)
 
-        def run(params, feats, lengths, vc):
+        def run(params, feats, lengths, vc, end_row):
             cons = jnp.zeros(feats.shape[:2] + (C,), jnp.float32)
-            end_allowed = jnp.zeros((feats.shape[0], C), jnp.float32)
+            end_allowed = jnp.broadcast_to(end_row, (feats.shape[0], C))
             pots, _, _ = module.compute_potentials(
                 params, feats, lengths, vc, cons, end_allowed,
                 jax.random.PRNGKey(0), use_mean_z=True,
             )
-            fn = (
-                hsmm_frame_marginals_fast
-                if pallas_supported(C)
-                else hsmm_frame_marginals
+            marg_fn = (
+                hsmm_frame_marginals_fast if use_pallas else hsmm_frame_marginals
             )
-            return fn(pots, lengths)
+            marg = marg_fn(pots, lengths)
+            if use_pallas:
+                labels_sub, _ = hsmm_viterbi_labels_pallas(pots, lengths)
+            else:
+                spans_sub, _ = hsmm_viterbi(pots, lengths)
+                labels_sub = jnp.where(
+                    jnp.arange(feats.shape[1])[None, :] < lengths[:, None],
+                    spans_to_labels(spans_sub),
+                    -1,
+                )
+            labels = jnp.where(labels_sub >= 0, vc[jnp.clip(labels_sub, 0)], -1)
+            return labels, marg
 
-        marg_fn = self.model._get_jitted(
-            "frame_marginals", lambda: jax.jit(run)
+        # cache key includes the subset size: two Segmenters over the
+        # same model may use different valid-class sets
+        fn = self.model._get_jitted(
+            "frame_marginals_{}".format(C), lambda: jax.jit(run)
         )
-        marg = np.asarray(
-            marg_fn(
-                module.params,
-                jnp.asarray(feats),
-                jnp.asarray(lengths),
-                jnp.asarray(self.valid_classes),
-            )
-        )[0, :T]
-        labels = self.segment(features)
+        labels_d, marg_d = fn(
+            module.params,
+            jnp.asarray(feats),
+            jnp.asarray(lengths),
+            jnp.asarray(self.valid_classes),
+            jnp.asarray(self._end_row),
+        )
+        labels = np.asarray(labels_d)[0, :T]
+        marg_sub = np.asarray(marg_d)[0, :T]
+        # scatter subset columns into global class ids to match labels
+        marg = np.zeros((T, self.model.n_classes), np.float32)
+        marg[:, self.valid_classes] = marg_sub
         return labels, marg

@@ -91,9 +91,47 @@ def _params_shardings(mesh, params):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def _local_loss_terms(module, use_labels, discriminative, partition_fn,
+                      params, features, lengths, vc, inv_map, gt, cons,
+                      end_allowed, weights, rng):
+    """Weighted SUMS of the loss terms over a (shard of a) batch, plus
+    the weight sum — the building block both sharded-step variants share
+    (global weighted mean = psum(weighted sums) / psum(weights))."""
+    # pad_batch_for_mesh fills dummy rows with length 0; clamp so the
+    # weight-0 rows still run a well-defined length-1 DP (a 0-length
+    # forward pass going non-finite would NaN the batch via 0 * nan)
+    lengths = jnp.maximum(lengths, 1)
+    pots, log_det, kl = module.compute_potentials(
+        params, features, lengths, vc, cons, end_allowed, rng, use_mean_z=use_labels
+    )
+    if use_labels:
+        labels_sub = inv_map[gt]
+        spans = labels_to_spans(labels_sub, module.max_k)
+        ll = hsmm_gold_score(pots, lengths, spans)
+        if discriminative:
+            ll = ll - partition_fn(pots, lengths)
+    else:
+        ll = partition_fn(pots, lengths)
+    term = -ll - log_det
+    if not use_labels:
+        term = term + kl
+    return jnp.sum(term * weights), weights.sum()
+
+
 def build_sharded_train_step(module, tx, mesh, use_labels):
     """jit a FULL training step (loss -> grads -> adam update) over the
-    mesh. Batch args sharded on 'data'; class-indexed params on 'model'.
+    mesh. Two constructions:
+
+    * data-parallel mesh (model axis == 1, the default): shard_map over
+      'data' — each device runs the SAME compute path as single-device
+      training (including the Pallas custom-VJP partition on TPU and
+      --sm_train_discriminatively), computes local weighted loss sums,
+      and psums them inside the shard so autodiff yields globally
+      correct gradients;
+    * dp x tp (experimental): plain jit with shardings, so XLA can
+      partition the class-table matmuls over 'model' (pallas_call does
+      not partition under automatic sharding, so this path uses the XLA
+      scan partition).
 
     `weights` (B,) supports batches padded up to a multiple of the data
     axis: padded instances get weight 0 and the loss is a weighted mean,
@@ -103,36 +141,75 @@ def build_sharded_train_step(module, tx, mesh, use_labels):
       (params, opt_state, features, lengths, vc, inv_map, gt, cons,
        end_allowed, weights, lr, rng) -> (params, opt_state, loss)
     """
-    K = module.max_k
+    from action_segmentation_tpu.ops.hsmm_grad import hsmm_partition_fast
+    from action_segmentation_tpu.ops.hsmm_pallas import pallas_supported
 
-    def loss_fn(params, features, lengths, vc, inv_map, gt, cons, end_allowed, weights, rng):
-        # pad_batch_for_mesh fills dummy rows with length 0; clamp so the
-        # weight-0 rows still run a well-defined length-1 DP (a 0-length
-        # forward pass going non-finite would NaN the batch via 0 * nan)
-        lengths = jnp.maximum(lengths, 1)
-        pots, log_det, kl = module.compute_potentials(
-            params, features, lengths, vc, cons, end_allowed, rng, use_mean_z=use_labels
-        )
-        pots = pots._replace(
-            emit=jax.lax.with_sharding_constraint(
-                pots.emit, NamedSharding(mesh, P("data", None, None))
+    discriminative = getattr(module.args, "sm_train_discriminatively", False)
+    dp_only = mesh.shape.get("model", 1) == 1
+
+    if dp_only:
+        use_pallas = pallas_supported(module.n_classes)
+        partition_fn = hsmm_partition_fast if use_pallas else hsmm_partition
+
+        def local_loss(params, features, lengths, vc, inv_map, gt, cons,
+                       end_allowed, weights, rng):
+            num, den = _local_loss_terms(
+                module, use_labels, discriminative, partition_fn,
+                params, features, lengths, vc, inv_map, gt, cons,
+                end_allowed, weights, rng,
             )
+            num = jax.lax.psum(num, "data")
+            den = jax.lax.psum(den, "data")
+            return num / jnp.maximum(den, 1.0)
+
+        def local_step(params, opt_state, features, lengths, vc, inv_map,
+                       gt, cons, end_allowed, weights, lr, rng):
+            loss, grads = jax.value_and_grad(local_loss)(
+                params, features, lengths, vc, inv_map, gt, cons,
+                end_allowed, weights, rng,
+            )
+            # each shard's autodiff only carries its own shard's term of
+            # the psum'd loss; the global gradient is their sum
+            grads = jax.lax.psum(grads, "data")
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u, params, apply_lr(updates, lr)
+            )
+            return params, opt_state, loss
+
+        try:
+            from jax import shard_map  # jax >= 0.8
+
+            check_kwargs = {"check_vma": False}
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+
+            check_kwargs = {"check_rep": False}
+
+        sharded = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(
+                P(), P(),                      # params, opt_state
+                P("data"), P("data"),          # features, lengths
+                P(), P(),                      # vc, inv_map
+                P("data"), P("data"), P("data"), P("data"),  # gt, cons, end, w
+                P(), P(),                      # lr, rng
+            ),
+            out_specs=(P(), P(), P()),
+            **check_kwargs,
         )
-        if use_labels:
-            labels_sub = inv_map[gt]
-            spans = labels_to_spans(labels_sub, K)
-            ll = hsmm_gold_score(pots, lengths, spans)
-        else:
-            ll = hsmm_partition(pots, lengths)
-        denom = jnp.maximum(weights.sum(), 1.0)
+        return jax.jit(sharded)
 
-        def wmean(x):
-            return jnp.sum(x * weights) / denom
-
-        loss = -wmean(ll) - wmean(log_det)
-        if not use_labels:
-            loss = loss + wmean(kl)
-        return loss
+    # dp x tp path: automatic partitioning over both axes (the
+    # in-shardings of the placed arguments drive the partitioner)
+    def loss_fn(params, features, lengths, vc, inv_map, gt, cons, end_allowed, weights, rng):
+        num, den = _local_loss_terms(
+            module, use_labels, discriminative, hsmm_partition,
+            params, features, lengths, vc, inv_map, gt, cons,
+            end_allowed, weights, rng,
+        )
+        return num / jnp.maximum(den, 1.0)
 
     def step(params, opt_state, features, lengths, vc, inv_map, gt, cons, end_allowed, weights, lr, rng):
         loss, grads = jax.value_and_grad(loss_fn)(

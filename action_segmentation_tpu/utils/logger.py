@@ -19,7 +19,13 @@ if not logger.handlers:
 
 
 def path_logger(filename):
-    """Attach a file handler; returns the shared logger."""
+    """Attach a file handler (replacing any previous one, so multi-fold
+    runs don't duplicate messages into every earlier log file); returns
+    the shared logger."""
+    for h in list(logger.handlers):
+        if isinstance(h, logging.FileHandler):
+            logger.removeHandler(h)
+            h.close()
     fh = logging.FileHandler(filename, mode="w")
     fh.setLevel(logging.DEBUG)
     fh.setFormatter(logging.Formatter("%(message)s"))

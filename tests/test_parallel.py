@@ -181,3 +181,45 @@ def test_data_parallel_predict_matches_single_device():
         got = preds[True][video]
         assert got.shape == want.shape, video
         assert (got == want).all(), video
+
+
+def test_data_parallel_discriminative_matches_single_device():
+    """--sm_train_discriminatively must train the same objective under
+    --data_parallel (gold score MINUS partition; the sharded step
+    previously silently dropped the partition term)."""
+    import argparse
+
+    from action_segmentation_tpu.data.synthetic import SyntheticDatasplit
+    from action_segmentation_tpu.models.base import add_training_args
+    from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+
+    def make_args(**overrides):
+        parser = argparse.ArgumentParser()
+        SemiMarkovModel.add_args(parser)
+        add_training_args(parser)
+        parser.add_argument("--batch_size", type=int, default=4)
+        parser.add_argument("--annotate_background_with_previous", action="store_true")
+        parser.add_argument("--no_merge_classes", action="store_true")
+        args = parser.parse_args([])
+        for k, v in overrides.items():
+            setattr(args, k, v)
+        return args
+
+    train = SyntheticDatasplit(num_videos=8, n_classes=3, max_len=18, span_k=4, seed=3)
+    losses = {}
+    for dp in (False, True):
+        args = make_args(
+            sm_max_span_length=6,
+            sm_supervised_method="gradient-based",
+            sm_train_discriminatively=True,
+            epochs=1,
+            lr=1e-2,
+            data_parallel=dp,
+        )
+        model = SemiMarkovModel.from_args(args, train)
+        ls = []
+        model.fit(train, use_labels=True, callback_fn=lambda e, s: ls.append(s["train_loss"]))
+        losses[dp] = ls[0]
+    # discriminative loss is -log p(y|x) <= ~0 magnitude, very unlike the
+    # generative NLL; the two paths must agree
+    assert abs(losses[True] - losses[False]) < 1e-2, losses
