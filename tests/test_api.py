@@ -57,3 +57,29 @@ def test_segment_with_marginals():
     conf = marg.max(axis=1) > 0.9
     assert conf.any()
     assert (marg.argmax(axis=1)[conf] == labels[conf]).mean() > 0.95
+
+
+def test_segment_with_marginals_subset_classes():
+    """With a non-identity valid_classes subset, labels are global ids
+    and marginals are indexed by global id too (subset columns scattered
+    into an (T, n_classes) array)."""
+    train = SyntheticDatasplit(num_videos=40, n_classes=4, max_len=40, span_k=5, seed=0)
+    args = make_args(sm_max_span_length=20, sm_supervised_method="closed-form")
+    model = SemiMarkovModel.from_args(args, train)
+    model.fit(train, use_labels=True)
+
+    subset = np.array([1, 3], np.int64)
+    seg = Segmenter(model, valid_classes=subset)
+    feats = train._samples[sorted(train._samples)[0]]["features"]
+    labels, marg = seg.segment_with_marginals(feats)
+    assert set(np.unique(labels)) <= set(subset.tolist())
+    assert marg.shape == (feats.shape[0], model.n_classes)
+    # mass only on the subset columns, still a distribution per frame
+    off = np.setdiff1d(np.arange(model.n_classes), subset)
+    assert np.abs(marg[:, off]).max() == 0.0
+    np.testing.assert_allclose(marg.sum(axis=1), 1.0, atol=1e-3)
+    # a second segmenter over the same model with the full class set
+    # must not collide with the subset segmenter's cached program
+    seg_full = Segmenter(model)
+    labels_f, marg_f = seg_full.segment_with_marginals(feats)
+    assert marg_f.shape == (feats.shape[0], model.n_classes)
