@@ -122,3 +122,44 @@ def init_subset_from(params, source_params, exclude_prefixes=("feature_projector
         if key in out:
             out[key] = val
     return out
+
+
+REFERENCE_PARAM_KEYS = (
+    "poisson_log_rates",
+    "gaussian_means",
+    "gaussian_cov",
+    "transition_logits",
+    "init_logits",
+)
+# constraint masks are derived from args/corpus on this side, not weights
+REFERENCE_BUFFER_KEYS = ("init_constraints", "transition_constraints")
+
+
+def params_from_reference_state_dict(state_dict):
+    """Map a reference SemiMarkovModule state_dict to our param pytree.
+
+    The reference's parameter names (semimarkov_modules.py:142-159)
+    match this framework's one-for-one; values may be torch tensors or
+    numpy arrays, and an optional 'model.' prefix is stripped. Returns
+    (params, skipped_keys). Flow-projector weights are refused loudly
+    (the NICE parameterizations differ structurally).
+    """
+    params = {}
+    skipped = []
+    for key, val in state_dict.items():
+        name = key[len("model."):] if key.startswith("model.") else key
+        if name.startswith("feature_projector"):
+            raise NotImplementedError(
+                "reference NICE flow weights ({}) cannot be imported; "
+                "retrain the projector or import the non-flow subset via "
+                "--sm_init_non_projection_parameters_from".format(key)
+            )
+        if name in REFERENCE_PARAM_KEYS:
+            if hasattr(val, "detach"):
+                val = val.detach().cpu().numpy()
+            params[name] = np.asarray(val, np.float32)
+        else:
+            skipped.append(key)
+    missing = [k for k in REFERENCE_PARAM_KEYS if k not in params]
+    assert not missing, "state_dict missing reference params: {}".format(missing)
+    return params, skipped

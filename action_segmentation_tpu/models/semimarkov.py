@@ -983,3 +983,30 @@ class SemiMarkovModel(Model):
                     predictions[video] = preds
                 row += B
         return predictions
+
+
+def semimarkov_from_reference_state_dict(args, state_dict):
+    """Build a serving-ready SemiMarkovModel from a reference-trained
+    SemiMarkovModule state_dict (torch or numpy leaves).
+
+    The reference's Gaussian-HSMM parameter names match this
+    framework's one-for-one (semimarkov_modules.py:142-159), so
+    migration is a cast: shapes determine n_classes / feature_dim.
+    Transition/end constraint sets are corpus-derived, not weights —
+    rebuild them through SemiMarkovModel.from_args when decoding with
+    --sm_constrain_transitions.
+    """
+    from action_segmentation_tpu.checkpoint import params_from_reference_state_dict
+
+    assert not getattr(args, "sm_component_model", False), (
+        "only the Gaussian SemiMarkovModule transfers weight-for-weight"
+    )
+    params, skipped = params_from_reference_state_dict(state_dict)
+    if skipped:
+        logger.debug("import: skipping non-parameter keys {}".format(skipped))
+    n_classes, feature_dim = params["gaussian_means"].shape
+    module = GaussianHsmm(
+        args, n_classes, feature_dim, allow_self_transitions=True
+    )
+    module.params = {k: jnp.asarray(v) for k, v in params.items()}
+    return SemiMarkovModel(args, n_classes, feature_dim, module)

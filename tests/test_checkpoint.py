@@ -124,3 +124,54 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w))
     meta = ckpt.load_meta(d, step)
     assert meta["lr"] == 1e-3
+
+
+def test_import_reference_state_dict(tmp_path):
+    """A reference-trained SemiMarkovModule state_dict (torch tensors,
+    reference param names + constraint buffers) imports into a
+    serving-ready model whose decode matches a natively-built module
+    with the same weights."""
+    import pickle as pkl
+    import sys
+
+    import torch
+
+    sys.path.insert(0, ".")
+    from scripts.import_reference_model import main as import_main
+
+    from action_segmentation_tpu.api import Segmenter
+    from action_segmentation_tpu.models.semimarkov import (
+        GaussianHsmm,
+        SemiMarkovModel,
+        semimarkov_from_reference_state_dict,
+    )
+    from tests.test_semimarkov_model import make_args
+
+    C, D = 4, 6
+    rng = np.random.RandomState(0)
+    sd = {
+        "poisson_log_rates": torch.tensor(rng.randn(C).astype(np.float32)),
+        "gaussian_means": torch.tensor(rng.randn(C, D).astype(np.float32) * 2),
+        "gaussian_cov": torch.tensor(np.abs(rng.randn(D)).astype(np.float32) + 0.5),
+        "transition_logits": torch.tensor(rng.randn(C, C).astype(np.float32)),
+        "init_logits": torch.tensor(rng.randn(C).astype(np.float32)),
+        "init_constraints": torch.zeros(C),  # buffer: must be skipped
+        "transition_constraints": torch.zeros(C, C),
+    }
+    sd_path = str(tmp_path / "ref_module.pt")
+    torch.save(sd, sd_path)
+    out_path = str(tmp_path / "imported.pkl")
+    import_main(["--state_dict", sd_path, "--output", out_path])
+
+    seg = Segmenter.load(out_path)
+    feats = rng.randn(30, D).astype(np.float32) + 0.5
+    got = seg.segment(feats)
+
+    # natively-built model with identical weights must decode identically
+    args = make_args()
+    native = semimarkov_from_reference_state_dict(
+        args, {k: v.numpy() for k, v in sd.items()}
+    )
+    want = Segmenter(native).segment(feats)
+    assert (got == want).all()
+    assert got.shape == (30,)
