@@ -3,7 +3,9 @@
 Training against the marginal likelihood needs d logZ / d potentials
 (= posterior expected sufficient statistics). Autodiff of the jnp scan
 works but replays the scan; here both passes run the fused Pallas
-log-scan (ops/hsmm_pallas.py) and the marginals are combined closed-form:
+log-scan (ops/hsmm_pallas.py) — stacked into ONE kernel launch on a
+doubled batch axis (``hsmm_alphas_fb_pallas``) — and the marginals are
+combined closed-form:
 
   By the HSMM's time symmetry, the suffix mass S2[e, c] ("segmentations
   of frames [e, L) given the previous span had class c", including the
@@ -33,9 +35,11 @@ from action_segmentation_tpu import BIG_NEG
 from action_segmentation_tpu.ops.hsmm import (
     HsmmPotentials,
     _emission_cumsum,
-    reverse_within_length as _reverse_within_length,
 )
-from action_segmentation_tpu.ops.hsmm_pallas import hsmm_alphas_pallas
+from action_segmentation_tpu.ops.hsmm_pallas import (
+    hsmm_alphas_fb_pallas,
+    hsmm_alphas_pallas,
+)
 
 
 def _lse(x, axis):
@@ -141,22 +145,22 @@ def hsmm_partition_fb(trans, init, lens, emit, end_mask, lengths, interpret=Fals
 
 
 def _fb_fwd(trans, init, lens, emit, end_mask, lengths, interpret=False):
+    # Differentiated call: the backward pass will need the reversed-model
+    # boundary scores anyway, so run BOTH directional scans here in one
+    # fused 2B-batch launch and carry alphas_b as a residual — the
+    # backward then launches no kernel at all (one launch per train step
+    # instead of two).
     pots = HsmmPotentials(trans, init, lens, emit, end_mask)
-    alphas_f, logZ = hsmm_alphas_pallas(pots, lengths, interpret=interpret)
-    return logZ, (trans, init, lens, emit, end_mask, lengths, alphas_f, logZ)
+    alphas_f, alphas_b, logZ = hsmm_alphas_fb_pallas(
+        pots, lengths, interpret=interpret
+    )
+    return logZ, (
+        trans, init, lens, emit, end_mask, lengths, alphas_f, alphas_b, logZ,
+    )
 
 
 def _fb_bwd(interpret, res, g):
-    trans, init, lens, emit, end_mask, lengths, alphas_f, logZ = res
-    emit_rev = _reverse_within_length(emit, lengths)
-    rev_pots = HsmmPotentials(
-        trans=jnp.swapaxes(trans, -1, -2),
-        init=end_mask,
-        lens=lens,
-        emit=emit_rev,
-        end_mask=init,
-    )
-    alphas_b, _ = hsmm_alphas_pallas(rev_pots, lengths, interpret=interpret)
+    trans, init, lens, emit, end_mask, lengths, alphas_f, alphas_b, logZ = res
 
     grads = jax.vmap(_combine_grads_single)(
         trans, init, lens, emit, end_mask, lengths, alphas_f, alphas_b, logZ

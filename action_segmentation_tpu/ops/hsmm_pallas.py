@@ -402,6 +402,52 @@ def hsmm_alphas_pallas(pots: HsmmPotentials, lengths, interpret=False):
     return _run_forward(pots, lengths, interpret, "log")
 
 
+def _stack_fwd_rev(pots: HsmmPotentials, lengths):
+    """Concatenate the model with its time-reversed counterpart on the
+    batch axis, so both directional scans ride ONE kernel launch.
+
+    By the HSMM's time symmetry the suffix boundary mass equals the
+    prefix boundary mass of the REVERSED model: reversed emissions,
+    transposed transitions, init <-> end_mask swapped. Stacking fwd and
+    rev videos into one 2B batch halves launch count and lets XLA fuse
+    one shared pack/unpack instead of two (the "fused fwd+bwd launch"
+    lever of docs/DESIGN.md §7)."""
+    emit_rev = _reverse_within_length(pots.emit, lengths)
+    cat = HsmmPotentials(
+        trans=jnp.concatenate(
+            [pots.trans, jnp.swapaxes(pots.trans, -1, -2)], axis=0
+        ),
+        init=jnp.concatenate([pots.init, pots.end_mask], axis=0),
+        lens=jnp.concatenate([pots.lens, pots.lens], axis=0),
+        emit=jnp.concatenate([pots.emit, emit_rev], axis=0),
+        end_mask=jnp.concatenate([pots.end_mask, pots.init], axis=0),
+    )
+    lengths_i = jnp.asarray(lengths, jnp.int32)
+    return cat, jnp.concatenate([lengths_i, lengths_i], axis=0)
+
+
+def _run_forward_fb(pots: HsmmPotentials, lengths, interpret, semiring):
+    """One fused launch for the forward AND time-reversed scans.
+
+    Returns (alphas_f (B, T, C), alphas_b (B, T, C), scores (B,)):
+    alphas_b are the reversed model's boundary scores (suffix masses read
+    off by time symmetry); scores are the forward finals (logZ for 'log',
+    Viterbi score for 'max')."""
+    B = pots.emit.shape[0]
+    cat, lengths2 = _stack_fwd_rev(pots, lengths)
+    alphas, scores = _run_forward(cat, lengths2, interpret, semiring)
+    return alphas[:B], alphas[B:], scores[:B]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hsmm_alphas_fb_pallas(pots: HsmmPotentials, lengths, interpret=False):
+    """Forward + backward (time-reversed) boundary scores in one fused
+    log-semiring launch: (alphas_f (B, T, C), alphas_b (B, T, C),
+    logZ (B,)). Used by the custom-VJP training path so forward and
+    backward passes cost one kernel launch total."""
+    return _run_forward_fb(pots, lengths, interpret, "log")
+
+
 def _max_labels_single(trans, init, lens, emit, end_mask, length,
                        alphas_f, alphas_b):
     """Frame labels from max-semiring forward/backward boundary scores.
@@ -467,20 +513,13 @@ def _max_labels_single(trans, init, lens, emit, end_mask, length,
 def hsmm_viterbi_labels_pallas(pots: HsmmPotentials, lengths, interpret=False):
     """Traceback-free Viterbi frame labels: (labels (B, T) int32, scores).
 
-    Two fused max-semiring Pallas scans (forward + time-reversed) plus a
-    vectorized max-marginal combination — no sequential per-segment
-    traceback, so decode throughput is independent of segment count.
+    Both max-semiring directions (forward + time-reversed) ride ONE
+    fused Pallas launch (the reversed model stacked on the batch axis),
+    followed by a vectorized max-marginal combination — no sequential
+    per-segment traceback, so decode throughput is independent of
+    segment count.
     """
-    alphas_f, scores = _run_forward(pots, lengths, interpret, "max")
-    emit_rev = _reverse_within_length(pots.emit, lengths)
-    rev_pots = HsmmPotentials(
-        trans=jnp.swapaxes(pots.trans, -1, -2),
-        init=pots.end_mask,
-        lens=pots.lens,
-        emit=emit_rev,
-        end_mask=pots.init,
-    )
-    alphas_b, _ = _run_forward(rev_pots, lengths, interpret, "max")
+    alphas_f, alphas_b, scores = _run_forward_fb(pots, lengths, interpret, "max")
     labels = jax.vmap(_max_labels_single)(
         pots.trans, pots.init, pots.lens, pots.emit, pots.end_mask,
         jnp.asarray(lengths, jnp.int32), alphas_f, alphas_b,
