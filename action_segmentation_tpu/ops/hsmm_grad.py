@@ -111,7 +111,8 @@ def _combine_grads_single(trans, init, lens, emit, end_mask, length,
     stops = jnp.zeros((T + K, C))
     for j in range(Km):
         stops = stops + jnp.pad(M[:, j], ((j + 1, K - 1 - j), (0, 0)))
-    emit_grad = jnp.cumsum(starts - stops[:T], axis=0)
+    # tree scan: jnp.cumsum lowers to an O(T*window) reduce-window on TPU
+    emit_grad = jax.lax.associative_scan(jnp.add, starts - stops[:T], axis=0)
 
     # trans grad: pair marginals over interior boundaries s = 1..L-1
     s_interior = ((t_idx >= 1) & (t_idx < length))[:, None, None]

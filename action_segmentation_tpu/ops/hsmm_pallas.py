@@ -480,65 +480,98 @@ def hsmm_alphas_fb_pallas(pots: HsmmPotentials, lengths, interpret=False):
     return _run_forward_fb(pots, lengths, interpret, "log")
 
 
-def _max_labels_single(trans, init, lens, emit, end_mask, length,
-                       alphas_f, alphas_b):
-    """Frame labels from max-semiring forward/backward boundary scores.
+def _labels_prep_single(trans, init, lens, emit, end_mask, length,
+                        alphas_f, alphas_b):
+    """Per-video prep for the max-marginal decode: boundary-split scores.
 
-    In the max semiring the "marginal" of span (s, d, c) is the score of
-    the best path through it; the argmax path's spans attain the global
-    best, so labels[t] = argmax_c (best span score covering t with class
-    c) — the semiring-gradient decode, with no sequential traceback.
-    """
+    Splits each span's best-path score into a prefix part at the start
+    boundary s and a suffix part at the end boundary e = s + j + 1:
+
+      M[s, j] = G1[s] + lens[j+1] + G2[s+j+1]
+
+    with G1 = F - cum (F the forward boundary combine, masked past
+    length) and G2 = cum + S2 (S2 the reversed-model suffix combine,
+    masked past length). Laid out TIME-MINOR (C, T): with C ~ 20 minor
+    XLA pads every vector tile to 128 lanes; with T minor lanes are
+    full. Returns (G1 (C, T), G2_pad (C, T+K))."""
     T, C = emit.shape
     K = lens.shape[0]
-    Km = K - 1
-    t_idx = jnp.arange(T)
+    t_row = jnp.arange(T)[None, :]  # (1, T) time index for masks
 
-    cum = _emission_cumsum(emit)
+    cumT = _emission_cumsum(emit).T  # (C, T+1)
+    afT = alphas_f.T  # (C, T)
+    abT = alphas_b.T
 
-    # F[s, c]: best prefix with next span starting at s in class c
-    gammaF = jnp.max(alphas_f[:, None, :] + trans[None, :, :], axis=2)
-    F = jnp.concatenate([init[None, :], gammaF[: T - 1]], axis=0)
-    F = jnp.where((t_idx < length)[:, None], F, BIG_NEG)
+    # F[c, s]: best prefix with next span starting at s in class c
+    gammaF = jnp.max(afT[None, :, :] + trans[:, :, None], axis=1)  # (C_to, T)
+    F = jnp.concatenate([init[:, None], gammaF[:, : T - 1]], axis=1)
+    F = jnp.where(t_row < length, F, BIG_NEG)
 
-    # S2[e, c]: best suffix given previous span class c (reversed model)
-    gammaR = jnp.max(alphas_b[:, None, :] + trans.T[None, :, :], axis=2)
-    e_idx = jnp.arange(T + 1)
-    r_for_e = jnp.clip(length - e_idx, 1, T)
-    S2 = gammaR[r_for_e - 1]
-    S2 = jnp.where((e_idx == length)[:, None], end_mask[None, :], S2)
-    S2 = jnp.where(((e_idx >= 1) & (e_idx <= length))[:, None], S2, BIG_NEG)
+    # S2[c, e]: best suffix given previous span class c (reversed model).
+    # gammaR[c, r-1] holds the reversed-boundary combine at r = L - e, so
+    # S2[c, e] = gammaR[c, L-e-1]: one batched row gather (vmapped
+    # dynamic_slice lowers to a sequential per-video while loop instead).
+    gammaR = jnp.max(abT[None, :, :] + trans.T[:, :, None], axis=1)  # (C, T)
+    e_row = jnp.arange(T + 1)[None, :]
+    idx = jnp.clip(length - e_row[0] - 1, 0, T - 1)
+    S2 = jnp.take_along_axis(gammaR.T, idx[:, None], axis=0).T  # (C, T+1)
+    S2 = jnp.where(e_row == length, end_mask[:, None], S2)
+    S2 = jnp.where((e_row >= 1) & (e_row <= length), S2, BIG_NEG)
 
-    cum_pad = jnp.pad(cum, ((0, K), (0, 0)))
-    S2_pad = jnp.pad(S2, ((0, K), (0, 0)), constant_values=BIG_NEG)
+    G1 = F - cumT[:, :T]
+    G2_pad = jnp.pad(cumT + S2, ((0, 0), (0, K)), constant_values=BIG_NEG)
+    return G1, G2_pad
 
-    def shifted(arr, j):
-        return jax.lax.dynamic_slice_in_dim(arr, j + 1, T, axis=0)
 
-    def span_scores(j):
-        # spans (s, d=j+1): best-path score through each
-        M = (
-            F
-            + lens[j + 1][None, :]
-            + (shifted(cum_pad, j) - cum[:T])
-            + shifted(S2_pad, j)
+def _band_max_kernel(Km, g1_ref, g2_ref, lens_ref, fm_ref, h_ref):
+    """Max-marginal band combine, fully VMEM-resident.
+
+    Span (s, d) covers frame t iff r = t - s <= d - 1, so with
+    H_r[s] = max_{j >= r} lens[j+1] + G2[s+j+1] (a running max over
+    descending r), frame_max[t] = max_r (G1 + H_r)[t - r].
+
+    As XLA kernels the Km shifted slice/pad steps ran as ~2*Km separate
+    HBM-bound kernels (~0.5 ms at the bench shape); here the whole band
+    is one launch (~Km fused vector passes). The running H rides a VMEM
+    scratch ref and fm accumulates in the output ref so the scoped-VMEM
+    stack only holds one or two (Bc, C, T) temporaries at a time."""
+    Bc, Cp, T = g1_ref.shape
+    h_ref[...] = jnp.full(h_ref.shape, BIG_NEG, jnp.float32)
+    fm_ref[...] = jnp.full(fm_ref.shape, BIG_NEG, jnp.float32)
+    for r in range(Km - 1, -1, -1):
+        h_ref[...] = jnp.maximum(
+            h_ref[...],
+            lens_ref[:, :, r : r + 1] + g2_ref[:, :, r + 1 : r + 1 + T],
         )
-        valid = (t_idx + j + 1) <= length
-        return jnp.where(valid[:, None], M, BIG_NEG)
+        val = g1_ref[...] + h_ref[...]
+        if r:
+            val = jnp.concatenate(
+                [jnp.full((Bc, Cp, r), BIG_NEG, jnp.float32),
+                 jax.lax.slice_in_dim(val, 0, T - r, axis=2)],
+                axis=2,
+            )
+        fm_ref[...] = jnp.maximum(fm_ref[...], val)
 
-    M = jnp.stack([span_scores(j) for j in range(Km)], axis=1)  # (T, Km, C)
-    # Span (s, d) covers frame t iff r = t - s <= d - 1, so
-    #   frame_max[t] = max_r N[t - r, r]  with  N[s, r] = max_{j >= r} M[s, j]
-    # (suffix max over durations) — O(T*Km) instead of the O(T*Km^2)
-    # per-duration window sweep.
-    N = jnp.flip(jax.lax.cummax(jnp.flip(M, axis=1), axis=1), axis=1)
-    frame_max = jnp.full((T, C), BIG_NEG)
-    for r in range(Km):
-        shifted_col = jnp.pad(N[:, r], ((r, 0), (0, 0)), constant_values=BIG_NEG)[:T]
-        frame_max = jnp.maximum(frame_max, shifted_col)
 
-    labels = jnp.argmax(frame_max, axis=1).astype(jnp.int32)
-    return jnp.where(t_idx < length, labels, -1)
+def _band_max_pallas(G1, G2p, lens_tab, Km, interpret):
+    """Launch the band combine over batch chunks bounded by VMEM."""
+    B, C, T = G1.shape
+    Cp = _round_up(C, 8)
+    # live per video: g1/g2/fm blocks + H scratch + ~3 loop temporaries
+    bytes_per_video = 7 * Cp * (T + lens_tab.shape[2] + 1) * 4
+    Bc = max(1, min(B, (_VMEM_PLANE_BUDGET // 4) // max(bytes_per_video, 1)))
+    outs = []
+    for start in range(0, B, Bc):
+        end = min(start + Bc, B)
+        outs.append(
+            pl.pallas_call(
+                functools.partial(_band_max_kernel, Km),
+                out_shape=jax.ShapeDtypeStruct((end - start, C, T), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((end - start, C, T), jnp.float32)],
+                interpret=interpret,
+            )(G1[start:end], G2p[start:end], lens_tab[start:end])
+        )
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -547,13 +580,25 @@ def hsmm_viterbi_labels_pallas(pots: HsmmPotentials, lengths, interpret=False):
 
     Both max-semiring directions (forward + time-reversed) ride ONE
     fused Pallas launch (the reversed model stacked on the batch axis),
-    followed by a vectorized max-marginal combination — no sequential
+    followed by the VMEM-resident band-combine kernel — no sequential
     per-segment traceback, so decode throughput is independent of
     segment count.
+
+    In the max semiring the "marginal" of span (s, d, c) is the score of
+    the best path through it; the argmax path's spans attain the global
+    best, so labels[t] = argmax_c (best span score covering t with class
+    c) — the semiring-gradient decode.
     """
+    B, T, C = pots.emit.shape
+    lengths_i = jnp.asarray(lengths, jnp.int32)
     alphas_f, alphas_b, scores = _run_forward_fb(pots, lengths, interpret, "max")
-    labels = jax.vmap(_max_labels_single)(
+    G1, G2p = jax.vmap(_labels_prep_single)(
         pots.trans, pots.init, pots.lens, pots.emit, pots.end_mask,
-        jnp.asarray(lengths, jnp.int32), alphas_f, alphas_b,
+        lengths_i, alphas_f, alphas_b,
     )
+    Km = pots.lens.shape[1] - 1
+    lens_tab = jnp.swapaxes(pots.lens[:, 1:, :], 1, 2)  # (B, C, Km)
+    frame_max = _band_max_pallas(G1, G2p, lens_tab, Km, interpret)
+    labels = jnp.argmax(frame_max, axis=1).astype(jnp.int32)
+    labels = jnp.where(jnp.arange(T)[None, :] < lengths_i[:, None], labels, -1)
     return labels, scores
