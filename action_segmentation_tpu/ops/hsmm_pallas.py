@@ -171,14 +171,7 @@ def _forward_kernel(semiring, trans_ref, init_ref, dur_ref,
 
     dur = dur_ref[...]
     trans = trans_ref[...]
-
-    if semiring == "log":
-        def reduce_(x, axis):
-            m = jnp.max(x, axis=axis, keepdims=True)
-            return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=axis, keepdims=True))
-    else:
-        def reduce_(x, axis):
-            return jnp.max(x, axis=axis, keepdims=True)
+    reduce_ = _semiring_reduce(semiring)
 
     def step(i, _):
         e = emit_ref[:, pl.ds(i, 1), :]
@@ -193,6 +186,21 @@ def _forward_kernel(semiring, trans_ref, init_ref, dur_ref,
         W[:, 0:1, :] = gamma - cum[:, 0:1, :]
         return 0
 
+    _time_loop(step, Tc)
+
+
+def _semiring_reduce(semiring):
+    if semiring == "log":
+        def reduce_(x, axis):
+            m = jnp.max(x, axis=axis, keepdims=True)
+            return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=axis, keepdims=True))
+    else:
+        def reduce_(x, axis):
+            return jnp.max(x, axis=axis, keepdims=True)
+    return reduce_
+
+
+def _time_loop(step, Tc):
     if _UNROLL > 1 and Tc % _UNROLL == 0:
         # Mosaic's fori_loop lowering supports only unroll=1 or full
         # unroll, so unroll manually: the recurrence stays serial, but
@@ -205,6 +213,60 @@ def _forward_kernel(semiring, trans_ref, init_ref, dur_ref,
         jax.lax.fori_loop(0, Tc // _UNROLL, stepu, 0)
     else:
         jax.lax.fori_loop(0, Tc, step, 0)
+
+
+def _gamma_kernel(semiring, trans_ref, init_ref, dur_ref, emit_ref,
+                  start_ref, gammas_ref, W, cum):
+    """Forward scan variant for the packed-layout combine: per-lane init
+    INJECTION and a gamma-plane output instead of alphas.
+
+    * ``start_ref (G, 1, 128) int32``: global step at which each lane's
+      chain begins. The fused decode stacks the time-REVERSED model as
+      extra videos whose emissions are flipped over the FULL padded
+      buffer (a batch-uniform flip — no per-video gather), so a reversed
+      video's chain starts at step T - length. At step t == start the
+      kernel writes ``init - cum`` into the carry row (the running cum
+      then cancels whatever junk pad emissions accumulated before the
+      start). Pre-start state stays ~BIG_NEG and can never beat or leak
+      into real paths (max: loses by ~1e9; log: exp underflows to 0).
+    * ``gammas_ref``: stores the per-step transition combine
+      gamma[t] = reduce_c'(trans[c, c'] + alpha[t, c']) — exactly the
+      boundary combine the label/marginal recombination needs, so it is
+      never re-derived from alphas outside (the (C, C, T) XLA reduction
+      and the alphas unpack both disappear).
+    """
+    G, Tc, _ = emit_ref.shape
+    Km = W.shape[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cum[...] = jnp.zeros_like(cum)
+        W[...] = jnp.full_like(W, BIG_NEG)
+
+    dur = dur_ref[...]
+    trans = trans_ref[...]
+    start = start_ref[...]
+    reduce_ = _semiring_reduce(semiring)
+    base = pl.program_id(0) * Tc
+
+    def step(i, _):
+        inj = start == (base + i)  # (G, 1, LANES)
+        W[:, 0:1, :] = jnp.where(
+            inj, init_ref[...] - cum[:, 0:1, :], W[:, 0:1, :]
+        )
+        e = emit_ref[:, pl.ds(i, 1), :]
+        cum[:, 0:1, :] += e
+        span = W[...] + dur
+        alpha = reduce_(span, 1) + cum[:, 0:1, :]
+        arr = trans + alpha
+        gamma = reduce_(arr, 2).reshape(G, 1, LANES)
+        gammas_ref[:, pl.ds(i, 1), :] = gamma
+        w_prev = W[...]
+        W[:, 1:Km, :] = w_prev[:, : Km - 1, :]
+        W[:, 0:1, :] = gamma - cum[:, 0:1, :]
+        return 0
+
+    _time_loop(step, Tc)
 
 
 def _pack_potentials(pots: HsmmPotentials, pack):
@@ -259,10 +321,13 @@ def _chunk_bounds(G, bytes_per_group):
     return max(1, min(G, _VMEM_PLANE_BUDGET // max(bytes_per_group, 1)))
 
 
-def _launch_scan(kernel, out_dtypes, trans_bd, init, dur, emit, interpret):
+def _launch_scan(kernel, out_dtypes, trans_bd, init, dur, emit, interpret,
+                 extra_inputs=()):
     """Shared time-chunked launcher for the forward/backpointer kernels:
     static factor tables, emission blocks streamed by chunk, one
-    (G, Tc, LANES) output plane per dtype in `out_dtypes`."""
+    (G, Tc, LANES) output plane per dtype in `out_dtypes`. Entries of
+    `extra_inputs` are additional static (G, 1, LANES) tables (e.g. the
+    per-lane start steps of the injection variant)."""
     G, Tp = emit.shape[0], emit.shape[1]
     Km_pad = dur.shape[1]
     Tc = min(Tp, _TIME_CHUNK)
@@ -275,7 +340,8 @@ def _launch_scan(kernel, out_dtypes, trans_bd, init, dur, emit, interpret):
             pl.BlockSpec((G, 1, LANES), lambda i: (0, 0, 0)),
             pl.BlockSpec((G, Km_pad, LANES), lambda i: (0, 0, 0)),
             pl.BlockSpec((G, Tc, LANES), lambda i: (0, i, 0)),
-        ],
+        ]
+        + [pl.BlockSpec((G, 1, LANES), lambda i: (0, 0, 0)) for _ in extra_inputs],
         out_specs=[
             pl.BlockSpec((G, Tc, LANES), lambda i: (0, i, 0))
             for _ in out_dtypes
@@ -292,7 +358,7 @@ def _launch_scan(kernel, out_dtypes, trans_bd, init, dur, emit, interpret):
             jax.ShapeDtypeStruct((G, Tp, LANES), dt) for dt in out_dtypes
         ],
         interpret=interpret,
-    )(trans_bd, init, dur, emit)
+    )(trans_bd, init, dur, emit, *extra_inputs)
 
 
 def _launch_viterbi(trans_bd, init, dur, emit, interpret):
@@ -574,6 +640,185 @@ def _band_max_pallas(G1, G2p, lens_tab, Km, interpret):
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
+# Past this padded length the packed band kernel's scoped-VMEM stack
+# would overflow even at one group per launch; fall back to the
+# unpacked per-video path (which chunks over B instead).
+_PACKED_COMBINE_MAX_T = 8192
+
+
+def _band_max_packed_kernel(Km, g1_ref, g2_ref, dur_ref, fm_ref, h_ref):
+    """Packed-layout max-marginal band combine (time on the sublane-ish
+    middle axis, packed video-classes on lanes), fully VMEM-resident.
+
+    With H_r[s] = max_{j >= r} dur[j] + G2[s+j+1] (a running max over
+    descending r), frame_max[t] = max_r (G1 + H_r)[t - r]. The running H
+    rides a VMEM scratch ref and fm accumulates in the output ref so the
+    scoped-VMEM stack holds only a couple of (Gc, Tp, 128) temporaries."""
+    Gc, Tp, L = g1_ref.shape
+    h_ref[...] = jnp.full(h_ref.shape, BIG_NEG, jnp.float32)
+    fm_ref[...] = jnp.full(fm_ref.shape, BIG_NEG, jnp.float32)
+    for r in range(Km - 1, -1, -1):
+        # g2 rows are already boundary-shifted (g2[i] = G2[e=i+1]), so
+        # H_r[s] = dur[r] + G2[s+r+1] reads g2[s + r]
+        h_ref[...] = jnp.maximum(
+            h_ref[...],
+            dur_ref[:, r : r + 1, :] + g2_ref[:, r : r + Tp, :],
+        )
+        val = g1_ref[...] + h_ref[...]
+        if r:
+            val = jnp.concatenate(
+                [jnp.full((Gc, r, L), BIG_NEG, jnp.float32),
+                 jax.lax.slice_in_dim(val, 0, Tp - r, axis=1)],
+                axis=1,
+            )
+        fm_ref[...] = jnp.maximum(fm_ref[...], val)
+
+
+def _band_max_packed(G1, G2p, dur_p, Km, interpret):
+    """Launch the packed band combine over group chunks bounded by VMEM."""
+    G, Tp, _ = G1.shape
+    bytes_per_group = 7 * (Tp + dur_p.shape[1] + 1) * LANES * 4
+    Gc = max(1, min(G, (_VMEM_PLANE_BUDGET // 4) // max(bytes_per_group, 1)))
+    outs = []
+    for start in range(0, G, Gc):
+        end = min(start + Gc, G)
+        outs.append(
+            pl.pallas_call(
+                functools.partial(_band_max_packed_kernel, Km),
+                out_shape=jax.ShapeDtypeStruct((end - start, Tp, LANES), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((end - start, Tp, LANES), jnp.float32)],
+                interpret=interpret,
+            )(G1[start:end], G2p[start:end], dur_p[start:end])
+        )
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+def _labels_packed(pots: HsmmPotentials, lengths_i, interpret):
+    """Packed-layout max-marginal decode: the whole combine stays in the
+    kernels' (G, T, 128) lane-packed layout.
+
+    The reversed model's emissions are flipped over the FULL padded
+    buffer (batch-uniform flip; junk pad frames land before each chain's
+    start and are cancelled by the kernel's init - cum injection), so
+    the suffix combine S2[e] = gammaR[L-e-1] becomes the STATIC slice
+    flip(gammaR)[Tp-T+e] — no per-video gather anywhere. The scan kernel
+    emits its per-step transition combine (gamma plane) directly, so
+    neither alphas unpacking nor the (C, C, T) XLA recombination exist;
+    one small unpack of the frame-max plane feeds the final argmax.
+    Scores come from the frame-max at t=0 (every frame of the best path
+    attains the global best in the max semiring)."""
+    B, T, C = pots.emit.shape
+    K = pots.lens.shape[1]
+    Km = K - 1
+    pack = max(1, min(MAX_PACK, LANES // C, B))
+    Bp0 = _round_up(B, pack)  # whole groups per direction
+
+    def pad_b(x, fill=0.0):
+        if Bp0 == B:
+            return x
+        return jnp.pad(
+            x, [(0, Bp0 - B)] + [(0, 0)] * (x.ndim - 1), constant_values=fill
+        )
+
+    emit_f = pad_b(pots.emit)
+    trans_f = pad_b(pots.trans)
+    init_f = pad_b(pots.init, BIG_NEG)
+    lens_f = pad_b(pots.lens)
+    end_f = pad_b(pots.end_mask, BIG_NEG)
+    len_f = jnp.concatenate(
+        [lengths_i, jnp.ones((Bp0 - B,), jnp.int32)], axis=0
+    )
+
+    cat = HsmmPotentials(
+        trans=jnp.concatenate([trans_f, jnp.swapaxes(trans_f, -1, -2)], axis=0),
+        init=jnp.concatenate([init_f, end_f], axis=0),
+        lens=jnp.concatenate([lens_f, lens_f], axis=0),
+        emit=jnp.concatenate([emit_f, jnp.flip(emit_f, axis=1)], axis=0),
+        end_mask=jnp.concatenate([end_f, init_f], axis=0),
+    )
+    starts = jnp.concatenate([jnp.zeros((Bp0,), jnp.int32), T - len_f], axis=0)
+
+    emit_p, init_p, dur_p, trans_bd, G, Tp, Km_pad = _pack_potentials(cat, pack)
+    Gf = Bp0 // pack
+
+    # lane tables: start step, per-lane length (0 on dead lanes)
+    slot = jnp.minimum(jnp.arange(LANES) // C, pack - 1)
+    lane_dead = jnp.arange(LANES) >= pack * C
+    start_lane = jnp.where(
+        lane_dead[None, :], -1, starts.reshape(G, pack)[:, slot]
+    )[:, None, :].astype(jnp.int32)
+    len_lane = jnp.where(
+        lane_dead[None, :], 0, len_f.reshape(Gf, pack)[:, slot]
+    )[:, None, :].astype(jnp.int32)
+
+    Tc = min(Tp, _TIME_CHUNK)
+    bytes_per_group = Tc * LANES * 4 * 4
+    Gc = _chunk_bounds(G, bytes_per_group)
+    gparts = []
+    for s in range(0, G, Gc):
+        e = min(s + Gc, G)
+        (gp,) = _launch_scan(
+            functools.partial(_gamma_kernel, "max"), (jnp.float32,),
+            trans_bd[s:e], init_p[s:e], dur_p[s:e], emit_p[s:e],
+            interpret, extra_inputs=(start_lane[s:e],),
+        )
+        gparts.append(gp)
+    gammas_p = jnp.concatenate(gparts, axis=0) if len(gparts) > 1 else gparts[0]
+
+    gf = gammas_p[:Gf]  # forward-direction boundary combines
+    gr = gammas_p[Gf:]  # reversed-direction boundary combines
+    t_col = jnp.arange(Tp)[None, :, None]
+
+    # inclusive emission prefix sums on the packed forward plane
+    cum_inc = jax.lax.associative_scan(jnp.add, emit_p[:Gf], axis=1)
+    cum_exc = jnp.concatenate(
+        [jnp.zeros((Gf, 1, LANES), jnp.float32), cum_inc[:, : Tp - 1, :]], axis=1
+    )
+
+    # F[t] = gamma[t-1] (init at t=0), masked past length; G1 = F - cum
+    F = jnp.concatenate([init_p[:Gf], gf[:, : Tp - 1, :]], axis=1)
+    F = jnp.where(t_col < len_lane, F, BIG_NEG)
+    G1 = F - cum_exc
+
+    # g2[i] = G2[e=i+1] = cum_exc[e] + S2[e]; S2[e] = gammaR[L-e-1]
+    #       = flip(gr)[Tp-T+e] (static shift); e = L row carries the end
+    #       mask; e > L rows are BIG_NEG.
+    shift = Tp - T + 1
+    flip_gr = jnp.flip(gr, axis=1)
+    S2rows = jnp.concatenate(
+        [flip_gr[:, shift:, :],
+         jnp.full((Gf, shift, LANES), BIG_NEG, jnp.float32)],
+        axis=1,
+    )
+    e_col = t_col + 1
+    g2 = cum_inc + S2rows
+    g2 = jnp.where(e_col == len_lane, init_p[Gf:] + cum_inc, g2)
+    g2 = jnp.where(e_col <= len_lane, g2, BIG_NEG)
+    g2 = jnp.pad(
+        g2, ((0, 0), (0, Km_pad + 1), (0, 0)), constant_values=BIG_NEG
+    )
+
+    fm = _band_max_packed(G1, g2, dur_p[:Gf], Km, interpret)
+
+    # labels: unpack the frame-max plane, argmax per video
+    fmu = (
+        fm[:, :T, : pack * C]
+        .reshape(Gf, T, pack, C)
+        .transpose(0, 2, 1, 3)
+        .reshape(Bp0, T, C)[:B]
+    )
+    labels = jnp.argmax(fmu, axis=2).astype(jnp.int32)
+    labels = jnp.where(jnp.arange(T)[None, :] < lengths_i[:, None], labels, -1)
+
+    # scores: every frame of the argmax path attains the global best
+    group_of = jnp.arange(B) // pack
+    lanes = (jnp.arange(B) % pack)[:, None] * C + jnp.arange(C)[None, :]
+    scores = jnp.max(
+        jnp.take_along_axis(fm[group_of, 0, :], lanes, axis=1), axis=1
+    )
+    return labels, scores
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def hsmm_viterbi_labels_pallas(pots: HsmmPotentials, lengths, interpret=False):
     """Traceback-free Viterbi frame labels: (labels (B, T) int32, scores).
@@ -591,6 +836,8 @@ def hsmm_viterbi_labels_pallas(pots: HsmmPotentials, lengths, interpret=False):
     """
     B, T, C = pots.emit.shape
     lengths_i = jnp.asarray(lengths, jnp.int32)
+    if _round_up(T, LANES if T <= _TIME_CHUNK else _TIME_CHUNK) <= _PACKED_COMBINE_MAX_T:
+        return _labels_packed(pots, lengths_i, interpret)
     alphas_f, alphas_b, scores = _run_forward_fb(pots, lengths, interpret, "max")
     G1, G2p = jax.vmap(_labels_prep_single)(
         pots.trans, pots.init, pots.lens, pots.emit, pots.end_mask,
