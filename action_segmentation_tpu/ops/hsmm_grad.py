@@ -37,6 +37,16 @@ from action_segmentation_tpu.ops.hsmm import (
     _emission_cumsum,
 )
 from action_segmentation_tpu.ops.hsmm_pallas import (
+    _PACKED_COMBINE_MAX_T,
+    _TIME_CHUNK,
+    LANES,
+    MAX_PACK,
+    _band_grad_packed,
+    _pack_lane_values,
+    _packed_G1_g2,
+    _round_up,
+    _scan_packed_fb,
+    _unpack_plane,
     hsmm_alphas_fb_pallas,
     hsmm_alphas_pallas,
 )
@@ -145,27 +155,121 @@ def hsmm_partition_fb(trans, init, lens, emit, end_mask, lengths, interpret=Fals
     return logZ
 
 
+def _use_packed_combine(T):
+    Tp = _round_up(T, LANES if T <= _TIME_CHUNK else _TIME_CHUNK)
+    return Tp <= _PACKED_COMBINE_MAX_T
+
+
 def _fb_fwd(trans, init, lens, emit, end_mask, lengths, interpret=False):
     # Differentiated call: the backward pass will need the reversed-model
     # boundary scores anyway, so run BOTH directional scans here in one
-    # fused 2B-batch launch and carry alphas_b as a residual — the
-    # backward then launches no kernel at all (one launch per train step
-    # instead of two).
+    # fused packed-batch launch and carry the packed planes as residuals
+    # — the backward's cotangent combine then also stays in the packed
+    # layout (no alphas unpack, no per-video reversal gathers).
     pots = HsmmPotentials(trans, init, lens, emit, end_mask)
-    alphas_f, alphas_b, logZ = hsmm_alphas_fb_pallas(
-        pots, lengths, interpret=interpret
+    lengths_i = jnp.asarray(lengths, jnp.int32)
+    B, T, C = emit.shape
+    if not _use_packed_combine(T):
+        alphas_f, alphas_b, logZ = hsmm_alphas_fb_pallas(
+            pots, lengths, interpret=interpret
+        )
+        planes = (alphas_f, alphas_b)
+        return logZ, (
+            trans, init, lens, emit, end_mask, lengths_i, planes, logZ,
+        )
+    alphas_p, gammas_p, cum_inc, meta = _scan_packed_fb(
+        pots, lengths_i, "log", interpret, with_alphas=True
+    )
+    pack = meta["pack"]
+    group_of = jnp.arange(B) // pack
+    lanes = (jnp.arange(B) % pack)[:, None] * C + jnp.arange(C)[None, :]
+    rows = alphas_p[group_of, jnp.maximum(lengths_i - 1, 0), :]
+    fin = jnp.take_along_axis(rows, lanes, axis=1) + end_mask
+    logZ = jax.nn.logsumexp(fin, axis=-1)
+    planes = (
+        alphas_p, gammas_p, cum_inc,
+        meta["init_p"], meta["dur_p"], meta["len_lane"],
     )
     return logZ, (
-        trans, init, lens, emit, end_mask, lengths, alphas_f, alphas_b, logZ,
+        trans, init, lens, emit, end_mask, lengths_i, planes, logZ,
     )
+
+
+def _fb_bwd_packed(trans, init, lens, emit, end_mask, lengths_i, planes,
+                   logZ, interpret):
+    """Packed-layout cotangent combine: one Pallas band sweep emits the
+    Q/start/stop/duration posterior masses; the pair marginals are a
+    factorized MXU matmul instead of a (T, C, C) materialization."""
+    B, T, C = emit.shape
+    K = lens.shape[1]
+    Km = K - 1
+    alphas_p, gammas_p, cum_inc, init_p, dur_p, len_lane = planes
+    pack = max(1, min(MAX_PACK, LANES // C, B))
+    Bp0 = _round_up(B, pack)
+    meta = dict(
+        pack=pack, Bp0=Bp0, Gf=Bp0 // pack, Tp=alphas_p.shape[1],
+        Km_pad=dur_p.shape[1], T=T, C=C,
+        init_p=init_p, dur_p=dur_p, len_lane=len_lane,
+    )
+    Gf = meta["Gf"]
+
+    G1, g2, cum_exc = _packed_G1_g2(gammas_p, cum_inc, meta)
+    logZ_lane = _pack_lane_values(logZ, meta)
+    G1m = G1 - logZ_lane
+    QG, SA, ST, LG = _band_grad_packed(G1m, g2, dur_p[:Gf], Km, interpret)
+
+    # emit grad: frame marginals via the start/stop difference array
+    eg_p = jax.lax.associative_scan(jnp.add, SA - ST, axis=1)
+    emit_grad = _unpack_plane(eg_p, B, T, C, pack)
+
+    # lens grad: rows 1..K-1 are the per-duration posterior masses
+    lg = (
+        LG[:, :Km, : pack * C]
+        .reshape(Gf, Km, pack, C)
+        .transpose(0, 2, 1, 3)
+        .reshape(Gf * pack, Km, C)[:B]
+    )
+    lens_grad = jnp.concatenate([jnp.zeros((B, 1, C)), lg], axis=1)
+
+    # Q[s] = LSE_j body (suffix-from-s without the transition)
+    Q = _unpack_plane(QG - cum_exc, B, T, C, pack)
+    af = _unpack_plane(alphas_p[:Gf], B, T, C, pack)
+
+    # trans grad: pair marginals over interior boundaries s = 1..L-1,
+    # factorized exp(trans) * sum_s exp(af[s-1] - m1) (x) exp(Q + m1 - logZ)
+    # — an MXU matmul instead of a (T, C, C) materialization (per-s max
+    # m1 keeps both exponents bounded; junk af rows are ~BIG_NEG so
+    # their EQ underflows to 0)
+    t_idx = jnp.arange(T)
+    interior = (t_idx[None, :] >= 1) & (t_idx[None, :] < lengths_i[:, None])
+    af_sh = jnp.concatenate([jnp.zeros((B, 1, C)), af[:, : T - 1, :]], axis=1)
+    m1 = jnp.max(af_sh, axis=2, keepdims=True)
+    EA = jnp.exp(af_sh - m1) * interior[:, :, None]
+    EQ = jnp.exp(Q + m1 - logZ[:, None, None])
+    trans_grad = jnp.exp(trans) * jnp.einsum("btc,btd->bcd", EQ, EA)
+
+    init_grad = jnp.exp(init + Q[:, 0, :] - logZ[:, None])
+    af_fin = jnp.take_along_axis(
+        af, jnp.maximum(lengths_i - 1, 0)[:, None, None], axis=1
+    )[:, 0, :]
+    end_grad = jnp.exp(af_fin + end_mask - logZ[:, None])
+    return trans_grad, init_grad, lens_grad, emit_grad, end_grad
 
 
 def _fb_bwd(interpret, res, g):
-    trans, init, lens, emit, end_mask, lengths, alphas_f, alphas_b, logZ = res
-
-    grads = jax.vmap(_combine_grads_single)(
-        trans, init, lens, emit, end_mask, lengths, alphas_f, alphas_b, logZ
-    )
+    trans, init, lens, emit, end_mask, lengths_i, planes, logZ = res
+    T = emit.shape[1]
+    if _use_packed_combine(T):
+        grads = _fb_bwd_packed(
+            trans, init, lens, emit, end_mask, lengths_i, planes, logZ,
+            interpret,
+        )
+    else:
+        alphas_f, alphas_b = planes
+        grads = jax.vmap(_combine_grads_single)(
+            trans, init, lens, emit, end_mask, lengths_i,
+            alphas_f, alphas_b, logZ,
+        )
     trans_g, init_g, lens_g, emit_g, end_g = grads
     gb = g[:, None, None]
     return (
@@ -174,7 +278,7 @@ def _fb_bwd(interpret, res, g):
         lens_g * gb,
         emit_g * gb,
         end_g * g[:, None],
-        np.zeros(np.shape(lengths), jax.dtypes.float0),
+        np.zeros(np.shape(lengths_i), jax.dtypes.float0),
     )
 
 

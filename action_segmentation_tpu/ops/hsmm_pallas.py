@@ -215,8 +215,8 @@ def _time_loop(step, Tc):
         jax.lax.fori_loop(0, Tc, step, 0)
 
 
-def _gamma_kernel(semiring, trans_ref, init_ref, dur_ref, emit_ref,
-                  start_ref, gammas_ref, W, cum):
+def _gamma_kernel(semiring, with_alphas, trans_ref, init_ref, dur_ref,
+                  emit_ref, start_ref, *refs):
     """Forward scan variant for the packed-layout combine: per-lane init
     INJECTION and a gamma-plane output instead of alphas.
 
@@ -234,7 +234,14 @@ def _gamma_kernel(semiring, trans_ref, init_ref, dur_ref, emit_ref,
       boundary combine the label/marginal recombination needs, so it is
       never re-derived from alphas outside (the (C, C, T) XLA reduction
       and the alphas unpack both disappear).
+    * ``with_alphas``: additionally stream the alphas plane (the
+      custom-VJP path needs it for logZ and the pair marginals; the
+      decode path skips the store).
     """
+    if with_alphas:
+        alphas_ref, gammas_ref, W, cum = refs
+    else:
+        (gammas_ref, W, cum), alphas_ref = refs, None
     G, Tc, _ = emit_ref.shape
     Km = W.shape[1]
 
@@ -258,6 +265,8 @@ def _gamma_kernel(semiring, trans_ref, init_ref, dur_ref, emit_ref,
         cum[:, 0:1, :] += e
         span = W[...] + dur
         alpha = reduce_(span, 1) + cum[:, 0:1, :]
+        if with_alphas:
+            alphas_ref[:, pl.ds(i, 1), :] = alpha
         arr = trans + alpha
         gamma = reduce_(arr, 2).reshape(G, 1, LANES)
         gammas_ref[:, pl.ds(i, 1), :] = gamma
@@ -693,23 +702,108 @@ def _band_max_packed(G1, G2p, dur_p, Km, interpret):
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
-def _labels_packed(pots: HsmmPotentials, lengths_i, interpret):
-    """Packed-layout max-marginal decode: the whole combine stays in the
-    kernels' (G, T, 128) lane-packed layout.
+def _band_grad_packed_kernel(Km, g1m_ref, g2_ref, dur_ref,
+                             qg_ref, sa_ref, st_ref, lg_ref):
+    """Log-semiring band sweep for the custom-VJP cotangents, packed and
+    VMEM-resident. Emits, in one launch:
 
-    The reversed model's emissions are flipped over the FULL padded
-    buffer (batch-uniform flip; junk pad frames land before each chain's
-    start and are cancelled by the kernel's init - cum injection), so
-    the suffix combine S2[e] = gammaR[L-e-1] becomes the STATIC slice
-    flip(gammaR)[Tp-T+e] — no per-video gather anywhere. The scan kernel
-    emits its per-step transition combine (gamma plane) directly, so
-    neither alphas unpacking nor the (C, C, T) XLA recombination exist;
-    one small unpack of the frame-max plane feeds the final argmax.
-    Scores come from the frame-max at t=0 (every frame of the best path
-    attains the global best in the max semiring)."""
+      qg[s] = LSE_j dur[j] + G2[s+j+1]     (suffix body; Q = qg - cum)
+      sa[s] = sum_j M[s, j]                (span-start posterior mass)
+      st[i] = sum_j M[i-j-1, j]            (span-stop posterior mass)
+      lg[j] = sum_s M[s, j]                (per-duration posterior mass)
+
+    with M[s, j] = exp(G1[s] - logZ + dur[j] + G2[s+j+1]) the span
+    posteriors (g1m has -logZ folded in). As XLA ops this sweep (plus
+    the (T, Km, C) band stacks it replaces) was the dominant cost of the
+    training step's backward combine."""
+    Gc, Tp, L = g1m_ref.shape
+    qg_ref[...] = jnp.full(qg_ref.shape, BIG_NEG, jnp.float32)
+    sa_ref[...] = jnp.zeros(sa_ref.shape, jnp.float32)
+    st_ref[...] = jnp.zeros(st_ref.shape, jnp.float32)
+    lg_ref[...] = jnp.zeros(lg_ref.shape, jnp.float32)
+    for r in range(Km - 1, -1, -1):
+        # g2 rows are boundary-shifted (g2[i] = G2[e=i+1]):
+        # body[s, j=r] = dur[r] + G2[s+r+1] reads g2[s + r]
+        x = dur_ref[:, r : r + 1, :] + g2_ref[:, r : r + Tp, :]
+        qg_ref[...] = jnp.logaddexp(qg_ref[...], x)
+        M = jnp.exp(g1m_ref[...] + x)
+        sa_ref[...] += M
+        lg_ref[:, r : r + 1, :] = jnp.sum(M, axis=1, keepdims=True)
+        st_ref[...] += jnp.concatenate(
+            [jnp.zeros((Gc, r + 1, L), jnp.float32),
+             jax.lax.slice_in_dim(M, 0, Tp - r - 1, axis=1)],
+            axis=1,
+        )
+
+
+def _band_grad_packed(G1m, g2, dur_p, Km, interpret):
+    """Launch the gradient band sweep over group chunks bounded by VMEM."""
+    G, Tp, _ = G1m.shape
+    Km_pad = dur_p.shape[1]
+    bytes_per_group = 10 * (Tp + Km_pad + 1) * LANES * 4
+    Gc = max(1, min(G, (_VMEM_PLANE_BUDGET // 4) // max(bytes_per_group, 1)))
+    outs = []
+    for s in range(0, G, Gc):
+        e = min(s + Gc, G)
+        outs.append(
+            pl.pallas_call(
+                functools.partial(_band_grad_packed_kernel, Km),
+                out_shape=[
+                    jax.ShapeDtypeStruct((e - s, Tp, LANES), jnp.float32),
+                    jax.ShapeDtypeStruct((e - s, Tp, LANES), jnp.float32),
+                    jax.ShapeDtypeStruct((e - s, Tp, LANES), jnp.float32),
+                    jax.ShapeDtypeStruct((e - s, Km_pad, LANES), jnp.float32),
+                ],
+                interpret=interpret,
+            )(G1m[s:e], g2[s:e], dur_p[s:e])
+        )
+    return [
+        jnp.concatenate(p, axis=0) if len(outs) > 1 else p[0]
+        for p in zip(*outs)
+    ]
+
+
+def _unpack_plane(plane, B, T, C, pack):
+    """(Gf, Tp, 128) lane-packed plane -> (B, T, C)."""
+    Gf = plane.shape[0]
+    return (
+        plane[:, :T, : pack * C]
+        .reshape(Gf, T, pack, C)
+        .transpose(0, 2, 1, 3)
+        .reshape(Gf * pack, T, C)[:B]
+    )
+
+
+def _pack_lane_values(values, meta, fill=0.0, dtype=jnp.float32):
+    """(B,) per-video scalars -> (Gf, 1, 128) per-lane table."""
+    Gf, pack, C = meta["Gf"], meta["pack"], meta["C"]
+    B = values.shape[0]
+    pad = jnp.full((meta["Bp0"] - B,), fill, dtype) if meta["Bp0"] > B else None
+    v = values.astype(dtype) if pad is None else jnp.concatenate(
+        [values.astype(dtype), pad], axis=0
+    )
+    slot = jnp.minimum(jnp.arange(LANES) // C, pack - 1)
+    lane_dead = jnp.arange(LANES) >= pack * C
+    table = jnp.where(
+        lane_dead[None, :], jnp.asarray(fill, dtype), v.reshape(Gf, pack)[:, slot]
+    )
+    return table[:, None, :]
+
+
+def _scan_packed_fb(pots: HsmmPotentials, lengths_i, semiring, interpret,
+                    with_alphas):
+    """Full-flip fused dual-direction scan, staying in packed layout.
+
+    Stacks the time-REVERSED model onto the batch axis with its
+    emissions flipped over the FULL padded buffer (a batch-uniform flip;
+    junk pad frames land before each reversed chain's start and are
+    cancelled by the kernel's init - cum injection), packs everything
+    into (G, Tp, 128) lane groups — whole groups per direction — and
+    runs the gamma-emitting scan kernel once.
+
+    Returns (alphas_p or None, gammas_p, meta) with meta carrying the
+    packing geometry and lane tables the packed combines need."""
     B, T, C = pots.emit.shape
-    K = pots.lens.shape[1]
-    Km = K - 1
     pack = max(1, min(MAX_PACK, LANES // C, B))
     Bp0 = _round_up(B, pack)  # whole groups per direction
 
@@ -752,37 +846,60 @@ def _labels_packed(pots: HsmmPotentials, lengths_i, interpret):
     )[:, None, :].astype(jnp.int32)
 
     Tc = min(Tp, _TIME_CHUNK)
-    bytes_per_group = Tc * LANES * 4 * 4
+    n_out = 2 if with_alphas else 1
+    bytes_per_group = Tc * LANES * 4 * (2 + 2 * n_out)
     Gc = _chunk_bounds(G, bytes_per_group)
-    gparts = []
+    out_dtypes = (jnp.float32,) * n_out
+    parts = []
     for s in range(0, G, Gc):
         e = min(s + Gc, G)
-        (gp,) = _launch_scan(
-            functools.partial(_gamma_kernel, "max"), (jnp.float32,),
-            trans_bd[s:e], init_p[s:e], dur_p[s:e], emit_p[s:e],
-            interpret, extra_inputs=(start_lane[s:e],),
+        parts.append(
+            _launch_scan(
+                functools.partial(_gamma_kernel, semiring, with_alphas),
+                out_dtypes,
+                trans_bd[s:e], init_p[s:e], dur_p[s:e], emit_p[s:e],
+                interpret, extra_inputs=(start_lane[s:e],),
+            )
         )
-        gparts.append(gp)
-    gammas_p = jnp.concatenate(gparts, axis=0) if len(gparts) > 1 else gparts[0]
+    outs = [
+        jnp.concatenate(planes, axis=0) if len(parts) > 1 else planes[0]
+        for planes in zip(*parts)
+    ]
+    alphas_p = outs[0] if with_alphas else None
+    gammas_p = outs[-1]
+    # inclusive emission prefix sums on the packed forward plane (the
+    # combines need them; emit_p itself is not carried further)
+    cum_inc = jax.lax.associative_scan(jnp.add, emit_p[:Gf], axis=1)
+    meta = dict(
+        pack=pack, Bp0=Bp0, Gf=Gf, G=G, Tp=Tp, Km_pad=Km_pad, T=T, C=C,
+        init_p=init_p, dur_p=dur_p, len_lane=len_lane,
+    )
+    return alphas_p, gammas_p, cum_inc, meta
 
+
+def _packed_G1_g2(gammas_p, cum_inc, meta):
+    """Prefix/suffix boundary split (G1, g2) on the packed layout.
+
+    F[t] = gamma[t-1] (init at t=0), masked past length; G1 = F - cum.
+    g2[i] = G2[e=i+1] = cum_exc[e] + S2[e] with S2[e] = gammaR[L-e-1] =
+    flip(gammaR)[Tp-T+e] (STATIC shift thanks to the full-buffer flip);
+    the e = L row carries the end mask; e > L rows are BIG_NEG. Also
+    returns cum_exc."""
+    Gf, Tp, T = meta["Gf"], meta["Tp"], meta["T"]
+    init_p = meta["init_p"]
+    len_lane = meta["len_lane"]
     gf = gammas_p[:Gf]  # forward-direction boundary combines
     gr = gammas_p[Gf:]  # reversed-direction boundary combines
     t_col = jnp.arange(Tp)[None, :, None]
 
-    # inclusive emission prefix sums on the packed forward plane
-    cum_inc = jax.lax.associative_scan(jnp.add, emit_p[:Gf], axis=1)
     cum_exc = jnp.concatenate(
         [jnp.zeros((Gf, 1, LANES), jnp.float32), cum_inc[:, : Tp - 1, :]], axis=1
     )
 
-    # F[t] = gamma[t-1] (init at t=0), masked past length; G1 = F - cum
     F = jnp.concatenate([init_p[:Gf], gf[:, : Tp - 1, :]], axis=1)
     F = jnp.where(t_col < len_lane, F, BIG_NEG)
     G1 = F - cum_exc
 
-    # g2[i] = G2[e=i+1] = cum_exc[e] + S2[e]; S2[e] = gammaR[L-e-1]
-    #       = flip(gr)[Tp-T+e] (static shift); e = L row carries the end
-    #       mask; e > L rows are BIG_NEG.
     shift = Tp - T + 1
     flip_gr = jnp.flip(gr, axis=1)
     S2rows = jnp.concatenate(
@@ -795,17 +912,36 @@ def _labels_packed(pots: HsmmPotentials, lengths_i, interpret):
     g2 = jnp.where(e_col == len_lane, init_p[Gf:] + cum_inc, g2)
     g2 = jnp.where(e_col <= len_lane, g2, BIG_NEG)
     g2 = jnp.pad(
-        g2, ((0, 0), (0, Km_pad + 1), (0, 0)), constant_values=BIG_NEG
+        g2, ((0, 0), (0, meta["Km_pad"] + 1), (0, 0)), constant_values=BIG_NEG
     )
+    return G1, g2, cum_exc
 
-    fm = _band_max_packed(G1, g2, dur_p[:Gf], Km, interpret)
+
+def _labels_packed(pots: HsmmPotentials, lengths_i, interpret):
+    """Packed-layout max-marginal decode: the whole combine stays in the
+    kernels' (G, T, 128) lane-packed layout.
+
+    The scan kernel emits its per-step transition combine (gamma plane)
+    directly, so neither alphas unpacking nor the (C, C, T) XLA
+    recombination exist; one small unpack of the frame-max plane feeds
+    the final argmax. Scores come from the frame-max at t=0 (every
+    frame of the best path attains the global best in the max
+    semiring)."""
+    B, T, C = pots.emit.shape
+    Km = pots.lens.shape[1] - 1
+    _, gammas_p, cum_inc, meta = _scan_packed_fb(
+        pots, lengths_i, "max", interpret, with_alphas=False
+    )
+    pack, Gf = meta["pack"], meta["Gf"]
+    G1, g2, _ = _packed_G1_g2(gammas_p, cum_inc, meta)
+    fm = _band_max_packed(G1, g2, meta["dur_p"][:Gf], Km, interpret)
 
     # labels: unpack the frame-max plane, argmax per video
     fmu = (
         fm[:, :T, : pack * C]
         .reshape(Gf, T, pack, C)
         .transpose(0, 2, 1, 3)
-        .reshape(Bp0, T, C)[:B]
+        .reshape(meta["Bp0"], T, C)[:B]
     )
     labels = jnp.argmax(fmu, axis=2).astype(jnp.int32)
     labels = jnp.where(jnp.arange(T)[None, :] < lengths_i[:, None], labels, -1)
