@@ -106,3 +106,42 @@ def test_frame_marginals_sum_to_one():
         L = int(lengths[b])
         np.testing.assert_allclose(marg[b, :L].sum(axis=1), 1.0, atol=1e-4)
         np.testing.assert_allclose(marg[b, L:], 0.0, atol=1e-5)
+
+
+def test_partition_fb_unpacked_fallback(monkeypatch):
+    """Force the long-T fallback branch of the custom VJP (unpacked
+    per-video cotangent combine) and check value + grads vs autodiff."""
+    from action_segmentation_tpu.ops import hsmm_grad as hg
+
+    monkeypatch.setattr(hg, "_PACKED_COMBINE_MAX_T", 0)
+    rng = np.random.RandomState(23)
+    B, T, C, K = 2, 21, 5, 5  # unique shape: no jit-cache aliasing
+    trans, init, lens, emit, end_mask, lengths = random_pots_arrays(
+        rng, B, T, C, K, constrained=True
+    )
+
+    def ref_loss(trans, init, lens, emit, end_mask):
+        pots = HsmmPotentials(trans, init, lens, emit, end_mask)
+        return hsmm_partition(pots, lengths).sum()
+
+    def fast_loss(trans, init, lens, emit, end_mask):
+        return hsmm_partition_fb(
+            trans, init, lens, emit, end_mask, lengths, True
+        ).sum()
+
+    want_val = float(ref_loss(trans, init, lens, emit, end_mask))
+    got_val = float(fast_loss(trans, init, lens, emit, end_mask))
+    assert abs(want_val - got_val) < 1e-2, (want_val, got_val)
+    want_grads = jax.grad(ref_loss, argnums=(0, 1, 2, 3, 4))(
+        trans, init, lens, emit, end_mask
+    )
+    got_grads = jax.grad(fast_loss, argnums=(0, 1, 2, 3, 4))(
+        trans, init, lens, emit, end_mask
+    )
+    for name, want, got in zip(
+        ["trans", "init", "lens", "emit", "end_mask"], want_grads, got_grads
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-4,
+            err_msg=name,
+        )

@@ -192,3 +192,26 @@ def test_cross_chunk_carry(monkeypatch):
         L = int(np.asarray(lengths)[b])
         assert (got_labels[b, :L] == want_labels[b, :L]).all()
         assert (bp_labels[b, :L] == want_labels[b, :L]).all()
+
+
+def test_viterbi_labels_unpacked_fallback(monkeypatch):
+    """Force the long-T fallback (per-video unpacked combine): padded
+    lengths past _PACKED_COMBINE_MAX_T must take the alphas-emitting
+    path and agree with the traceback Viterbi."""
+    from action_segmentation_tpu.ops import hsmm_pallas as hp
+
+    monkeypatch.setattr(hp, "_PACKED_COMBINE_MAX_T", 0)
+    rng = np.random.RandomState(11)
+    B, T, C, K = 3, 29, 7, 6  # unique shape: no jit-cache aliasing
+    pots, lengths = random_pots(rng, B, T, C, K, constrained=True)
+    spans, want_scores = hsmm_viterbi(pots, lengths)
+    want = np.asarray(spans_to_labels(spans))
+    got, got_scores = hsmm_viterbi_labels_pallas(pots, lengths, interpret=True)
+    got = np.asarray(got)
+    np.testing.assert_allclose(
+        np.asarray(got_scores), np.asarray(want_scores), rtol=1e-5, atol=1e-4
+    )
+    for b in range(B):
+        L = int(np.asarray(lengths)[b])
+        assert (got[b, :L] == want[b, :L]).all()
+        assert (got[b, L:] == -1).all()
