@@ -37,8 +37,6 @@ from action_segmentation_tpu.ops.hsmm import (
     _emission_cumsum,
 )
 from action_segmentation_tpu.ops.hsmm_pallas import (
-    _PACKED_COMBINE_MAX_T,
-    _TIME_CHUNK,
     LANES,
     MAX_PACK,
     _band_grad_packed,
@@ -47,6 +45,7 @@ from action_segmentation_tpu.ops.hsmm_pallas import (
     _round_up,
     _scan_packed_fb,
     _unpack_plane,
+    _use_packed_combine,
     hsmm_alphas_fb_pallas,
     hsmm_alphas_pallas,
 )
@@ -155,11 +154,6 @@ def hsmm_partition_fb(trans, init, lens, emit, end_mask, lengths, interpret=Fals
     return logZ
 
 
-def _use_packed_combine(T):
-    Tp = _round_up(T, LANES if T <= _TIME_CHUNK else _TIME_CHUNK)
-    return Tp <= _PACKED_COMBINE_MAX_T
-
-
 def _fb_fwd(trans, init, lens, emit, end_mask, lengths, interpret=False):
     # Differentiated call: the backward pass will need the reversed-model
     # boundary scores anyway, so run BOTH directional scans here in one
@@ -180,14 +174,15 @@ def _fb_fwd(trans, init, lens, emit, end_mask, lengths, interpret=False):
     alphas_p, gammas_p, cum_inc, meta = _scan_packed_fb(
         pots, lengths_i, "log", interpret, with_alphas=True
     )
-    pack = meta["pack"]
+    pack, Gf = meta["pack"], meta["Gf"]
+    alphas_fp = alphas_p[:Gf]  # the backward reads only the forward half
     group_of = jnp.arange(B) // pack
     lanes = (jnp.arange(B) % pack)[:, None] * C + jnp.arange(C)[None, :]
-    rows = alphas_p[group_of, jnp.maximum(lengths_i - 1, 0), :]
+    rows = alphas_fp[group_of, jnp.maximum(lengths_i - 1, 0), :]
     fin = jnp.take_along_axis(rows, lanes, axis=1) + end_mask
     logZ = jax.nn.logsumexp(fin, axis=-1)
     planes = (
-        alphas_p, gammas_p, cum_inc,
+        alphas_fp, gammas_p, cum_inc,
         meta["init_p"], meta["dur_p"], meta["len_lane"],
     )
     return logZ, (
@@ -203,11 +198,11 @@ def _fb_bwd_packed(trans, init, lens, emit, end_mask, lengths_i, planes,
     B, T, C = emit.shape
     K = lens.shape[1]
     Km = K - 1
-    alphas_p, gammas_p, cum_inc, init_p, dur_p, len_lane = planes
+    alphas_fp, gammas_p, cum_inc, init_p, dur_p, len_lane = planes
     pack = max(1, min(MAX_PACK, LANES // C, B))
     Bp0 = _round_up(B, pack)
     meta = dict(
-        pack=pack, Bp0=Bp0, Gf=Bp0 // pack, Tp=alphas_p.shape[1],
+        pack=pack, Bp0=Bp0, Gf=Bp0 // pack, Tp=alphas_fp.shape[1],
         Km_pad=dur_p.shape[1], T=T, C=C,
         init_p=init_p, dur_p=dur_p, len_lane=len_lane,
     )
@@ -223,30 +218,35 @@ def _fb_bwd_packed(trans, init, lens, emit, end_mask, lengths_i, planes,
     emit_grad = _unpack_plane(eg_p, B, T, C, pack)
 
     # lens grad: rows 1..K-1 are the per-duration posterior masses
-    lg = (
-        LG[:, :Km, : pack * C]
-        .reshape(Gf, Km, pack, C)
-        .transpose(0, 2, 1, 3)
-        .reshape(Gf * pack, Km, C)[:B]
-    )
+    lg = _unpack_plane(LG, B, Km, C, pack)
     lens_grad = jnp.concatenate([jnp.zeros((B, 1, C)), lg], axis=1)
 
     # Q[s] = LSE_j body (suffix-from-s without the transition)
     Q = _unpack_plane(QG - cum_exc, B, T, C, pack)
-    af = _unpack_plane(alphas_p[:Gf], B, T, C, pack)
+    af = _unpack_plane(alphas_fp, B, T, C, pack)
 
-    # trans grad: pair marginals over interior boundaries s = 1..L-1,
-    # factorized exp(trans) * sum_s exp(af[s-1] - m1) (x) exp(Q + m1 - logZ)
-    # — an MXU matmul instead of a (T, C, C) materialization (per-s max
-    # m1 keeps both exponents bounded; junk af rows are ~BIG_NEG so
-    # their EQ underflows to 0)
+    # trans grad: pair marginals over interior boundaries s = 1..L-1.
+    # trans MUST stay inside the exponential: the full exponent is a log
+    # pair-posterior (<= ~0, always representable), whereas any
+    # factorization that pulls exp(trans) out overflows whenever a
+    # BIG_NEG-masked transition (the default: self-transitions banned,
+    # grammar constraints) separates a dominant af lane from the class
+    # it cannot reach. XLA fuses this broadcast-sum into the axis-1
+    # reduction without materializing the (T, C, C) tensor.
     t_idx = jnp.arange(T)
     interior = (t_idx[None, :] >= 1) & (t_idx[None, :] < lengths_i[:, None])
     af_sh = jnp.concatenate([jnp.zeros((B, 1, C)), af[:, : T - 1, :]], axis=1)
-    m1 = jnp.max(af_sh, axis=2, keepdims=True)
-    EA = jnp.exp(af_sh - m1) * interior[:, :, None]
-    EQ = jnp.exp(Q + m1 - logZ[:, None, None])
-    trans_grad = jnp.exp(trans) * jnp.einsum("btc,btd->bcd", EQ, EA)
+    pair = jnp.exp(
+        jnp.where(
+            interior[:, :, None, None],
+            af_sh[:, :, None, :]
+            + trans[:, None, :, :]
+            + Q[:, :, :, None]
+            - logZ[:, None, None, None],
+            BIG_NEG,
+        )
+    )
+    trans_grad = jnp.sum(pair, axis=1)
 
     init_grad = jnp.exp(init + Q[:, 0, :] - logZ[:, None])
     af_fin = jnp.take_along_axis(

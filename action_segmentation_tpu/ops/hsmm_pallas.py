@@ -128,18 +128,7 @@ def _viterbi_kernel(trans_ref, init_ref, dur_ref, emit_ref,
         W[:, 0:1, :] = gamma - cum[:, 0:1, :]
         return 0
 
-    if _UNROLL > 1 and Tc % _UNROLL == 0:
-        # Mosaic's fori_loop lowering supports only unroll=1 or full
-        # unroll, so unroll manually: the recurrence stays serial, but
-        # adjacent steps' independent loads/stores can software-pipeline.
-        def stepu(j, _):
-            for u in range(_UNROLL):
-                step(j * _UNROLL + u, 0)
-            return 0
-
-        jax.lax.fori_loop(0, Tc // _UNROLL, stepu, 0)
-    else:
-        jax.lax.fori_loop(0, Tc, step, 0)
+    _time_loop(step, Tc)
 
 
 def _forward_kernel(semiring, trans_ref, init_ref, dur_ref,
@@ -635,24 +624,42 @@ def _band_max_pallas(G1, G2p, lens_tab, Km, interpret):
     # live per video: g1/g2/fm blocks + H scratch + ~3 loop temporaries
     bytes_per_video = 7 * Cp * (T + lens_tab.shape[2] + 1) * 4
     Bc = max(1, min(B, (_VMEM_PLANE_BUDGET // 4) // max(bytes_per_video, 1)))
-    outs = []
-    for start in range(0, B, Bc):
-        end = min(start + Bc, B)
-        outs.append(
-            pl.pallas_call(
-                functools.partial(_band_max_kernel, Km),
-                out_shape=jax.ShapeDtypeStruct((end - start, C, T), jnp.float32),
-                scratch_shapes=[pltpu.VMEM((end - start, C, T), jnp.float32)],
-                interpret=interpret,
-            )(G1[start:end], G2p[start:end], lens_tab[start:end])
-        )
-    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+    def call(start, end):
+        return [pl.pallas_call(
+            functools.partial(_band_max_kernel, Km),
+            out_shape=jax.ShapeDtypeStruct((end - start, C, T), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((end - start, C, T), jnp.float32)],
+            interpret=interpret,
+        )(G1[start:end], G2p[start:end], lens_tab[start:end])]
+
+    return _launch_group_chunks(call, B, Bc)[0]
 
 
 # Past this padded length the packed band kernel's scoped-VMEM stack
 # would overflow even at one group per launch; fall back to the
 # unpacked per-video path (which chunks over B instead).
 _PACKED_COMBINE_MAX_T = 8192
+
+
+def _use_packed_combine(T):
+    """True when T's padded length fits the packed-layout combines (the
+    single gate shared by the decode and custom-VJP paths)."""
+    Tp = _round_up(T, LANES if T <= _TIME_CHUNK else _TIME_CHUNK)
+    return Tp <= _PACKED_COMBINE_MAX_T
+
+
+def _launch_group_chunks(build_call, n_items, per_chunk):
+    """Run a pallas launch over leading-axis chunks and concatenate each
+    output; `build_call(s, e)` returns the launch's output list."""
+    outs = []
+    for s in range(0, n_items, per_chunk):
+        e = min(s + per_chunk, n_items)
+        outs.append(build_call(s, e))
+    return [
+        jnp.concatenate(p, axis=0) if len(outs) > 1 else p[0]
+        for p in zip(*outs)
+    ]
 
 
 def _band_max_packed_kernel(Km, g1_ref, g2_ref, dur_ref, fm_ref, h_ref):
@@ -688,18 +695,16 @@ def _band_max_packed(G1, G2p, dur_p, Km, interpret):
     G, Tp, _ = G1.shape
     bytes_per_group = 7 * (Tp + dur_p.shape[1] + 1) * LANES * 4
     Gc = max(1, min(G, (_VMEM_PLANE_BUDGET // 4) // max(bytes_per_group, 1)))
-    outs = []
-    for start in range(0, G, Gc):
-        end = min(start + Gc, G)
-        outs.append(
-            pl.pallas_call(
-                functools.partial(_band_max_packed_kernel, Km),
-                out_shape=jax.ShapeDtypeStruct((end - start, Tp, LANES), jnp.float32),
-                scratch_shapes=[pltpu.VMEM((end - start, Tp, LANES), jnp.float32)],
-                interpret=interpret,
-            )(G1[start:end], G2p[start:end], dur_p[start:end])
-        )
-    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+    def call(start, end):
+        return [pl.pallas_call(
+            functools.partial(_band_max_packed_kernel, Km),
+            out_shape=jax.ShapeDtypeStruct((end - start, Tp, LANES), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((end - start, Tp, LANES), jnp.float32)],
+            interpret=interpret,
+        )(G1[start:end], G2p[start:end], dur_p[start:end])]
+
+    return _launch_group_chunks(call, G, Gc)[0]
 
 
 def _band_grad_packed_kernel(Km, g1m_ref, g2_ref, dur_ref,
@@ -742,25 +747,20 @@ def _band_grad_packed(G1m, g2, dur_p, Km, interpret):
     Km_pad = dur_p.shape[1]
     bytes_per_group = 10 * (Tp + Km_pad + 1) * LANES * 4
     Gc = max(1, min(G, (_VMEM_PLANE_BUDGET // 4) // max(bytes_per_group, 1)))
-    outs = []
-    for s in range(0, G, Gc):
-        e = min(s + Gc, G)
-        outs.append(
-            pl.pallas_call(
-                functools.partial(_band_grad_packed_kernel, Km),
-                out_shape=[
-                    jax.ShapeDtypeStruct((e - s, Tp, LANES), jnp.float32),
-                    jax.ShapeDtypeStruct((e - s, Tp, LANES), jnp.float32),
-                    jax.ShapeDtypeStruct((e - s, Tp, LANES), jnp.float32),
-                    jax.ShapeDtypeStruct((e - s, Km_pad, LANES), jnp.float32),
-                ],
-                interpret=interpret,
-            )(G1m[s:e], g2[s:e], dur_p[s:e])
-        )
-    return [
-        jnp.concatenate(p, axis=0) if len(outs) > 1 else p[0]
-        for p in zip(*outs)
-    ]
+
+    def call(start, end):
+        return pl.pallas_call(
+            functools.partial(_band_grad_packed_kernel, Km),
+            out_shape=[
+                jax.ShapeDtypeStruct((end - start, Tp, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((end - start, Tp, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((end - start, Tp, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((end - start, Km_pad, LANES), jnp.float32),
+            ],
+            interpret=interpret,
+        )(G1m[start:end], g2[start:end], dur_p[start:end])
+
+    return _launch_group_chunks(call, G, Gc)
 
 
 def _unpack_plane(plane, B, T, C, pack):
@@ -937,12 +937,7 @@ def _labels_packed(pots: HsmmPotentials, lengths_i, interpret):
     fm = _band_max_packed(G1, g2, meta["dur_p"][:Gf], Km, interpret)
 
     # labels: unpack the frame-max plane, argmax per video
-    fmu = (
-        fm[:, :T, : pack * C]
-        .reshape(Gf, T, pack, C)
-        .transpose(0, 2, 1, 3)
-        .reshape(meta["Bp0"], T, C)[:B]
-    )
+    fmu = _unpack_plane(fm, B, T, C, pack)
     labels = jnp.argmax(fmu, axis=2).astype(jnp.int32)
     labels = jnp.where(jnp.arange(T)[None, :] < lengths_i[:, None], labels, -1)
 
@@ -972,7 +967,7 @@ def hsmm_viterbi_labels_pallas(pots: HsmmPotentials, lengths, interpret=False):
     """
     B, T, C = pots.emit.shape
     lengths_i = jnp.asarray(lengths, jnp.int32)
-    if _round_up(T, LANES if T <= _TIME_CHUNK else _TIME_CHUNK) <= _PACKED_COMBINE_MAX_T:
+    if _use_packed_combine(T):
         return _labels_packed(pots, lengths_i, interpret)
     alphas_f, alphas_b, scores = _run_forward_fb(pots, lengths, interpret, "max")
     G1, G2p = jax.vmap(_labels_prep_single)(

@@ -111,9 +111,9 @@ def test_frame_marginals_sum_to_one():
 def test_partition_fb_unpacked_fallback(monkeypatch):
     """Force the long-T fallback branch of the custom VJP (unpacked
     per-video cotangent combine) and check value + grads vs autodiff."""
-    from action_segmentation_tpu.ops import hsmm_grad as hg
+    from action_segmentation_tpu.ops import hsmm_pallas as hp
 
-    monkeypatch.setattr(hg, "_PACKED_COMBINE_MAX_T", 0)
+    monkeypatch.setattr(hp, "_PACKED_COMBINE_MAX_T", 0)
     rng = np.random.RandomState(23)
     B, T, C, K = 2, 21, 5, 5  # unique shape: no jit-cache aliasing
     trans, init, lens, emit, end_mask, lengths = random_pots_arrays(
@@ -144,4 +144,50 @@ def test_partition_fb_unpacked_fallback(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-4,
             err_msg=name,
+        )
+
+
+def test_grads_finite_with_masked_transitions():
+    """Regression: BIG_NEG-masked transitions (the default config bans
+    self-transitions; grammar constraints mask more) must yield finite
+    gradients even when the emission-optimal path needs a forbidden
+    transition. A factorized pair-marginal form that pulled exp(trans)
+    out of the exponential overflowed to NaN here."""
+    B, T, C, K = 1, 20, 3, 6
+    rng = np.random.RandomState(3)
+    trans = np.full((B, C, C), np.log(0.5), np.float32)
+    trans[:, 1, 0] = BIG_NEG  # forbid 0 -> 1
+    init = np.zeros((B, C), np.float32)
+    lens = np.zeros((B, K, C), np.float32)
+    lens[:, 0] = BIG_NEG
+    # two confident segments whose boundary wants the forbidden 0 -> 1
+    emit = np.full((B, T, C), -200.0, np.float32)
+    emit[:, :10, 0] = 0.0
+    emit[:, 10:, 1] = 0.0
+    end_mask = np.zeros((B, C), np.float32)
+    lengths = jnp.asarray(np.full(B, T, np.int32))
+
+    def fast_loss(trans, init, lens, emit, end_mask):
+        return hsmm_partition_fb(
+            jnp.asarray(trans), jnp.asarray(init), jnp.asarray(lens),
+            jnp.asarray(emit), jnp.asarray(end_mask), lengths, True
+        ).sum()
+
+    def ref_loss(trans, init, lens, emit, end_mask):
+        pots = HsmmPotentials(
+            jnp.asarray(trans), jnp.asarray(init), jnp.asarray(lens),
+            jnp.asarray(emit), jnp.asarray(end_mask)
+        )
+        return hsmm_partition(pots, lengths).sum()
+
+    got = jax.grad(fast_loss, argnums=(0, 1, 2, 3, 4))(
+        trans, init, lens, emit, end_mask
+    )
+    want = jax.grad(ref_loss, argnums=(0, 1, 2, 3, 4))(
+        trans, init, lens, emit, end_mask
+    )
+    for name, g, w in zip(["trans", "init", "lens", "emit", "end_mask"], got, want):
+        assert np.all(np.isfinite(np.asarray(g))), name
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-3, atol=2e-4, err_msg=name
         )
