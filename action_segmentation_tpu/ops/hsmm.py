@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from action_segmentation_tpu import BIG_NEG
+from action_segmentation_tpu.ops.span_codec import cummax as _cummax
 
 
 class HsmmPotentials(NamedTuple):
@@ -210,12 +211,12 @@ def _gold_score_single(trans, init, lens, emit, length, end_mask, spans):
     valid = t_idx < length
     start = (spans >= 0) & valid
     # forward-filled class labels (class of the span covering each frame)
-    filled_idx = jax.lax.cummax(jnp.where(start, t_idx, 0))
+    filled_idx = _cummax(jnp.where(start, t_idx, 0))
     filled = spans[filled_idx]
 
     # next span start strictly after t (or `length` if none): suffix-min
     start_pos = jnp.where(start, t_idx, T + 1)
-    suffix_min = -jax.lax.cummax(-start_pos[::-1])[::-1]
+    suffix_min = -_cummax(-start_pos[::-1])[::-1]
     next_start = jnp.minimum(
         jnp.concatenate([suffix_min[1:], jnp.array([T + 1])]), length
     )

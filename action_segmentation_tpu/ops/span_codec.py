@@ -20,6 +20,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def cummax(x, axis=0):
+    """Tree-scan cumulative max: jax.lax.cummax lowers to an O(T*window)
+    reduce-window on TPU (measured 1.19 ms vs 0.016 ms at (18, 1024))."""
+    return jax.lax.associative_scan(jnp.maximum, x, axis=axis)
+
+
 def labels_to_spans(labels, max_k):
     """Convert per-frame labels (b, T) int to span encoding (b, T).
 
@@ -39,9 +45,7 @@ def labels_to_spans(labels, max_k):
         start = jnp.ones_like(change)
     else:
         # position within the current run of equal labels
-        run_start = jax.lax.cummax(
-            jnp.where(change, t_idx[None, :], -1), axis=1
-        )
+        run_start = cummax(jnp.where(change, t_idx[None, :], -1), axis=1)
         pos_in_run = t_idx[None, :] - run_start
         start = change | (pos_in_run % (max_k - 1) == 0)
     return jnp.where(start, labels, -1)
@@ -53,7 +57,7 @@ def spans_to_labels(spans):
     b, T = spans.shape
     t_idx = jnp.arange(T)[None, :]
     # index of the most recent span start at or before t
-    last_start = jax.lax.cummax(jnp.where(spans >= 0, t_idx, 0), axis=1)
+    last_start = cummax(jnp.where(spans >= 0, t_idx, 0), axis=1)
     return jnp.take_along_axis(spans, last_start, axis=1)
 
 
