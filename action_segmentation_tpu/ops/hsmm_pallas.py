@@ -2,37 +2,44 @@
 
 This is the TPU-native replacement for the reference's native kernel
 layer (genbmm's CUDA banded log/max matmuls driven by torch-struct; see
-SURVEY §2.10). One kernel fuses, per launch:
+SURVEY §2.10). Kernels, per launch:
 
-  * the banded max- (or log-) semiring forward scan over time, with the
-    duration band on sublanes and classes on lanes and an O(K*C) working
-    set in VMEM scratch;
-  * backpointer recording for Viterbi (packed (duration, prev-class)
-    int32 codes) or full boundary-score (alpha) emission for the
-    partition / custom-VJP backward.
+  * `_forward_kernel` — banded max-/log-semiring forward scan over
+    time, duration band on sublanes, classes on lanes, O(K*C) working
+    set in VMEM scratch, emitting the alphas plane;
+  * `_gamma_kernel` — the scan variant behind the packed-layout decode
+    and custom-VJP paths: per-lane init INJECTION (chains may start at
+    any step, enabling a batch-uniform full flip for the time-reversed
+    model) and a gamma-plane (per-step transition combine) output;
+  * `_viterbi_kernel` — the scan with packed (duration, prev-class)
+    backpointer codes for the exact-spans API (traceback outside, one
+    vectorized jnp while-loop over the batch);
+  * `_band_max_packed_kernel` / `_band_grad_packed_kernel` — the
+    VMEM-resident duration-band combines that turn the two directional
+    scans into frame labels (max) or the five partition cotangents
+    (log); as plain XLA ops these sweeps ran as ~2*Km separate
+    HBM-bound kernels.
 
 Two levels of batching keep the sequential time loop fed:
   * **lane packing** — per-task class counts are far below the 128-lane
     width, so P videos share one DP over a block-diagonal transition
     matrix (cross-video transitions are BIG_NEG, so the chains are
     independent) — the lane dimension does the batching the reference
-    got from genbmm's batched bmm;
+    got from genbmm's batched bmm; the fused dual-direction paths stack
+    the reversed model's videos onto the same axis;
   * **group stacking** — packed groups ride a leading G dimension of
     every state tensor, so one T-step loop advances all groups instead
     of running G sequential grid passes.
 
-The Viterbi traceback runs outside the kernel as a single vectorized jnp
-while-loop over the whole batch (in-kernel scalar tracebacks are
-dominated by per-iteration loop overhead on TPU).
-
-Shapes inside a kernel launch (G = packed groups in this chunk):
+Shapes inside a scan launch (G = packed groups in this chunk):
   trans  (G, 128, 128)  block-diagonal [to, from], BIG_NEG off-blocks
   init   (G, 1, 128)
   dur    (G, Km_pad, 128)  row j scores duration j+1, BIG_NEG padding
   emit   (G, T, 128)       per-frame log-likelihoods, 0 padding
+  start  (G, 1, 128) int32 (injection variant: chain start steps)
 
-End masks and per-video lengths stay outside the kernels: finals are
-gathered from the emitted alpha planes in plain jnp.
+Per-video finals are gathered from the emitted planes in plain jnp;
+docs/DESIGN.md has the derivations and the measured numbers.
 """
 
 import functools
