@@ -42,14 +42,21 @@ def lstm_init(rng, input_dim, hidden_per_dir, num_layers=2, bidirectional=True):
 
 
 def _run_direction(cell, x, mask):
-    """x: (B, T, D); mask: (B, T) 1/0 validity. Returns (B, T, H)."""
+    """x: (B, T, D); mask: (B, T) 1/0 validity. Returns (B, T, H).
+
+    The input projection is hoisted out of the scan: one (B*T, D) x
+    (D, 4H) MXU matmul instead of T latency-bound per-step matmuls —
+    only the recurrent h @ w_hh stays sequential. Association order
+    matches the unhoisted form (b_hh still added after the recurrent
+    term)."""
     B, T, _ = x.shape
     H = cell["w_hh"].shape[0]
+    xw = x @ cell["w_ih"] + cell["b_ih"]  # (B, T, 4H), one MXU matmul
 
     def step(carry, inp):
         h, c = carry
-        xt, mt = inp
-        gates = xt @ cell["w_ih"] + cell["b_ih"] + h @ cell["w_hh"] + cell["b_hh"]
+        xwt, mt = inp
+        gates = xwt + h @ cell["w_hh"] + cell["b_hh"]
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
@@ -60,7 +67,8 @@ def _run_direction(cell, x, mask):
 
     init = (jnp.zeros((B, H)), jnp.zeros((B, H)))
     _, hs = jax.lax.scan(
-        step, init, (jnp.swapaxes(x, 0, 1), jnp.swapaxes(mask, 0, 1))
+        step, init, (jnp.swapaxes(xw, 0, 1), jnp.swapaxes(mask, 0, 1)),
+        unroll=8,  # amortize XLA loop overhead over the tiny per-step ops
     )
     return jnp.swapaxes(hs, 0, 1)
 
