@@ -215,3 +215,27 @@ def test_viterbi_labels_unpacked_fallback(monkeypatch):
         L = int(np.asarray(lengths)[b])
         assert (got[b, :L] == want[b, :L]).all()
         assert (got[b, L:] == -1).all()
+
+
+def test_viterbi_labels_jnp_band_fallback(monkeypatch):
+    """Extreme-T final fallback: when one video's planes exceed the band
+    kernel's VMEM budget, the pure-jnp band combine must still match
+    traceback Viterbi (keeps the labels path T-unbounded)."""
+    from action_segmentation_tpu.ops import hsmm_pallas as hp
+
+    monkeypatch.setattr(hp, "_PACKED_COMBINE_MAX_T", 0)
+    monkeypatch.setattr(hp, "_VMEM_PLANE_BUDGET", 1)
+    rng = np.random.RandomState(13)
+    B, T, C, K = 2, 31, 6, 5  # unique shape: no jit-cache aliasing
+    pots, lengths = random_pots(rng, B, T, C, K, constrained=True)
+    spans, want_scores = hsmm_viterbi(pots, lengths)
+    want = np.asarray(spans_to_labels(spans))
+    got, got_scores = hsmm_viterbi_labels_pallas(pots, lengths, interpret=True)
+    got = np.asarray(got)
+    np.testing.assert_allclose(
+        np.asarray(got_scores), np.asarray(want_scores), rtol=1e-5, atol=1e-4
+    )
+    for b in range(B):
+        L = int(np.asarray(lengths)[b])
+        assert (got[b, :L] == want[b, :L]).all()
+        assert (got[b, L:] == -1).all()
