@@ -624,12 +624,40 @@ def _band_max_kernel(Km, g1_ref, g2_ref, lens_ref, fm_ref, h_ref):
         fm_ref[...] = jnp.maximum(fm_ref[...], val)
 
 
+def _band_max_jnp(G1, G2p, lens_tab, Km):
+    """Pure-jnp band combine: the final fallback when even one video's
+    (C, T) planes exceed the kernel's scoped-VMEM stack (T beyond
+    ~25k frames at C=24) — keeps the labels path truly T-unbounded.
+    Same recurrence as _band_max_kernel, shifted slices along time."""
+    B, C, T = G1.shape
+
+    def shifted(arr, j):
+        return jax.lax.dynamic_slice_in_dim(arr, j, T, axis=2)
+
+    H = jnp.full((B, C, T), BIG_NEG, jnp.float32)
+    fm = jnp.full((B, C, T), BIG_NEG, jnp.float32)
+    for r in range(Km - 1, -1, -1):
+        H = jnp.maximum(
+            H, lens_tab[:, :, r : r + 1] + shifted(G2p, r + 1)
+        )
+        fm = jnp.maximum(
+            fm,
+            jnp.pad(
+                (G1 + H)[:, :, : T - r], ((0, 0), (0, 0), (r, 0)),
+                constant_values=BIG_NEG,
+            ),
+        )
+    return fm
+
+
 def _band_max_pallas(G1, G2p, lens_tab, Km, interpret):
     """Launch the band combine over batch chunks bounded by VMEM."""
     B, C, T = G1.shape
     Cp = _round_up(C, 8)
     # live per video: g1/g2/fm blocks + H scratch + ~3 loop temporaries
     bytes_per_video = 7 * Cp * (T + lens_tab.shape[2] + 1) * 4
+    if bytes_per_video > _VMEM_PLANE_BUDGET // 4:
+        return _band_max_jnp(G1, G2p, lens_tab, Km)
     Bc = max(1, min(B, (_VMEM_PLANE_BUDGET // 4) // max(bytes_per_video, 1)))
 
     def call(start, end):
