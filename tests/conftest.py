@@ -8,6 +8,12 @@ jax.config after import (before any backend is initialized).
 
 import os
 
+# Tests run the Pallas kernels in interpret mode, where the manual
+# time-loop unroll (ops/hsmm_pallas._UNROLL, default 16 — a compiled-
+# Mosaic pipelining win) only multiplies tracing cost. Must be set
+# before the package is imported.
+os.environ.setdefault("ASEG_SCAN_UNROLL", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
