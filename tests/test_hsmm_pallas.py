@@ -239,3 +239,30 @@ def test_viterbi_labels_jnp_band_fallback(monkeypatch):
         L = int(np.asarray(lengths)[b])
         assert (got[b, :L] == want[b, :L]).all()
         assert (got[b, L:] == -1).all()
+
+
+def test_manual_unroll_branch(monkeypatch):
+    """The production default runs _time_loop's manual-unroll branch
+    (_UNROLL=16 on the real chip) while conftest pins tests to 1; cover
+    the unrolled indexing explicitly."""
+    from action_segmentation_tpu.ops import hsmm_pallas as hp
+
+    monkeypatch.setattr(hp, "_UNROLL", 2)
+    rng = np.random.RandomState(17)
+    B, T, C, K = 2, 26, 4, 5  # unique shape: no jit-cache aliasing
+    pots, lengths = random_pots(rng, B, T, C, K, constrained=True)
+    want = np.asarray(hsmm_partition(pots, lengths))
+    got = np.asarray(hsmm_partition_pallas(pots, lengths, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
+    spans, want_scores = hsmm_viterbi(pots, lengths)
+    want_labels = np.asarray(spans_to_labels(spans))
+    got_labels, got_scores = hsmm_viterbi_labels_pallas(
+        pots, lengths, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_scores), np.asarray(want_scores), rtol=1e-5, atol=1e-4
+    )
+    got_labels = np.asarray(got_labels)
+    for b in range(B):
+        L = int(np.asarray(lengths)[b])
+        assert (got_labels[b, :L] == want_labels[b, :L]).all()
