@@ -223,3 +223,81 @@ def test_data_parallel_discriminative_matches_single_device():
     # discriminative loss is -log p(y|x) <= ~0 magnitude, very unlike the
     # generative NLL; the two paths must agree
     assert abs(losses[True] - losses[False]) < 1e-2, losses
+
+
+def test_sharded_decode_pallas_interpret(monkeypatch):
+    """The packed Pallas decode must compose with shard_map — this is
+    the path real multi-chip TPUs take, while CPU tests otherwise fall
+    to the jnp branch. Force the Pallas labels decode (interpret mode)
+    inside build_sharded_decode_step on the 8-device mesh and compare
+    with the single-device jnp decode."""
+    import argparse
+    import functools
+
+    import jax.numpy as jnp
+
+    from action_segmentation_tpu.models.base import add_training_args
+    from action_segmentation_tpu.models.semimarkov import GaussianHsmm, SemiMarkovModel
+    from action_segmentation_tpu.ops import hsmm_pallas as hp
+    from action_segmentation_tpu.ops.hsmm import hsmm_viterbi
+    from action_segmentation_tpu.ops.span_codec import spans_to_labels
+    from action_segmentation_tpu.parallel.mesh import (
+        build_sharded_decode_step,
+        make_mesh,
+        shard_shared_inputs,
+        shard_train_inputs,
+    )
+
+    monkeypatch.setattr(hp, "pallas_supported", lambda n: True)
+    monkeypatch.setattr(
+        hp,
+        "hsmm_viterbi_labels_pallas",
+        functools.partial(hp.hsmm_viterbi_labels_pallas.__wrapped__, interpret=True)
+        if hasattr(hp.hsmm_viterbi_labels_pallas, "__wrapped__")
+        else functools.partial(hp.hsmm_viterbi_labels_pallas, interpret=True),
+    )
+
+    parser = argparse.ArgumentParser()
+    SemiMarkovModel.add_args(parser)
+    add_training_args(parser)
+    args = parser.parse_args([])
+    C, D, B, T = 5, 12, 8, 32
+    module = GaussianHsmm(args, C, D, allow_self_transitions=True, seed=0)
+    key = jax.random.PRNGKey(0)
+    module.params["gaussian_means"] = jax.random.normal(key, (C, D)) * 0.1
+
+    rng = np.random.RandomState(0)
+    features = rng.randn(B, T, D).astype(np.float32)
+    lengths = np.concatenate([np.full(B - 2, T), [T - 5, T - 9]]).astype(np.int32)
+    cons = np.zeros((B, T, C), np.float32)
+    end_allowed = np.zeros((B, C), np.float32)
+    vc = np.arange(C, dtype=np.int32)
+    inv_map = np.arange(C, dtype=np.int32)
+    weights = np.ones(B, np.float32)
+
+    mesh = make_mesh(8, model_parallel=1)
+    with mesh:
+        decode = build_sharded_decode_step(module, mesh, n_classes=C)
+        params, _, placed = shard_train_inputs(
+            mesh, module.params, None,
+            [features, lengths, np.zeros((B, T), np.int64), cons, end_allowed, weights],
+        )
+        s_vc, _ = shard_shared_inputs(mesh, vc, inv_map)
+        b_feat, b_len, _, b_cons, b_end, _ = placed
+        labels, scores = decode(
+            params, b_feat, b_len, s_vc, b_cons, b_end, jax.random.PRNGKey(0)
+        )
+    labels = np.asarray(labels)
+    scores = np.asarray(scores)
+
+    pots, _, _ = module.compute_potentials(
+        module.params, jnp.asarray(features), jnp.asarray(lengths),
+        jnp.asarray(vc), jnp.asarray(cons), jnp.asarray(end_allowed),
+        jax.random.PRNGKey(0), use_mean_z=True,
+    )
+    spans, want_scores = hsmm_viterbi(pots, jnp.asarray(lengths))
+    want = np.asarray(spans_to_labels(spans))
+    np.testing.assert_allclose(scores, np.asarray(want_scores), rtol=1e-5, atol=1e-3)
+    for b in range(B):
+        L = int(lengths[b])
+        assert (labels[b, :L] == want[b, :L]).all(), b
