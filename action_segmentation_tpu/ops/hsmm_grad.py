@@ -2,10 +2,13 @@
 
 Training against the marginal likelihood needs d logZ / d potentials
 (= posterior expected sufficient statistics). Autodiff of the jnp scan
-works but replays the scan; here both passes run the fused Pallas
-log-scan (ops/hsmm_pallas.py) — stacked into ONE kernel launch on a
-doubled batch axis (``hsmm_alphas_fb_pallas``) — and the marginals are
-combined closed-form:
+works but replays the scan; here both directional passes run the fused
+Pallas log-scan (ops/hsmm_pallas.py) in ONE kernel launch — the
+packed-layout ``_scan_packed_fb`` by default (the cotangent combine
+then also stays packed: ``_band_grad_packed_kernel``), or
+``hsmm_alphas_fb_pallas`` + the per-video jnp combine for padded
+lengths beyond the packed gate — and the marginals are combined
+closed-form:
 
   By the HSMM's time symmetry, the suffix mass S2[e, c] ("segmentations
   of frames [e, L) given the previous span had class c", including the
