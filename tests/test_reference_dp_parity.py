@@ -1,0 +1,554 @@
+"""Differential DP parity against the reference's own ``log_hsmm``.
+
+Round-2 verdict item 1: the riskiest re-derivation in this build folds the
+reference's EOS augmentation (semimarkov_modules.py:461-494), constraint
+masking (:284-322), valid-class slicing (:294-296,:309,:377,:413) and
+class merging into the banded-scan ``end_mask`` formulation of
+``ops/hsmm.py``. Until now that folding was verified only against our own
+brute-force enumeration. These tests close the loop against the
+reference's *code*: they import the reference ``SemiMarkovModule``
+(torch-struct stubbed — it is only needed after the edge tensor is
+built), build the b x N x K x C x C edge-potential tensor via the
+reference's own ``log_hsmm`` on randomized factors, run a simple banded
+DP over that tensor, and assert that our ``compute_potentials`` +
+``hsmm_partition`` / ``hsmm_viterbi`` / ``hsmm_frame_marginals`` /
+``hsmm_gold_score`` produce the same log-partition, decoded labels,
+posterior frame marginals, and gold path scores.
+
+The edge-tensor DP's path semantics (segments [n, n+k) with 1 <= k <= K-1
+tiling [0, L-1); terminal class at position L-1 whose frame emission rides
+on the incoming edge's `to` axis) are themselves validated against the
+reference's own ``test_log_hsmm`` expectations
+(src/models/test_semimarkov.py:266-323) in
+``test_edge_dp_matches_reference_expectations`` — so the arbiter of DP
+semantics is the reference's test, not this builder's reading of it.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+REF = "/root/reference/src"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference mount not available"
+)
+
+BIG_NEG = -1e9
+D = 8  # feature dim for randomized configs
+
+
+@pytest.fixture(scope="module")
+def ref_sm():
+    # torch_struct (the reference's DP engine) is not installed; it is
+    # imported at module top but only *used* after log_hsmm has built the
+    # edge tensor, so a stub suffices (same pattern as the editdistance
+    # shim in test_reference_parity.py).
+    stub = types.ModuleType("torch_struct")
+    stub.SemiMarkovCRF = type("SemiMarkovCRF", (), {})
+    sys.modules.setdefault("torch_struct", stub)
+    # the reference's import chain pulls in evaluation/accuracy.py, which
+    # imports the pip-only editdistance package; shim with ours
+    from action_segmentation_tpu.evaluation import editdistance as our_ed
+
+    ed_shim = types.ModuleType("editdistance")
+    ed_shim.eval = our_ed.eval
+    sys.modules.setdefault("editdistance", ed_shim)
+    sys.path.insert(0, REF)
+    try:
+        from models.semimarkov import semimarkov_modules as ref_mod
+
+        yield ref_mod
+    finally:
+        sys.path.remove(REF)
+
+
+# ---------------------------------------------------------------------------
+# Banded DP over the reference's edge tensor (the reference-semantics side)
+# ---------------------------------------------------------------------------
+
+
+def torch_edge_logz(scores, aug_lengths):
+    """Log-semiring DP over a torch-struct SemiMarkov edge tensor.
+
+    scores: (b, N, K, C, C) with scores[b, n, k, c_to, c_from] = potential
+    of a span of class c_from covering frames [n, n+k) and transitioning
+    to c_to at n+k (semimarkov_modules.py:416-523). aug_lengths are the
+    EOS-augmented lengths (original + 1). Differentiable in ``scores``.
+    """
+    b, N, K, C, _ = scores.shape
+    L = int(max(aug_lengths))
+    beta = [torch.zeros(b, C, dtype=scores.dtype)]
+    for n in range(1, L):
+        ks = list(range(1, min(K - 1, n) + 1))
+        window = torch.stack([beta[n - k] for k in ks], dim=1)  # (b, kn, Cf)
+        edge = torch.stack([scores[:, n - k, k] for k in ks], dim=1)
+        beta.append(torch.logsumexp(window.unsqueeze(2) + edge, dim=(1, 3)))
+    return torch.stack(
+        [
+            torch.logsumexp(beta[int(l) - 1][i], dim=-1)
+            for i, l in enumerate(aug_lengths)
+        ]
+    )
+
+
+def np_edge_viterbi(scores_i, L):
+    """Max-semiring DP + backtrace for one instance.
+
+    Returns (spans, score): spans is (L,) int64 with the class at each
+    span start, -1 on continuations, and the terminal class at L-1 (the
+    EOS slot) — the same layout torch-struct's ``from_parts`` produces.
+    """
+    N, K, C, _ = scores_i.shape
+    beta = np.full((L, C), -1e30)
+    beta[0] = 0.0
+    bp_k = np.zeros((L, C), np.int64)
+    bp_c = np.zeros((L, C), np.int64)
+    for n in range(1, L):
+        ks = np.arange(1, min(K - 1, n) + 1)
+        cand = beta[n - ks][:, None, :] + scores_i[n - ks, ks]  # (kn, Ct, Cf)
+        flat = cand.transpose(1, 0, 2).reshape(C, -1)
+        idx = flat.argmax(axis=1)
+        beta[n] = flat[np.arange(C), idx]
+        bp_k[n] = ks[idx // C]
+        bp_c[n] = idx % C
+    c = int(beta[L - 1].argmax())
+    score = beta[L - 1, c]
+    spans = np.full(L, -1, np.int64)
+    spans[L - 1] = c
+    n = L - 1
+    while n > 0:
+        k, cf = int(bp_k[n, c]), int(bp_c[n, c])
+        n -= k
+        spans[n] = cf
+        c = cf
+    return spans, score
+
+
+def _fill(spans):
+    """Forward-fill span-start labels over continuations."""
+    labels = np.asarray(spans).copy()
+    for t in range(1, len(labels)):
+        if labels[t] < 0:
+            labels[t] = labels[t - 1]
+    return labels
+
+
+def edge_path_score(scores_i, spans_i, l, C_sub):
+    """Score a span sequence by summing its edges in the reference
+    tensor: segment [n_j, n_{j+1}) of class c_j contributes
+    scores[n_j, k_j, c_{j+1}, c_j], with the terminal EOS class C_sub at
+    augmented position l. This is what the reference's
+    dist.struct().score(log_potentials, parts) computes."""
+    bounds = [t for t in range(l) if spans_i[t] >= 0]
+    classes = [int(spans_i[t]) for t in bounds]
+    bounds.append(l)
+    s = 0.0
+    for j in range(len(classes)):
+        n, n2 = bounds[j], bounds[j + 1]
+        c_to = classes[j + 1] if j + 1 < len(classes) else C_sub
+        s += scores_i[n, n2 - n, c_to, classes[j]]
+    return s
+
+
+def test_edge_dp_matches_reference_expectations(ref_sm):
+    """Reproduce the reference's own test_log_hsmm
+    (src/models/test_semimarkov.py:266-323) through our edge-tensor DP:
+    this pins the DP's path semantics to what torch-struct actually
+    computed for the reference, independent of this builder's reading."""
+    b, C, N, K, step_length = 10, 4, 100, 5, 4
+    padded_length = N + step_length * 2
+    lengths_unpadded = torch.full((b,), N).long()
+    lengths_unpadded[0] = padded_length
+
+    trans_scores = torch.zeros(C, C)
+    init_scores = torch.full((C,), BIG_NEG)
+    init_scores[0] = 0.0
+    emission_scores = torch.full((b, padded_length, C), BIG_NEG)
+    for n in range(padded_length):
+        emission_scores[:, n, (n // step_length) % C] = 1.0
+    length_scores = torch.full((K, C), BIG_NEG)
+    length_scores[step_length, :] = 0.0
+
+    scores = ref_sm.SemiMarkovModule.log_hsmm(
+        trans_scores, emission_scores, init_scores, length_scores,
+        lengths_unpadded, add_eos=True,
+    )
+    scores_np = scores.double().numpy()
+    for i in range(b):
+        L = int(lengths_unpadded[i]) + 1
+        spans, _ = np_edge_viterbi(scores_np[i], L)
+        # EOS (class C) in the final augmented position
+        assert spans[L - 1] == C
+        for step in range((L - 1) // step_length):
+            assert spans[step_length * step] == step % C
+
+
+# ---------------------------------------------------------------------------
+# Randomized differential parity harness
+# ---------------------------------------------------------------------------
+
+
+def make_args(max_k):
+    return types.SimpleNamespace(
+        sm_max_span_length=max_k,
+        sm_feature_projection=False,
+        sm_init_non_projection_parameters_from=None,
+        sm_supervised_state_smoothing=1e-2,
+        sm_supervised_length_smoothing=1e-1,
+        sm_train_discriminatively=False,
+        sm_hidden_markov=False,
+    )
+
+
+def build_pair(ref_mod, rng, n_classes, max_k, allow_self_transitions,
+               constraints=None, merge=None):
+    """Instantiate the reference module and our GaussianHsmm with
+    identical parameters and constraint structure."""
+    from action_segmentation_tpu.models.semimarkov import GaussianHsmm
+    import jax.numpy as jnp
+
+    args = make_args(max_k)
+    kw = dict(allow_self_transitions=allow_self_transitions)
+    if constraints is not None:
+        starts, transitions, ends = constraints
+        kw.update(
+            allowed_starts=starts, allowed_transitions=transitions,
+            allowed_ends=ends,
+        )
+    ref = ref_mod.SemiMarkovModule(args, n_classes, D, merge_classes=merge, **kw)
+
+    init = rng.randn(n_classes).astype(np.float32)
+    trans = rng.randn(n_classes, n_classes).astype(np.float32)
+    rates = rng.uniform(0.0, 1.5, n_classes).astype(np.float32)
+    means = rng.randn(n_classes, D).astype(np.float32)
+    cov = rng.uniform(0.5, 1.5, D).astype(np.float32)
+    with torch.no_grad():
+        ref.init_logits.copy_(torch.from_numpy(init))
+        ref.transition_logits.copy_(torch.from_numpy(trans))
+        ref.poisson_log_rates.copy_(torch.from_numpy(rates))
+        ref.gaussian_means.copy_(torch.from_numpy(means))
+        ref.gaussian_cov.copy_(torch.diag(torch.from_numpy(cov)))
+
+    ours = GaussianHsmm(args, n_classes, D, merge_classes=merge, **kw)
+    ours.params = {
+        "init_logits": jnp.asarray(init),
+        "transition_logits": jnp.asarray(trans),
+        "poisson_log_rates": jnp.asarray(rates),
+        "gaussian_means": jnp.asarray(means),
+        "gaussian_cov": jnp.asarray(cov),
+    }
+    return ref, ours
+
+
+def run_parity(ref_mod, ref, ours, feats, lengths, vc_global, cons_add,
+               addl_ends, check_marginals=True, exact_labels=True):
+    """Compare logZ / Viterbi / marginals for one randomized config.
+
+    Reference side: factors through the reference's own *_log_probs
+    (masking, valid-class slicing, merge), edge tensor through its
+    log_hsmm (EOS augmentation, allowed_ends_per_instance), DP over the
+    tensor. Our side: the exact arrays models/semimarkov.py feeds to the
+    kernels. Returns (edge tensor as float64 numpy, our potentials) for
+    follow-on gold-score checks.
+    """
+    import jax
+    import jax.numpy as jnp
+    from action_segmentation_tpu.ops.hsmm import (
+        hsmm_frame_marginals,
+        hsmm_partition,
+        hsmm_viterbi,
+    )
+
+    b, T, _ = feats.shape
+    feats_t = torch.from_numpy(feats)
+    lengths_t = torch.from_numpy(lengths).long()
+    vc_t = None if vc_global is None else torch.from_numpy(vc_global).long()
+    cons_t = None if cons_add is None else torch.from_numpy(cons_add)
+
+    # --- reference side ---
+    trans = ref.transition_log_probs(vc_t)
+    init = ref.initial_log_probs(vc_t)
+    lens_tbl = ref.length_log_probs(vc_t)
+    elp = ref.emission_log_probs(feats_t, vc_t, cons_t).detach()
+    elp.requires_grad_(True)
+    classes = (
+        list(range(ref.n_classes)) if vc_global is None else list(vc_global)
+    )
+    if ref.allowed_ends is not None:
+        aepi = [
+            [
+                i
+                for i, ix in enumerate(classes)
+                if ix in (set(ref.allowed_ends) | set(extra))
+            ]
+            for extra in addl_ends
+        ]
+    else:
+        aepi = None
+    scores = ref_mod.SemiMarkovModule.log_hsmm(
+        trans, elp, init, lens_tbl, lengths_t, add_eos=True,
+        allowed_ends_per_instance=aepi,
+    )
+    # cross-check: the composed call matches score_features itself
+    scores2, _ = ref.score_features(
+        feats_t, lengths_t, vc_t, add_eos=True, use_mean_z=False,
+        additional_allowed_ends_per_instance=(
+            addl_ends if ref.allowed_ends is not None else None
+        ),
+        constraints=cons_t,
+    )
+    assert torch.allclose(scores, scores2, atol=1e-4)
+
+    ref_logz = torch_edge_logz(scores.double(), lengths + 1)
+    if check_marginals:
+        ref_logz.sum().backward()
+        ref_marg = elp.grad.numpy()
+
+    # --- our side: the arrays models/semimarkov.py builds ---
+    C_sub = len(classes)
+    vc_np = np.asarray(classes, np.int32)
+    cons_np = (
+        np.zeros((b, T, C_sub), np.float32) if cons_add is None else cons_add
+    )
+    end_allowed = np.zeros((b, C_sub), np.float32)
+    if ours.allowed_ends is not None:
+        for i in range(b):
+            allowed = set(ours.allowed_ends) | set(addl_ends[i])
+            mask = np.array([ix in allowed for ix in vc_np])
+            end_allowed[i] = np.where(mask, 0.0, BIG_NEG)
+
+    pots, _, _ = ours.compute_potentials(
+        ours.params,
+        jnp.asarray(feats),
+        jnp.asarray(lengths, jnp.int32),
+        jnp.asarray(vc_np),
+        jnp.asarray(cons_np),
+        jnp.asarray(end_allowed),
+        jax.random.PRNGKey(0),
+        False,
+    )
+    our_logz = np.asarray(hsmm_partition(pots, jnp.asarray(lengths, jnp.int32)))
+    np.testing.assert_allclose(
+        our_logz, ref_logz.detach().numpy(), rtol=1e-5, atol=5e-3
+    )
+
+    scores_np = scores.detach().double().numpy()
+    our_spans, our_scores = hsmm_viterbi(pots, jnp.asarray(lengths, jnp.int32))
+    our_spans = np.asarray(our_spans)
+    our_scores = np.asarray(our_scores)
+    for i in range(b):
+        L = int(lengths[i]) + 1
+        rspans, rscore = np_edge_viterbi(scores_np[i], L)
+        assert rspans[L - 1] == C_sub  # terminal EOS class
+        np.testing.assert_allclose(our_scores[i], rscore, rtol=1e-5, atol=5e-3)
+        if exact_labels:
+            np.testing.assert_array_equal(
+                _fill(our_spans[i][: L - 1]), _fill(rspans[: L - 1])
+            )
+        else:
+            # class merging creates exact score ties (shared emission +
+            # Poisson params across merged classes); assert our decode is
+            # *an* argmax path of the reference tensor instead
+            ours_on_ref = edge_path_score(scores_np[i], our_spans[i], L - 1, C_sub)
+            np.testing.assert_allclose(ours_on_ref, rscore, rtol=1e-5, atol=5e-3)
+
+    if check_marginals:
+        our_marg = np.asarray(
+            hsmm_frame_marginals(pots, jnp.asarray(lengths, jnp.int32))
+        )
+        for i in range(b):
+            np.testing.assert_allclose(
+                our_marg[i, : lengths[i]],
+                ref_marg[i, : lengths[i]],
+                atol=2e-3,
+            )
+    return scores_np, pots
+
+
+def _random_lengths(rng, b, T):
+    lengths = rng.randint(max(2, T // 3), T + 1, size=b).astype(np.int64)
+    lengths[0] = T  # always exercise the full padded buffer once
+    return lengths
+
+
+def test_parity_unconstrained_subset(ref_sm):
+    """Valid-class subsetting + ragged lengths, self-transitions allowed."""
+    rng = np.random.RandomState(0)
+    ref, ours = build_pair(ref_sm, rng, n_classes=7, max_k=6,
+                           allow_self_transitions=True)
+    b, T = 4, 40
+    feats = rng.randn(b, T, D).astype(np.float32)
+    lengths = _random_lengths(rng, b, T)
+    vc = np.array([1, 3, 4, 5, 6])
+    run_parity(ref_sm, ref, ours, feats, lengths, vc, None, None)
+
+
+def test_parity_all_classes_no_self(ref_sm):
+    """valid_classes=None on the reference side; self-transitions banned
+    (the reference's eye-mask at semimarkov_modules.py:313-319)."""
+    rng = np.random.RandomState(1)
+    ref, ours = build_pair(ref_sm, rng, n_classes=5, max_k=5,
+                           allow_self_transitions=False)
+    b, T = 3, 32
+    feats = rng.randn(b, T, D).astype(np.float32)
+    lengths = _random_lengths(rng, b, T)
+    run_parity(ref_sm, ref, ours, feats, lengths, None, None, None)
+
+
+def test_parity_constrained_merged_narration(ref_sm):
+    """The full U7-style stack: canonical-order transition/start/end
+    constraints, per-instance additional allowed ends, class merging, and
+    additive narration penalties, with self-transitions banned."""
+    rng = np.random.RandomState(2)
+    n_classes = 8
+    starts = {1, 2}
+    transitions = {1: {3, 4}, 2: {4}, 3: {4, 6}, 4: {6, 1}, 6: {1, 2}}
+    ends = {4, 6}
+    # the reference builds merge_classes as a total map (identity for
+    # unmerged classes; semimarkov.py:58-78)
+    merge = {i: i for i in range(n_classes)}
+    merge.update({6: 2, 5: 2})
+    ref, ours = build_pair(
+        ref_sm, rng, n_classes=n_classes, max_k=5,
+        allow_self_transitions=False,
+        constraints=(starts, transitions, ends), merge=merge,
+    )
+    b, T = 4, 36
+    feats = rng.randn(b, T, D).astype(np.float32)
+    lengths = _random_lengths(rng, b, T)
+    vc = np.array([1, 2, 3, 4, 6])
+    # soft narration penalties (the real pipeline uses (1-allowed)*weight
+    # with weight=-1e4; a softer weight keeps every path's mass finite so
+    # the comparison is numerically meaningful)
+    cons = (rng.rand(b, T, len(vc)) < 0.3).astype(np.float32) * -7.5
+    addl = [[], [3], [], [3]]
+    run_parity(ref_sm, ref, ours, feats, lengths, vc, cons, addl,
+               exact_labels=False)
+
+
+def test_parity_k_exceeds_padded_length(ref_sm):
+    """log_hsmm clamps K to the padded length (semimarkov_modules.py:441-443),
+    so its edge tensor can only express durations <= padded_T - 1; our
+    scan handles K > T structurally. For instances needing durations
+    below that bound the two must agree exactly."""
+    rng = np.random.RandomState(3)
+    ref, ours = build_pair(ref_sm, rng, n_classes=4, max_k=10,
+                           allow_self_transitions=True)
+    b, T = 3, 6
+    feats = rng.randn(b, T, D).astype(np.float32)
+    lengths = np.array([5, 4, 2], np.int64)
+    run_parity(ref_sm, ref, ours, feats, lengths, None, None, None)
+
+
+def test_k_clamp_divergence_is_only_the_full_buffer_span(ref_sm):
+    """Known, deliberate divergence: with max_k > padded_T, a length-T
+    instance admits a single span covering the whole buffer in our scan
+    (duration T <= max_k - 1), but the reference's clamped edge tensor
+    (K -> N_1) cannot represent duration N_1 — a padding-dependent
+    representability artifact, impossible at real configs (K=20 vs
+    500-5000-frame videos). Masking our duration table to the reference's
+    clamped band restores exact agreement, proving the band clamp is the
+    *only* difference."""
+    import jax.numpy as jnp
+    from action_segmentation_tpu.ops.hsmm import hsmm_partition
+
+    rng = np.random.RandomState(3)
+    ref, ours = build_pair(ref_sm, rng, n_classes=4, max_k=10,
+                           allow_self_transitions=True)
+    b, T = 2, 6
+    feats = rng.randn(b, T, D).astype(np.float32)
+    lengths = np.array([6, 6], np.int64)
+
+    feats_t = torch.from_numpy(feats)
+    lengths_t = torch.from_numpy(lengths).long()
+    scores, _ = ref.score_features(
+        feats_t, lengths_t, None, add_eos=True, use_mean_z=False
+    )
+    ref_logz = torch_edge_logz(scores.double(), lengths + 1).detach().numpy()
+
+    import jax
+
+    C = ref.n_classes
+    pots, _, _ = ours.compute_potentials(
+        ours.params,
+        jnp.asarray(feats),
+        jnp.asarray(lengths, jnp.int32),
+        jnp.arange(C, dtype=jnp.int32),
+        jnp.zeros((b, T, C), jnp.float32),
+        jnp.zeros((b, C), jnp.float32),
+        jax.random.PRNGKey(0),
+        False,
+    )
+    our_logz = np.asarray(hsmm_partition(pots, jnp.asarray(lengths, jnp.int32)))
+    # unmasked: ours admits the extra duration-6 span, so logZ is larger
+    assert (our_logz > ref_logz + 1e-4).all()
+
+    lens_clamped = pots.lens.at[:, T:, :].set(BIG_NEG)
+    clamped = np.asarray(
+        hsmm_partition(pots._replace(lens=lens_clamped),
+                       jnp.asarray(lengths, jnp.int32))
+    )
+    np.testing.assert_allclose(clamped, ref_logz, rtol=1e-5, atol=5e-3)
+
+
+def test_parity_hidden_markov_k1(ref_sm):
+    """max_k=1: the reference emits a 2-row [[0], [-1000]] duration table
+    (semimarkov_modules.py:389-391) making every span cost -1000; ours
+    reproduces the quirk (ops/distributions.py)."""
+    rng = np.random.RandomState(4)
+    ref, ours = build_pair(ref_sm, rng, n_classes=5, max_k=1,
+                           allow_self_transitions=True)
+    b, T = 3, 20
+    feats = rng.randn(b, T, D).astype(np.float32)
+    lengths = _random_lengths(rng, b, T)
+    vc = np.array([0, 2, 3, 4])
+    run_parity(ref_sm, ref, ours, feats, lengths, vc, None, None)
+
+
+def test_gold_score_parity(ref_sm):
+    """hsmm_gold_score must equal the edge-tensor sum of the same path —
+    the reference's dist.struct().score(log_potentials, parts)
+    (semimarkov_modules.py:644-655) is exactly that sum."""
+    import jax.numpy as jnp
+    from action_segmentation_tpu.ops.hsmm import hsmm_gold_score, hsmm_viterbi
+
+    rng = np.random.RandomState(5)
+    ref, ours = build_pair(ref_sm, rng, n_classes=6, max_k=5,
+                           allow_self_transitions=True)
+    b, T = 4, 30
+    feats = rng.randn(b, T, D).astype(np.float32)
+    lengths = _random_lengths(rng, b, T)
+    vc = np.array([0, 1, 2, 4, 5])
+    scores_np, pots = run_parity(
+        ref_sm, ref, ours, feats, lengths, vc, None, None,
+        check_marginals=False,
+    )
+    C_sub = len(vc)
+    lengths_j = jnp.asarray(lengths, jnp.int32)
+
+    # the Viterbi path's gold score equals its decode score
+    vit_spans, vit_scores = hsmm_viterbi(pots, lengths_j)
+    gold_vit = np.asarray(hsmm_gold_score(pots, lengths_j, vit_spans))
+    np.testing.assert_allclose(gold_vit, np.asarray(vit_scores),
+                               rtol=1e-5, atol=5e-3)
+
+    # random valid segmentations: our gold score vs the edge-tensor sum
+    for trial in range(5):
+        spans = np.full((b, T), -1, np.int64)
+        ref_scores = np.zeros(b)
+        for i in range(b):
+            l = int(lengths[i])
+            bounds, t = [], 0
+            while t < l:
+                bounds.append(t)
+                t += rng.randint(1, min(4, l - t) + 1)  # durations <= K-1
+            classes = rng.randint(0, C_sub, size=len(bounds))
+            for j, n in enumerate(bounds):
+                spans[i, n] = classes[j]
+            ref_scores[i] = edge_path_score(scores_np[i], spans[i], l, C_sub)
+        gold = np.asarray(hsmm_gold_score(pots, lengths_j, jnp.asarray(spans)))
+        np.testing.assert_allclose(gold, ref_scores, rtol=1e-5, atol=5e-3)
