@@ -157,7 +157,17 @@ def params_from_reference_state_dict(state_dict):
         if name in REFERENCE_PARAM_KEYS:
             if hasattr(val, "detach"):
                 val = val.detach().cpu().numpy()
-            params[name] = np.asarray(val, np.float32)
+            val = np.asarray(val, np.float32)
+            if name == "gaussian_cov" and val.ndim == 2:
+                # the reference stores the tied diagonal covariance as a
+                # full (D, D) matrix (semimarkov_modules.py:149-151); we
+                # keep only the diagonal vector
+                off_diag = val - np.diag(np.diag(val))
+                assert np.abs(off_diag).max() <= 1e-6 * max(
+                    1.0, np.abs(val).max()
+                ), "reference gaussian_cov is not diagonal"
+                val = np.diag(val).copy()
+            params[name] = val
         else:
             skipped.append(key)
     missing = [k for k in REFERENCE_PARAM_KEYS if k not in params]

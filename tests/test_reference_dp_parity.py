@@ -552,3 +552,44 @@ def test_gold_score_parity(ref_sm):
             ref_scores[i] = edge_path_score(scores_np[i], spans[i], l, C_sub)
         gold = np.asarray(hsmm_gold_score(pots, lengths_j, jnp.asarray(spans)))
         np.testing.assert_allclose(gold, ref_scores, rtol=1e-5, atol=5e-3)
+
+
+def test_reference_weights_migration_decode(ref_sm, tmp_path):
+    """Migration verified end-to-end, not just name-mapped: a reference
+    SemiMarkovModule state_dict (with its (D, D) diagonal covariance
+    matrix), imported through scripts/import_reference_model.py, must
+    decode frame-for-frame like the reference DP over its own log_hsmm
+    edge tensor built from the same weights."""
+    if "." not in sys.path:
+        sys.path.insert(0, ".")
+    from scripts.import_reference_model import main as import_main
+
+    from action_segmentation_tpu.api import Segmenter
+
+    rng = np.random.RandomState(7)
+    n_classes, max_k = 5, 6
+    ref, _ = build_pair(ref_sm, rng, n_classes, max_k,
+                        allow_self_transitions=True)
+    sd_path = str(tmp_path / "ref_module.pt")
+    torch.save(ref.state_dict(), sd_path)
+    out_path = str(tmp_path / "imported.pkl")
+    import_main([
+        "--state_dict", sd_path, "--output", out_path,
+        "--sm_max_span_length", str(max_k),
+    ])
+
+    seg = Segmenter.load(out_path)
+    feature_list = [
+        rng.randn(int(rng.randint(8, 40)), D).astype(np.float32)
+        for _ in range(5)
+    ]
+    got = seg.segment_many(feature_list)
+
+    for feats, labels in zip(feature_list, got):
+        T = feats.shape[0]
+        scores, _ = ref.score_features(
+            torch.from_numpy(feats[None]), torch.tensor([T]), None,
+            add_eos=True, use_mean_z=False,
+        )
+        rspans, _ = np_edge_viterbi(scores.detach().double().numpy()[0], T + 1)
+        np.testing.assert_array_equal(np.asarray(labels), _fill(rspans[:T]))
