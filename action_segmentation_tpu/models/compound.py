@@ -164,7 +164,8 @@ class ComponentHsmm(GaussianHsmm):
 
     # ----- latent ------------------------------------------------------
 
-    def _get_z_and_kl(self, params, features, lengths, rng, use_mean):
+    def _get_z_and_kl(self, params, features, lengths, rng, use_mean,
+                      key_offset=0):
         B = features.shape[0]
         if self.z_dim == 0:
             return (
@@ -180,7 +181,12 @@ class ComponentHsmm(GaussianHsmm):
         pooled = jnp.max(jnp.where(frame_mask, encoded, -jnp.inf), axis=1)
         stats = _linear(params["encoder_to_params"], pooled)
         mean, logvar = stats[:, : self.z_dim], stats[:, self.z_dim :]
-        eps = jax.random.normal(rng, mean.shape)
+        # per-video keys: fold the step key with each instance's GLOBAL
+        # batch index (key_offset = shard_index * local_B under
+        # shard_map), so z-noise is identical under any device count
+        idx = key_offset + jnp.arange(B)
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(idx)
+        eps = jax.vmap(lambda k: jax.random.normal(k, (self.z_dim,)))(keys)
         z = jnp.where(use_mean, mean, jnp.exp(0.5 * logvar) * eps + mean)
         kl = -0.5 * jnp.sum(logvar - mean**2 - jnp.exp(logvar) + 1.0, axis=1)
         return z, kl
@@ -200,7 +206,8 @@ class ComponentHsmm(GaussianHsmm):
     # ----- factors ------------------------------------------------------
 
     def compute_potentials(
-        self, params, features, lengths, vc, constraints_add, end_allowed, rng, use_mean_z
+        self, params, features, lengths, vc, constraints_add, end_allowed, rng,
+        use_mean_z, key_offset=0,
     ):
         B = features.shape[0]
         C_sub = vc.shape[0]
@@ -211,7 +218,9 @@ class ComponentHsmm(GaussianHsmm):
         mvc = jnp.asarray(self.merge_map)[vcs] if self.merge_map is not None else vcs
 
         feats, log_det = self.project_features(params, features, lengths)
-        z, kl = self._get_z_and_kl(params, feats, lengths, rng, use_mean_z)
+        z, kl = self._get_z_and_kl(
+            params, feats, lengths, rng, use_mean_z, key_offset=key_offset
+        )
 
         # initial: w . embed(class) (+ class bias), masked log-softmax
         init_emb = self._embed(params, "initial_embeddings", vcs, self.structure_uses_z, z)

@@ -158,12 +158,15 @@ class GaussianHsmm:
         return features, jnp.zeros(features.shape[0], jnp.float32)
 
     def compute_potentials(
-        self, params, features, lengths, vc, constraints_add, end_allowed, rng, use_mean_z
+        self, params, features, lengths, vc, constraints_add, end_allowed, rng,
+        use_mean_z, key_offset=0,
     ):
         """Build batched HsmmPotentials for valid classes `vc` (C_sub,).
 
         constraints_add: (B, T, C_sub) additive emission penalties (zeros
         when unused); end_allowed: (B, C_sub) additive end mask.
+        `key_offset` is part of the shared module interface (the compound
+        model's per-video z keys); the Gaussian module draws no noise.
         Returns (pots, log_det (B,), kl (B,)).
 
         vc entries of -1 are shape padding (class-count bucketing, so
@@ -804,12 +807,11 @@ class SemiMarkovModel(Model):
                         tuple(batch_sharding(mesh, np.asarray(a).ndim) for a in arrs),
                     )
                     s_vc, s_inv = shard_shared_inputs(mesh, vc, inv_map)
-                    params, opt_state, loss = sharded_step(
+                    params, opt_state, loss, aux = sharded_step(
                         params, opt_state,
                         placed[0], placed[1], s_vc, s_inv, placed[2],
                         placed[3], placed[4], placed[5], lr, step_rng,
                     )
-                    aux = {"nll": loss, "kl": 0.0, "log_det": 0.0}
                     grads = None
                 else:
                     feat_p, len_p, gt_p, cons_p, end_p, w = self._pad_batch_rows(

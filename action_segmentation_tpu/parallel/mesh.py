@@ -93,16 +93,19 @@ def _params_shardings(mesh, params):
 
 def _local_loss_terms(module, use_labels, discriminative, partition_fn,
                       params, features, lengths, vc, inv_map, gt, cons,
-                      end_allowed, weights, rng):
-    """Weighted SUMS of the loss terms over a (shard of a) batch, plus
-    the weight sum — the building block both sharded-step variants share
-    (global weighted mean = psum(weighted sums) / psum(weights))."""
+                      end_allowed, weights, rng, key_offset=0):
+    """Weighted SUMS of the per-component loss terms over a (shard of a)
+    batch, plus the weight sum — the building block both sharded-step
+    variants share (global weighted means = psum(weighted sums) /
+    psum(weights)). Returning the components separately lets the drain
+    log real nll/kl/log_det under --data_parallel."""
     # pad_batch_for_mesh fills dummy rows with length 0; clamp so the
     # weight-0 rows still run a well-defined length-1 DP (a 0-length
     # forward pass going non-finite would NaN the batch via 0 * nan)
     lengths = jnp.maximum(lengths, 1)
     pots, log_det, kl = module.compute_potentials(
-        params, features, lengths, vc, cons, end_allowed, rng, use_mean_z=use_labels
+        params, features, lengths, vc, cons, end_allowed, rng,
+        use_mean_z=use_labels, key_offset=key_offset,
     )
     if use_labels:
         labels_sub = inv_map[gt]
@@ -112,10 +115,24 @@ def _local_loss_terms(module, use_labels, discriminative, partition_fn,
             ll = ll - partition_fn(pots, lengths)
     else:
         ll = partition_fn(pots, lengths)
-    term = -ll - log_det
+    return (
+        jnp.sum(-ll * weights),
+        jnp.sum(kl * weights),
+        jnp.sum(log_det * weights),
+        weights.sum(),
+    )
+
+
+def _terms_to_loss_aux(nll, kl, log_det, den, use_labels):
+    """Global weighted means -> (loss, aux) with the same decomposition
+    as SemiMarkovModel._build_loss_fn (loss = nll - log_det [+ kl when
+    unsupervised]; aux logs every component either way)."""
+    den = jnp.maximum(den, 1.0)
+    nll, kl, log_det = nll / den, kl / den, log_det / den
+    loss = nll - log_det
     if not use_labels:
-        term = term + kl
-    return jnp.sum(term * weights), weights.sum()
+        loss = loss + kl
+    return loss, {"nll": nll, "kl": kl, "log_det": log_det}
 
 
 def build_sharded_train_step(module, tx, mesh, use_labels):
@@ -153,18 +170,21 @@ def build_sharded_train_step(module, tx, mesh, use_labels):
 
         def local_loss(params, features, lengths, vc, inv_map, gt, cons,
                        end_allowed, weights, rng):
-            num, den = _local_loss_terms(
+            # compound-z parity: fold the step key with each instance's
+            # GLOBAL batch index, so sampling matches single-device runs
+            # under any device count
+            key_offset = jax.lax.axis_index("data") * features.shape[0]
+            terms = _local_loss_terms(
                 module, use_labels, discriminative, partition_fn,
                 params, features, lengths, vc, inv_map, gt, cons,
-                end_allowed, weights, rng,
+                end_allowed, weights, rng, key_offset=key_offset,
             )
-            num = jax.lax.psum(num, "data")
-            den = jax.lax.psum(den, "data")
-            return num / jnp.maximum(den, 1.0)
+            nll, kl, log_det, den = (jax.lax.psum(t, "data") for t in terms)
+            return _terms_to_loss_aux(nll, kl, log_det, den, use_labels)
 
         def local_step(params, opt_state, features, lengths, vc, inv_map,
                        gt, cons, end_allowed, weights, lr, rng):
-            loss, grads = jax.value_and_grad(local_loss)(
+            (loss, aux), grads = jax.value_and_grad(local_loss, has_aux=True)(
                 params, features, lengths, vc, inv_map, gt, cons,
                 end_allowed, weights, rng,
             )
@@ -175,7 +195,7 @@ def build_sharded_train_step(module, tx, mesh, use_labels):
             params = jax.tree_util.tree_map(
                 lambda p, u: p + u, params, apply_lr(updates, lr)
             )
-            return params, opt_state, loss
+            return params, opt_state, loss, aux
 
         try:
             from jax import shard_map  # jax >= 0.8
@@ -196,30 +216,35 @@ def build_sharded_train_step(module, tx, mesh, use_labels):
                 P("data"), P("data"), P("data"), P("data"),  # gt, cons, end, w
                 P(), P(),                      # lr, rng
             ),
-            out_specs=(P(), P(), P()),
+            out_specs=(
+                P(), P(), P(),
+                {"nll": P(), "kl": P(), "log_det": P()},
+            ),
             **check_kwargs,
         )
         return jax.jit(sharded)
 
     # dp x tp path: automatic partitioning over both axes (the
-    # in-shardings of the placed arguments drive the partitioner)
+    # in-shardings of the placed arguments drive the partitioner). The
+    # compute is global here, so per-instance keys fold over the global
+    # batch index directly (key_offset=0).
     def loss_fn(params, features, lengths, vc, inv_map, gt, cons, end_allowed, weights, rng):
-        num, den = _local_loss_terms(
+        nll, kl, log_det, den = _local_loss_terms(
             module, use_labels, discriminative, hsmm_partition,
             params, features, lengths, vc, inv_map, gt, cons,
             end_allowed, weights, rng,
         )
-        return num / jnp.maximum(den, 1.0)
+        return _terms_to_loss_aux(nll, kl, log_det, den, use_labels)
 
     def step(params, opt_state, features, lengths, vc, inv_map, gt, cons, end_allowed, weights, lr, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, features, lengths, vc, inv_map, gt, cons, end_allowed, weights, rng
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(
             lambda p, u: p + u, params, apply_lr(updates, lr)
         )
-        return params, opt_state, loss
+        return params, opt_state, loss, aux
 
     return jax.jit(step)
 
@@ -272,8 +297,10 @@ def build_sharded_decode_step(module, mesh, n_classes=None):
 
     def decode_local(params, features, lengths, vc, cons, end_allowed, rng):
         lengths = jnp.maximum(lengths, 1)
+        key_offset = jax.lax.axis_index("data") * features.shape[0]
         pots, _, _ = module.compute_potentials(
-            params, features, lengths, vc, cons, end_allowed, rng, use_mean_z=True
+            params, features, lengths, vc, cons, end_allowed, rng,
+            use_mean_z=True, key_offset=key_offset,
         )
         if use_pallas:
             labels_sub, scores = hsmm_viterbi_labels_pallas(pots, lengths)

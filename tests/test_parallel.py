@@ -117,7 +117,7 @@ def test_sharded_matches_single_device():
             )
             s_vc, s_inv = shard_shared_inputs(mesh, vc, inv_map)
             b_feat, b_len, b_gt, b_cons, b_end, b_w = placed
-            _, _, loss = step(
+            _, _, loss, _ = step(
                 params, opt, b_feat, b_len, s_vc, s_inv, b_gt, b_cons, b_end, b_w,
                 5e-3, jax.random.PRNGKey(0),
             )
@@ -301,3 +301,151 @@ def test_sharded_decode_pallas_interpret(monkeypatch):
     for b in range(B):
         L = int(lengths[b])
         assert (labels[b, :L] == want[b, :L]).all(), b
+
+
+def test_sharded_train_pallas_interpret(monkeypatch):
+    """The custom-VJP Pallas partition must compose with shard_map +
+    value_and_grad — the exact path a real multi-chip TPU runs for
+    *training* (parallel/mesh.py selects hsmm_partition_fast inside the
+    dp-only shard_map when pallas_supported). CPU tests otherwise take
+    the jnp branch, so force the Pallas forward/backward in interpret
+    mode and assert the sharded step's loss AND updated parameters match
+    a single-device step built on the jnp partition."""
+    import argparse
+    import functools
+
+    import jax.numpy as jnp
+
+    from action_segmentation_tpu.models.base import (
+        add_training_args,
+        apply_lr,
+        make_optimizer,
+    )
+    from action_segmentation_tpu.models.semimarkov import GaussianHsmm, SemiMarkovModel
+    from action_segmentation_tpu.ops import hsmm_grad as hg
+    from action_segmentation_tpu.ops import hsmm_pallas as hp
+    from action_segmentation_tpu.ops.hsmm import hsmm_partition
+    from action_segmentation_tpu.parallel.mesh import (
+        build_sharded_train_step,
+        make_mesh,
+        shard_shared_inputs,
+        shard_train_inputs,
+    )
+
+    monkeypatch.setattr(hp, "pallas_supported", lambda n: True)
+    monkeypatch.setattr(
+        hg,
+        "hsmm_partition_fast",
+        functools.partial(hg.hsmm_partition_fast, interpret=True),
+    )
+
+    parser = argparse.ArgumentParser()
+    SemiMarkovModel.add_args(parser)
+    add_training_args(parser)
+    args = parser.parse_args([])
+    C, D, B, T = 5, 12, 8, 32
+    module = GaussianHsmm(args, C, D, allow_self_transitions=True, seed=0)
+    key = jax.random.PRNGKey(0)
+    module.params["gaussian_means"] = jax.random.normal(key, (C, D)) * 0.1
+
+    tx, _ = make_optimizer(args)
+    opt_state = tx.init(module.params)
+    rng = np.random.RandomState(0)
+    features = rng.randn(B, T, D).astype(np.float32)
+    lengths = np.concatenate([np.full(B - 2, T), [T - 5, T - 9]]).astype(np.int32)
+    gt = np.zeros((B, T), np.int64)
+    cons = np.zeros((B, T, C), np.float32)
+    end_allowed = np.zeros((B, C), np.float32)
+    vc = np.arange(C, dtype=np.int32)
+    inv_map = np.arange(C, dtype=np.int32)
+    weights = np.ones(B, np.float32)
+
+    mesh = make_mesh(8, model_parallel=1)
+    with mesh:
+        # unsupervised: the loss runs partition_fn (= the forced Pallas
+        # custom-VJP) under value_and_grad inside shard_map
+        step = build_sharded_train_step(module, tx, mesh, use_labels=False)
+        params, opt, placed = shard_train_inputs(
+            mesh, module.params, opt_state,
+            [features, lengths, gt, cons, end_allowed, weights],
+        )
+        s_vc, s_inv = shard_shared_inputs(mesh, vc, inv_map)
+        b_feat, b_len, b_gt, b_cons, b_end, b_w = placed
+        new_params, _, loss, aux = step(
+            params, opt, b_feat, b_len, s_vc, s_inv, b_gt, b_cons, b_end, b_w,
+            5e-3, jax.random.PRNGKey(0),
+        )
+    loss = float(loss)
+
+    # single-device reference on the jnp partition
+    def ref_loss(p):
+        pots, log_det, _ = module.compute_potentials(
+            p, jnp.asarray(features), jnp.asarray(lengths), jnp.asarray(vc),
+            jnp.asarray(cons), jnp.asarray(end_allowed),
+            jax.random.PRNGKey(0), use_mean_z=False,
+        )
+        return (
+            -hsmm_partition(pots, jnp.asarray(lengths)).mean() - log_det.mean()
+        )
+
+    want_loss, grads = jax.value_and_grad(ref_loss)(module.params)
+    updates, _ = tx.update(grads, opt_state, module.params)
+    want_params = jax.tree_util.tree_map(
+        lambda p, u: p + u, module.params, apply_lr(updates, 5e-3)
+    )
+    assert abs(loss - float(want_loss)) < 1e-2, (loss, float(want_loss))
+    assert abs(float(aux["nll"]) - float(want_loss)) < 1e-2
+    for k in module.params:
+        np.testing.assert_allclose(
+            np.asarray(new_params[k]), np.asarray(want_params[k]),
+            rtol=1e-4, atol=2e-5, err_msg=k,
+        )
+
+
+def test_data_parallel_fit_compound_z_matches_single_device():
+    """--data_parallel with the compound model and z_dim > 0: per-video
+    key folding makes the VAE noise device-count invariant, and the
+    sharded step's aux stats feed the same callback components as
+    single-device training."""
+    import argparse
+
+    from action_segmentation_tpu.data.synthetic import SyntheticDatasplit
+    from action_segmentation_tpu.models.base import add_training_args
+    from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+
+    def make_args(**overrides):
+        parser = argparse.ArgumentParser()
+        SemiMarkovModel.add_args(parser)
+        add_training_args(parser)
+        parser.add_argument("--batch_size", type=int, default=6)
+        parser.add_argument("--annotate_background_with_previous", action="store_true")
+        parser.add_argument("--no_merge_classes", action="store_true")
+        args = parser.parse_args([])
+        for k, v in overrides.items():
+            setattr(args, k, v)
+        return args
+
+    train = SyntheticDatasplit(num_videos=13, n_classes=3, max_len=20, span_k=4, seed=0)
+
+    stats = {}
+    for dp in (False, True):
+        args = make_args(
+            sm_max_span_length=6,
+            sm_component_model=True,
+            sm_component_embedding_dim=12,
+            sm_component_z_dim=4,
+            sm_component_z_hidden_dim=12,
+            epochs=1,
+            lr=1e-2,
+            data_parallel=dp,
+        )
+        model = SemiMarkovModel.from_args(args, train)
+        ss = []
+        model.fit(train, use_labels=False, callback_fn=lambda e, s: ss.append(s))
+        stats[dp] = ss[0]
+    for key in ("train_loss", "train_nll_frame_avg", "train_kl_vid_avg"):
+        a, b = stats[True][key], stats[False][key]
+        assert abs(a - b) < 1e-2, (key, a, b)
+    # z noise is actually drawn (kl > 0) — the parity above is not a
+    # z=0 degenerate case
+    assert stats[False]["train_kl_vid_avg"] > 1e-4, stats[False]
