@@ -20,6 +20,7 @@ from action_segmentation_tpu.models import nn
 from action_segmentation_tpu.ops.distributions import (
     gaussian_emission_log_probs,
     gaussian_emission_log_probs_diag,
+    gaussian_emission_log_probs_fullcov,
 )
 from action_segmentation_tpu.ops.stats import semimarkov_sufficient_stats
 
@@ -187,20 +188,20 @@ class FramewiseGaussianMixture(Model):
             L = int(batch["lengths"][0])
             feature_list.append(batch["features"][0, :L])
             label_list.append(batch["gt_single"][0, :L])
+        cov_type = getattr(self.args, "gm_covariance", "tied_diag")
         stats = semimarkov_sufficient_stats(
-            feature_list, label_list, n_classes=self.n_classes, max_k=100
+            feature_list, label_list, n_classes=self.n_classes, max_k=100,
+            covariance_type=cov_type,
         )
         self.means = stats["gaussian_means"]
-        cov_type = getattr(self.args, "gm_covariance", "tied_diag")
-        if cov_type == "tied_diag":
-            self.cov = stats["gaussian_cov"]
-        elif cov_type == "diag":
-            self.cov = stats["gaussian_cov_diag"]
-        else:
-            raise NotImplementedError(
-                "--gm_covariance {} requires full-covariance Gaussians; "
-                "only tied_diag and diag are implemented (PARITY.md)".format(cov_type)
-            )
+        # all four sklearn covariance types of the reference
+        # (framewise.py:198, semimarkov_utils.py:74-80)
+        self.cov = stats[{
+            "tied_diag": "gaussian_cov",
+            "diag": "gaussian_cov_diag",
+            "full": "gaussian_cov_full",
+            "tied": "gaussian_cov_tied",
+        }[cov_type]]
         counts = np.zeros(self.n_classes)
         for labels in label_list:
             np.add.at(counts, labels, 1.0)
@@ -211,13 +212,16 @@ class FramewiseGaussianMixture(Model):
     def predict(self, test_data):
         predictions = {}
 
+        cov_type = getattr(self.args, "gm_covariance", "tied_diag")
+
         @jax.jit
         def infer(feats, means, cov, log_priors, valid_mask):
-            emit_fn = (
-                gaussian_emission_log_probs_diag
-                if np.ndim(cov) == 2
-                else gaussian_emission_log_probs
-            )
+            emit_fn = {
+                "tied_diag": gaussian_emission_log_probs,
+                "diag": gaussian_emission_log_probs_diag,
+                "full": gaussian_emission_log_probs_fullcov,
+                "tied": gaussian_emission_log_probs_fullcov,
+            }[cov_type]
             logp = emit_fn(feats[None], means, cov)[0]
             logp = logp + log_priors[None, :]
             return jnp.argmax(jnp.where(valid_mask, logp, -jnp.inf), axis=-1)

@@ -59,6 +59,48 @@ def gaussian_emission_log_probs_diag(features, means, cov_diag):
     return const - 0.5 * (x_sq - 2.0 * cross + mu_sq)
 
 
+def gaussian_emission_log_probs_fullcov(features, means, cov):
+    """Full-covariance Gaussian log-likelihoods (sklearn 'full' / 'tied').
+
+    features: (..., T, D); means: (C, D); cov: (C, D, D) per-class
+    ('full') or (D, D) shared ('tied'). Returns (..., T, C).
+
+    Mahalanobis terms through the covariance Cholesky L: with
+    y = L^{-1} x, logp_c = -0.5 (D log 2pi + ||y - L^{-1} mu_c||^2)
+    - log|diag L|. The shared-covariance case whitens once and expands
+    the square so the cross term is a single (T, D) x (D, C) matmul; the
+    per-class case runs one batched (T, D) x (D, D) einsum per class —
+    both MXU shapes.
+    """
+    D = features.shape[-1]
+    if cov.ndim == 2:  # tied: one shared full covariance
+        chol = jnp.linalg.cholesky(cov)
+        inv_chol = jax.scipy.linalg.solve_triangular(
+            chol, jnp.eye(D, dtype=cov.dtype), lower=True
+        )
+        logdet = jnp.sum(jnp.log(jnp.diagonal(chol)))
+        y = jnp.einsum("...td,ed->...te", features, inv_chol)  # (..., T, D)
+        m = jnp.einsum("cd,ed->ce", means, inv_chol)  # (C, D)
+        y_sq = jnp.sum(y**2, axis=-1)
+        cross = jnp.einsum(
+            "...te,ce->...tc", y, m, preferred_element_type=jnp.float32
+        )
+        m_sq = jnp.sum(m**2, axis=-1)
+        quad = y_sq[..., None] - 2.0 * cross + m_sq
+        return -0.5 * (D * LOG_2PI + quad) - logdet
+
+    chol = jnp.linalg.cholesky(cov)  # (C, D, D)
+    inv_chol = jax.scipy.linalg.solve_triangular(
+        chol, jnp.broadcast_to(jnp.eye(D, dtype=cov.dtype), chol.shape),
+        lower=True,
+    )
+    logdet = jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+    ys = jnp.einsum("cij,...tj->...tci", inv_chol, features)  # (..., T, C, D)
+    mu_y = jnp.einsum("cij,cj->ci", inv_chol, means)  # (C, D)
+    quad = jnp.sum((ys - mu_y) ** 2, axis=-1)  # (..., T, C)
+    return -0.5 * (D * LOG_2PI + quad) - logdet
+
+
 def poisson_length_log_probs(log_rates, max_k):
     """Duration table: row d = Poisson(exp(log_rate)) log-pmf at d.
 

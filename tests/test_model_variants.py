@@ -113,10 +113,10 @@ def test_hidden_markov_flag_fixes_k1():
     assert len(preds) == 8
 
 
-def test_gm_covariance_diag_and_unsupported():
-    """--gm_covariance diag uses per-class diagonal covariances; the
-    full-covariance variants raise instead of silently running
-    tied-diag."""
+def test_gm_covariance_all_types():
+    """All four --gm_covariance choices of the reference
+    (framewise.py:198) fit and predict: per-class diagonal, per-class
+    full, and shared full covariances."""
     import argparse
 
     import pytest
@@ -137,20 +137,20 @@ def test_gm_covariance_diag_and_unsupported():
     data = SyntheticDatasplit(
         num_videos=30, n_classes=3, max_len=24, span_k=4, feature_dim=8, seed=0
     )
-    model = FramewiseGaussianMixture.from_args(gm_args("diag"), data)
-    model.fit(data, use_labels=True)
-    assert model.cov.ndim == 2  # per-class diagonal
-    preds = model.predict(data)
-    match = total = 0
-    for name, pred in preds.items():
-        gold = data.gt_single(name)
-        match += int((np.asarray(pred) == gold).sum())
-        total += len(gold)
-    assert match / total > 0.6
-
-    bad = FramewiseGaussianMixture.from_args(gm_args("full"), data)
-    with pytest.raises(NotImplementedError):
-        bad.fit(data, use_labels=True)
+    want_ndim = {"diag": 2, "full": 3, "tied": 2}
+    for cov_type, ndim in want_ndim.items():
+        model = FramewiseGaussianMixture.from_args(gm_args(cov_type), data)
+        model.fit(data, use_labels=True)
+        assert model.cov.ndim == ndim, cov_type
+        if cov_type == "full":
+            assert model.cov.shape[0] == 3  # per-class matrices
+        preds = model.predict(data)
+        match = total = 0
+        for name, pred in preds.items():
+            gold = data.gt_single(name)
+            match += int((np.asarray(pred) == gold).sum())
+            total += len(gold)
+        assert match / total > 0.6, (cov_type, match / total)
 
 
 def test_compound_z_padding_invariant():

@@ -259,3 +259,56 @@ def test_flag_name_parity_with_reference():
     }
     missing = ref_flags - ours - known_absent
     assert not missing, sorted(missing)
+
+
+@pytest.mark.parametrize("cov_type", ["full", "tied"])
+def test_gmm_full_covariance_parity(ref_modules, cov_type):
+    """--gm_covariance full / tied: our moments match the sklearn
+    GaussianMixture the reference builds (semimarkov_utils.py:74-80),
+    and our full-covariance emission log-probs match sklearn's
+    _estimate_log_prob on the same model."""
+    import jax.numpy as jnp
+    import torch
+
+    _, _, ref_utils = ref_modules
+    from action_segmentation_tpu.ops.distributions import (
+        gaussian_emission_log_probs_fullcov,
+    )
+    from action_segmentation_tpu.ops.stats import semimarkov_sufficient_stats
+
+    rng = np.random.RandomState(6)
+    n_classes, D = 4, 6
+    features, labels = [], []
+    for _ in range(6):
+        T = rng.randint(10, 30)
+        labels.append(rng.randint(0, n_classes, size=T))
+        features.append(rng.randn(T, D).astype(np.float64))
+
+    got = semimarkov_sufficient_stats(
+        features, labels, n_classes, max_k=5, covariance_type=cov_type
+    )
+    gmm, _ = ref_utils.semimarkov_sufficient_stats(
+        [torch.from_numpy(f) for f in features],
+        [torch.from_numpy(l).long() for l in labels],
+        covariance_type=cov_type,
+        n_classes=n_classes,
+        max_k=5,
+    )
+    key = "gaussian_cov_full" if cov_type == "full" else "gaussian_cov_tied"
+    np.testing.assert_allclose(
+        got[key], gmm.covariances_, rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        got["gaussian_means"], gmm.means_, rtol=1e-5, atol=1e-7
+    )
+
+    X = rng.randn(50, D)
+    ours = np.asarray(
+        gaussian_emission_log_probs_fullcov(
+            jnp.asarray(X, jnp.float32),
+            jnp.asarray(got["gaussian_means"]),
+            jnp.asarray(got[key]),
+        )
+    )
+    want = gmm._estimate_log_prob(X)  # per-class log N(x; mu_c, Sigma_c)
+    np.testing.assert_allclose(ours, want, rtol=1e-3, atol=1e-3)
