@@ -166,7 +166,7 @@ def _fb_fwd(trans, init, lens, emit, end_mask, lengths, interpret=False):
     pots = HsmmPotentials(trans, init, lens, emit, end_mask)
     lengths_i = jnp.asarray(lengths, jnp.int32)
     B, T, C = emit.shape
-    if not _use_packed_combine(T):
+    if not _use_packed_combine(T, lens.shape[1]):
         alphas_f, alphas_b, logZ = hsmm_alphas_fb_pallas(
             pots, lengths, interpret=interpret
         )
@@ -196,8 +196,12 @@ def _fb_fwd(trans, init, lens, emit, end_mask, lengths, interpret=False):
 def _fb_bwd_packed(trans, init, lens, emit, end_mask, lengths_i, planes,
                    logZ, interpret):
     """Packed-layout cotangent combine: one Pallas band sweep emits the
-    Q/start/stop/duration posterior masses; the pair marginals are a
-    factorized MXU matmul instead of a (T, C, C) materialization."""
+    Q/start/stop/duration posterior masses; the pair marginals are then
+    a fused broadcast-reduce with `trans` kept INSIDE the exponential
+    (the full exponent is a log pair-posterior, always representable
+    under BIG_NEG masks; XLA fuses the (T, C, C) broadcast into the
+    axis-1 reduction without materializing it — see the inline comment
+    and docs/DESIGN.md)."""
     B, T, C = emit.shape
     K = lens.shape[1]
     Km = K - 1
@@ -262,7 +266,7 @@ def _fb_bwd_packed(trans, init, lens, emit, end_mask, lengths_i, planes,
 def _fb_bwd(interpret, res, g):
     trans, init, lens, emit, end_mask, lengths_i, planes, logZ = res
     T = emit.shape[1]
-    if _use_packed_combine(T):
+    if _use_packed_combine(T, lens.shape[1]):
         grads = _fb_bwd_packed(
             trans, init, lens, emit, end_mask, lengths_i, planes, logZ,
             interpret,

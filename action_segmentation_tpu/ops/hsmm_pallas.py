@@ -284,8 +284,7 @@ def _pack_potentials(pots: HsmmPotentials, pack):
     Km = K - 1
     G = -(-B // pack)
     Bp = G * pack
-    # pad T so the time-chunked forward grid divides it evenly
-    Tp = _round_up(T, LANES if T <= _TIME_CHUNK else _TIME_CHUNK)
+    Tp = _padded_T(T)
     Km_pad = _round_up(max(Km, 1), 8)
 
     def pad_b(x):
@@ -671,17 +670,35 @@ def _band_max_pallas(G1, G2p, lens_tab, Km, interpret):
     return _launch_group_chunks(call, B, Bc)[0]
 
 
-# Past this padded length the packed band kernel's scoped-VMEM stack
-# would overflow even at one group per launch; fall back to the
-# unpacked per-video path (which chunks over B instead).
-_PACKED_COMBINE_MAX_T = 8192
+def _padded_T(T):
+    """Packed-layout padded time length (the time-chunked forward grid
+    must divide it evenly). Single source of truth for _pack_potentials
+    and the packed-combine gate."""
+    return _round_up(T, LANES if T <= _TIME_CHUNK else _TIME_CHUNK)
 
 
-def _use_packed_combine(T):
-    """True when T's padded length fits the packed-layout combines (the
-    single gate shared by the decode and custom-VJP paths)."""
-    Tp = _round_up(T, LANES if T <= _TIME_CHUNK else _TIME_CHUNK)
-    return Tp <= _PACKED_COMBINE_MAX_T
+def _grad_combine_bytes(Tp, Km_pad):
+    """Resident f32 planes of ONE group of the gradient band sweep
+    (_band_grad_packed's inputs + outputs + scratch) — the largest
+    packed-combine launch, so it bounds the whole packed path."""
+    return 10 * (Tp + Km_pad + 1) * LANES * 4
+
+
+# Ceiling for a single grad-band group. Measured on this chip: the
+# Tp = 8192 launch (~42 MB of planes at K = 20) still compiles; past it
+# the kernel's scoped-VMEM stack overflows even at one group per
+# launch. Derived from the same byte formula the launch chunking uses,
+# so the gate tracks K and T together; smaller-VMEM parts lower this
+# one constant.
+_PACKED_COMBINE_BYTE_CEILING = _grad_combine_bytes(8192, 24)
+
+
+def _use_packed_combine(T, K):
+    """True when one group of the packed-layout combines fits the
+    measured VMEM ceiling (the single gate shared by the decode and
+    custom-VJP paths)."""
+    Km_pad = _round_up(max(K - 1, 1), 8)
+    return _grad_combine_bytes(_padded_T(T), Km_pad) <= _PACKED_COMBINE_BYTE_CEILING
 
 
 def _launch_group_chunks(build_call, n_items, per_chunk):
@@ -780,7 +797,7 @@ def _band_grad_packed(G1m, g2, dur_p, Km, interpret):
     """Launch the gradient band sweep over group chunks bounded by VMEM."""
     G, Tp, _ = G1m.shape
     Km_pad = dur_p.shape[1]
-    bytes_per_group = 10 * (Tp + Km_pad + 1) * LANES * 4
+    bytes_per_group = _grad_combine_bytes(Tp, Km_pad)
     Gc = max(1, min(G, (_VMEM_PLANE_BUDGET // 4) // max(bytes_per_group, 1)))
 
     def call(start, end):
@@ -1002,7 +1019,7 @@ def hsmm_viterbi_labels_pallas(pots: HsmmPotentials, lengths, interpret=False):
     """
     B, T, C = pots.emit.shape
     lengths_i = jnp.asarray(lengths, jnp.int32)
-    if _use_packed_combine(T):
+    if _use_packed_combine(T, pots.lens.shape[1]):
         return _labels_packed(pots, lengths_i, interpret)
     alphas_f, alphas_b, scores = _run_forward_fb(pots, lengths, interpret, "max")
     G1, G2p = jax.vmap(_labels_prep_single)(

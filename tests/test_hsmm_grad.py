@@ -113,7 +113,7 @@ def test_partition_fb_unpacked_fallback(monkeypatch):
     per-video cotangent combine) and check value + grads vs autodiff."""
     from action_segmentation_tpu.ops import hsmm_pallas as hp
 
-    monkeypatch.setattr(hp, "_PACKED_COMBINE_MAX_T", 0)
+    monkeypatch.setattr(hp, "_PACKED_COMBINE_BYTE_CEILING", 0)
     rng = np.random.RandomState(23)
     B, T, C, K = 2, 21, 5, 5  # unique shape: no jit-cache aliasing
     trans, init, lens, emit, end_mask, lengths = random_pots_arrays(

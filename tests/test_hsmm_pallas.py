@@ -196,11 +196,11 @@ def test_cross_chunk_carry(monkeypatch):
 
 def test_viterbi_labels_unpacked_fallback(monkeypatch):
     """Force the long-T fallback (per-video unpacked combine): padded
-    lengths past _PACKED_COMBINE_MAX_T must take the alphas-emitting
+    lengths past the packed-combine VMEM ceiling must take the alphas-emitting
     path and agree with the traceback Viterbi."""
     from action_segmentation_tpu.ops import hsmm_pallas as hp
 
-    monkeypatch.setattr(hp, "_PACKED_COMBINE_MAX_T", 0)
+    monkeypatch.setattr(hp, "_PACKED_COMBINE_BYTE_CEILING", 0)
     rng = np.random.RandomState(11)
     B, T, C, K = 3, 29, 7, 6  # unique shape: no jit-cache aliasing
     pots, lengths = random_pots(rng, B, T, C, K, constrained=True)
@@ -223,7 +223,7 @@ def test_viterbi_labels_jnp_band_fallback(monkeypatch):
     traceback Viterbi (keeps the labels path T-unbounded)."""
     from action_segmentation_tpu.ops import hsmm_pallas as hp
 
-    monkeypatch.setattr(hp, "_PACKED_COMBINE_MAX_T", 0)
+    monkeypatch.setattr(hp, "_PACKED_COMBINE_BYTE_CEILING", 0)
     monkeypatch.setattr(hp, "_VMEM_PLANE_BUDGET", 1)
     rng = np.random.RandomState(13)
     B, T, C, K = 2, 31, 6, 5  # unique shape: no jit-cache aliasing
