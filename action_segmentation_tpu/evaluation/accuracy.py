@@ -205,44 +205,67 @@ class Accuracy:
         self._non_bg_IoU_multi = np.zeros(2)
         self._multiple_labels = np.zeros(2)
 
+        # Vectorized per-frame accumulation. The reference iterates the
+        # corpus frame-by-frame in Python (accuracy.py:475-579) — ~10 s
+        # per 1e6 frames, which would dwarf the device decode at
+        # per-epoch evaluation scale (scripts/metric_scale_check.py).
+        # Semantics are bit-identical: the ragged multi-label lists pad
+        # into an (N, Lmax) matrix and every membership test becomes an
+        # array lookup.
         bkg_set = set(self._corpus._background_indices)
-        for gt_labels_t, pred_label_t in zip(gt_labels_multi, pred):
-            self._multiple_labels[1] += 1
-            if len(gt_labels_t) > 1:
-                self._multiple_labels[0] += 1
-            gt_clusters_t = set(
-                c for c in (self._cluster_of(g) for g in gt_labels_t) if c is not None
-            )
-            self._recall[1] += len(gt_labels_t)
-            self._precision[1] += 1
-            true_positive = pred_label_t in gt_clusters_t
-            if true_positive:
-                self._recall[0] += 1
-                self._precision[0] += 1
+        N = len(pred)
+        pred = np.asarray(pred)
+        counts = np.fromiter((len(g) for g in gt_labels_multi), np.int64, N)
+        total_labels = int(counts.sum())
+        flat = np.fromiter(
+            (g for gs in gt_labels_multi for g in gs), np.int64, total_labels
+        )
+        Lmax = int(counts.max()) if N else 1
+        mat = np.full((N, Lmax), -1, np.int64)
+        rows = np.repeat(np.arange(N), counts)
+        cols = np.arange(total_labels) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        mat[rows, cols] = flat
+        valid = mat >= 0
 
-            self._true_background_frames[1] += 1
-            self._pred_background_frames[1] += 1
-            pred_background = pred_label_t in background_clusters
-            if pred_background:
-                self._pred_background_frames[0] += 1
+        n_labels = int(max(flat.max(initial=0), max(bkg_set, default=0))) + 1
+        SENTINEL = -(1 << 60)
+        cluster_arr = np.full(n_labels, SENTINEL, np.int64)
+        for label, vals in self._gt2cluster.items():
+            if 0 <= label < n_labels and len(vals) > 0:
+                cluster_arr[label] = vals[0]
+        is_bkg_label = np.zeros(n_labels, bool)
+        is_bkg_label[list(bkg_set)] = True
 
-            is_background = any(g in bkg_set for g in gt_labels_t)
-            if is_background:
-                assert all(g in bkg_set for g in gt_labels_t)
+        clusters = np.where(valid, cluster_arr[np.maximum(mat, 0)], SENTINEL)
+        tp = np.any(clusters == pred[:, None], axis=1)  # None clusters
+        # never match: SENTINEL is outside the label space
+        any_bg = np.any(valid & is_bkg_label[np.maximum(mat, 0)], axis=1)
+        all_bg = np.all(~valid | is_bkg_label[np.maximum(mat, 0)], axis=1)
+        assert np.all(~any_bg | all_bg)  # background frames are all-or-none
+        pred_bg = (
+            np.isin(pred, list(background_clusters))
+            if background_clusters
+            else np.zeros(N, bool)
+        )
 
-            if (not is_background) or (not pred_background):
-                self._non_bg_IoU_multi[1] += 1
-                if true_positive:
-                    self._non_bg_IoU_multi[0] += 1
-
-            if is_background:
-                self._true_background_frames[0] += 1
-            else:
-                self._recall_without_bg[1] += len(gt_labels_t)
-                self._precision_without_bg[1] += 1
-                if true_positive:
-                    self._recall_without_bg[0] += 1
-                    self._precision_without_bg[0] += 1
+        non_bg_frame = ~any_bg
+        iou_multi_den = non_bg_frame | ~pred_bg
+        self._multiple_labels = np.array([float((counts > 1).sum()), float(N)])
+        self._recall = np.array([float(tp.sum()), float(total_labels)])
+        self._precision = np.array([float(tp.sum()), float(N)])
+        self._true_background_frames = np.array([float(any_bg.sum()), float(N)])
+        self._pred_background_frames = np.array([float(pred_bg.sum()), float(N)])
+        self._non_bg_IoU_multi = np.array(
+            [float((tp & iou_multi_den).sum()), float(iou_multi_den.sum())]
+        )
+        self._recall_without_bg = np.array(
+            [float((tp & non_bg_frame).sum()), float(counts[non_bg_frame].sum())]
+        )
+        self._precision_without_bg = np.array(
+            [float((tp & non_bg_frame).sum()), float(non_bg_frame.sum())]
+        )
 
         self._frames_overall = len(gt_labels)
         return self._frames_overall
@@ -377,13 +400,16 @@ class Accuracy:
             num_videos += 1
             pred_labels = np.asarray(pred_labels)
             # remap through the PASSED mapping (reference accuracy.py:435)
-            # — callers may re-score under a different correspondence
-            gt_remapped = np.asarray(
-                [
-                    gt2cluster[g][0] if len(gt2cluster[g]) > 0 else None
-                    for g in gt_labels
-                ]
-            )
+            # — callers may re-score under a different correspondence.
+            # Remap the few unique labels and scatter (the reference's
+            # per-frame list comprehension is ~2 s per 1e6 frames).
+            gt_arr = np.asarray(gt_labels)
+            uniq, inv = np.unique(gt_arr, return_inverse=True)
+            uniq_remapped = [
+                gt2cluster[g][0] if len(gt2cluster[g]) > 0 else None
+                for g in uniq.tolist()
+            ]
+            gt_remapped = np.asarray(uniq_remapped)[inv]
             for label in np.unique(pred_labels):
                 predicted_label_types += 1
                 if label not in background_remapped:
@@ -397,10 +423,10 @@ class Accuracy:
                 if len(pred_indices) == 0:
                     continue
                 pred_index = np.random.choice(pred_indices)
-                center_index = min(
-                    pred_indices,
-                    key=lambda x: abs(x - (pred_indices[0] + pred_indices[-1]) / 2),
-                )
+                # argmin == the reference's min(key=|x - center|): both
+                # take the first index on ties
+                center = (pred_indices[0] + pred_indices[-1]) / 2
+                center_index = pred_indices[np.argmin(np.abs(pred_indices - center))]
                 if gt_remapped[pred_index] == label:
                     step_match += 1
                     if non_bg:

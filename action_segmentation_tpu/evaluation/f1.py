@@ -58,25 +58,36 @@ class F1Score:
         self.pr = new_pr
 
     def _set_boundaries(self):
-        cur_label = self.gt[0]
-        mask = np.zeros(self.gt.shape, dtype=bool)
-        for idx, label in enumerate(self.gt):
-            if label == cur_label:
-                mask[idx] = True
-            else:
-                self.bound_masks.append(mask)
-                mask = np.zeros(self.gt.shape, dtype=bool)
-                mask[idx] = True
-                cur_label = label
+        """Vectorized segment bounds from gt label changes.
+
+        bound_masks holds (low, high) inclusive index pairs, one per
+        segment in order — equivalent to the reference's list of
+        full-length boolean masks (f1.py:69-80) but O(S) instead of
+        O(S*T) (the masks were ~100 s per 1e6 frames,
+        scripts/metric_scale_check.py). The reference's quirk of
+        omitting each sequence's FINAL segment (its loop only appends on
+        a label change) is preserved: the last run is dropped.
+        """
+        gt = np.asarray(self.gt)
+        change = np.flatnonzero(gt[1:] != gt[:-1]) + 1
+        lows = np.concatenate([[0], change[:-1]]) if len(change) else change
+        highs = change - 1
+        self.bound_masks = list(zip(lows.tolist(), highs.tolist()))
+        self._lows = lows
+        self._highs = highs
 
     def _sampling(self):
-        n_correct_segments = 0.0
-        for mask in self.bound_masks:
-            where = np.where(mask)[0]
-            low, high = np.min(where), np.max(where)
-            sampled = np.random.randint(low, high + 1, self.sampling_ratio)
-            n_corr = np.sum(self.gt[sampled] == self.pr[sampled])
-            n_correct_segments += n_corr / self.sampling_ratio
+        # one broadcast randint call draws the SAME variates in the SAME
+        # order as the reference's per-segment randint(low, high+1, 15)
+        # calls (row-major fill; verified by
+        # tests/test_evaluation.py::test_f1_broadcast_sampling_stream)
+        sampled = np.random.randint(
+            self._lows[:, None],
+            self._highs[:, None] + 1,
+            size=(len(self._lows), self.sampling_ratio),
+        )
+        n_corr = (self.gt[sampled] == self.pr[sampled]).sum(axis=1)
+        n_correct_segments = float(np.sum(n_corr / self.sampling_ratio))
         precision = n_correct_segments / (self._K * self._n_videos)
         recall = n_correct_segments / len(self.bound_masks)
         f1 = 2 * (precision * recall) / (precision + recall + self._eps)

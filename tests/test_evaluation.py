@@ -97,3 +97,23 @@ def test_f1_score_perfect():
     # bound_masks, so recall denominator is 2 here
     assert s["recall"][1] == 2
     assert s["mean_f1"][0] > 0.99
+
+
+def test_f1_broadcast_sampling_stream():
+    """The vectorized F1 sampling relies on np.random.randint with
+    broadcast bounds consuming the legacy RNG stream exactly like the
+    reference's per-segment scalar calls (row-major, same bounded-draw
+    algorithm). Pin that numpy contract."""
+    import numpy as np
+
+    lows = np.array([0, 7, 23, 100, 5, 1000])
+    highs = np.array([5, 21, 59, 1000, 5, 1000])
+    np.random.seed(123)
+    scalar = np.stack(
+        [np.random.randint(l, h + 1, 15) for l, h in zip(lows, highs)]
+    )
+    np.random.seed(123)
+    broadcast = np.random.randint(
+        lows[:, None], highs[:, None] + 1, size=(len(lows), 15)
+    )
+    assert (scalar == broadcast).all()
