@@ -40,6 +40,7 @@ class SyntheticDatasplit:
         shift=1.0,
         seed=0,
         task="toy",
+        min_len=None,
     ):
         rng = np.random.RandomState(seed)
         self.corpus = SyntheticCorpus(n_classes)
@@ -52,8 +53,9 @@ class SyntheticDatasplit:
         self.videos_by_task = {task: {}}
         self._videos_by_task = self.videos_by_task
         self._K_by_task = {task: n_classes}
+        lo = span_k if min_len is None else min_len
         for i in range(num_videos):
-            length = max_len if i == 0 else rng.randint(span_k, max_len + 1)
+            length = max_len if i == 0 else rng.randint(lo, max_len + 1)
             labels = []
             step = 0
             while len(labels) < length:
