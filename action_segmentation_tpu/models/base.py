@@ -42,15 +42,14 @@ def add_training_args(parser):
     parser.add_argument(
         "--data_parallel",
         action="store_true",
-        help="shard training batches over all devices (mesh dp x tp)",
+        help="shard training batches over all devices (data-parallel mesh)",
     )
     parser.add_argument(
         "--model_parallel",
         type=int,
         default=1,
-        help="devices on the 'model' mesh axis (class-table tensor "
-        "parallelism; experimental — the tables are small at reference "
-        "scales, keep 1 unless profiling shows a win)",
+        help="RETIRED (round 3): class-table tensor parallelism was "
+        "removed — values > 1 raise; see docs/DESIGN.md §6",
     )
 
 

@@ -8,13 +8,18 @@ The natural decomposition for this workload:
   constraints is sharded over the 'data' mesh axis; gradients are reduced
   by XLA from the sharding specs (scaling-book recipe: pick a mesh,
   annotate shardings, let XLA insert the collectives over ICI).
-* **tensor parallelism** over classes: the Gaussian emission matmul
-  (T, D) x (D, C) shards its class dimension over the 'model' axis —
-  emission scoring dominates FLOPs when C*D is large; the banded DP needs
-  the full class axis, so XLA all-gathers the (much smaller) (B, T, C)
-  emission block after the matmul.
 * the time-scan itself stays per-device (sequential dependence); long
   videos fit because the scan's working set is O(K*C), not O(T*K*C^2).
+
+Tensor parallelism over classes (sharding the (T, D) x (D, C) emission
+matmul's class axis over a 'model' axis) was built in rounds 1-2 and
+RETIRED in round 3: the sharded tables are a few KB, the path could not
+use the Pallas kernels (pallas_call does not auto-partition), and no
+measured win exists or can be measured here (single-chip hardware) —
+carrying an unexercised parallel construction is risk without payoff.
+`--model_parallel > 1` raises loudly; the design record lives in
+docs/DESIGN.md §6 (alongside the time-axis-sharding rejection) so a
+future builder with a pod starts from the rationale, not the search.
 """
 
 import jax
@@ -34,14 +39,23 @@ from action_segmentation_tpu.ops.span_codec import labels_to_spans, spans_to_lab
 
 
 def make_mesh(n_devices=None, model_parallel=1):
-    """Mesh over ('data', 'model'); data gets every device not used by
-    model parallelism.
+    """Data-parallel mesh over ('data', 'model') with the 'model' axis
+    fixed at 1 (kept in the axis tuple so shardings/specs stay stable).
 
     Fails loudly when the backend exposes fewer devices than requested
     (round-1 postmortem: a silent 1-device axon backend made the 8-way
-    dryrun assert); degrades ``model_parallel`` to 1 with a logged
-    message when it does not divide the device count.
+    dryrun assert). ``model_parallel > 1`` raises: the class-table
+    tensor-parallel path was retired in round 3 (module docstring /
+    docs/DESIGN.md §6).
     """
+    if model_parallel not in (None, 1):
+        raise NotImplementedError(
+            "model_parallel={} : tensor parallelism over class tables "
+            "was retired (tables are KBs, the Pallas kernels cannot "
+            "auto-partition, and no multi-chip win was ever measured); "
+            "use data parallelism. Design record: docs/DESIGN.md §6."
+            .format(model_parallel)
+        )
     devices = jax.devices()
     if n_devices is not None:
         if len(devices) < n_devices:
@@ -56,15 +70,7 @@ def make_mesh(n_devices=None, model_parallel=1):
             )
         devices = devices[:n_devices]
     n = len(devices)
-    if model_parallel < 1 or n % model_parallel != 0:
-        logger.warning(
-            "make_mesh: model_parallel=%d does not divide %d devices; "
-            "degrading to model_parallel=1 (data-parallel only)",
-            model_parallel, n,
-        )
-        model_parallel = 1
-    shape = (n // model_parallel, model_parallel)
-    dev_array = mesh_utils.create_device_mesh(shape, devices=np.array(devices))
+    dev_array = mesh_utils.create_device_mesh((n, 1), devices=np.array(devices))
     return Mesh(dev_array, ("data", "model"))
 
 
@@ -78,17 +84,10 @@ def replicated(mesh):
 
 
 def _params_shardings(mesh, params):
-    """Shard class-indexed parameter tables over 'model'; replicate the
-    rest. gaussian_means (C, D) and transition_logits (C, C) lead with the
-    class axis."""
-
-    def spec_for(path, x):
-        name = str(path[-1].key) if hasattr(path[-1], "key") else ""
-        if name in ("gaussian_means", "transition_logits") and x.ndim >= 2:
-            return NamedSharding(mesh, P("model", *([None] * (x.ndim - 1))))
-        return NamedSharding(mesh, P())
-
-    return jax.tree_util.tree_map_with_path(spec_for, params)
+    """Replicate parameters across the mesh (the HSMM tables are a few
+    KB; the class-axis tensor-parallel sharding was retired — module
+    docstring)."""
+    return jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), params)
 
 
 def _local_loss_terms(module, use_labels, discriminative, partition_fn,
@@ -137,18 +136,14 @@ def _terms_to_loss_aux(nll, kl, log_det, den, use_labels):
 
 def build_sharded_train_step(module, tx, mesh, use_labels):
     """jit a FULL training step (loss -> grads -> adam update) over the
-    mesh. Two constructions:
+    mesh.
 
-    * data-parallel mesh (model axis == 1, the default): shard_map over
-      'data' — each device runs the SAME compute path as single-device
-      training (including the Pallas custom-VJP partition on TPU and
-      --sm_train_discriminatively), computes local weighted loss sums,
-      and psums them inside the shard so autodiff yields globally
-      correct gradients;
-    * dp x tp (experimental): plain jit with shardings, so XLA can
-      partition the class-table matmuls over 'model' (pallas_call does
-      not partition under automatic sharding, so this path uses the XLA
-      scan partition).
+    Data-parallel shard_map over 'data' — each device runs the SAME
+    compute path as single-device training (including the Pallas
+    custom-VJP partition on TPU and --sm_train_discriminatively),
+    computes local weighted loss sums, and psums them inside the shard
+    so autodiff yields globally correct gradients. (A dp x tp variant
+    existed through round 2; retired — module docstring.)
 
     `weights` (B,) supports batches padded up to a multiple of the data
     axis: padded instances get weight 0 and the loss is a weighted mean,
@@ -156,97 +151,72 @@ def build_sharded_train_step(module, tx, mesh, use_labels):
 
     Signature of the returned step:
       (params, opt_state, features, lengths, vc, inv_map, gt, cons,
-       end_allowed, weights, lr, rng) -> (params, opt_state, loss)
+       end_allowed, weights, lr, rng) -> (params, opt_state, loss, aux)
     """
     from action_segmentation_tpu.ops.hsmm_grad import hsmm_partition_fast
     from action_segmentation_tpu.ops.hsmm_pallas import pallas_supported
 
+    assert mesh.shape.get("model", 1) == 1, "tp retired; see make_mesh"
     discriminative = getattr(module.args, "sm_train_discriminatively", False)
-    dp_only = mesh.shape.get("model", 1) == 1
+    use_pallas = pallas_supported(module.n_classes)
+    partition_fn = hsmm_partition_fast if use_pallas else hsmm_partition
 
-    if dp_only:
-        use_pallas = pallas_supported(module.n_classes)
-        partition_fn = hsmm_partition_fast if use_pallas else hsmm_partition
-
-        def local_loss(params, features, lengths, vc, inv_map, gt, cons,
-                       end_allowed, weights, rng):
-            # compound-z parity: fold the step key with each instance's
-            # GLOBAL batch index, so sampling matches single-device runs
-            # under any device count
-            key_offset = jax.lax.axis_index("data") * features.shape[0]
-            terms = _local_loss_terms(
-                module, use_labels, discriminative, partition_fn,
-                params, features, lengths, vc, inv_map, gt, cons,
-                end_allowed, weights, rng, key_offset=key_offset,
-            )
-            nll, kl, log_det, den = (jax.lax.psum(t, "data") for t in terms)
-            return _terms_to_loss_aux(nll, kl, log_det, den, use_labels)
-
-        def local_step(params, opt_state, features, lengths, vc, inv_map,
-                       gt, cons, end_allowed, weights, lr, rng):
-            (loss, aux), grads = jax.value_and_grad(local_loss, has_aux=True)(
-                params, features, lengths, vc, inv_map, gt, cons,
-                end_allowed, weights, rng,
-            )
-            # each shard's autodiff only carries its own shard's term of
-            # the psum'd loss; the global gradient is their sum
-            grads = jax.lax.psum(grads, "data")
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(
-                lambda p, u: p + u, params, apply_lr(updates, lr)
-            )
-            return params, opt_state, loss, aux
-
-        try:
-            from jax import shard_map  # jax >= 0.8
-
-            check_kwargs = {"check_vma": False}
-        except ImportError:  # pragma: no cover - older jax
-            from jax.experimental.shard_map import shard_map
-
-            check_kwargs = {"check_rep": False}
-
-        sharded = shard_map(
-            local_step,
-            mesh=mesh,
-            in_specs=(
-                P(), P(),                      # params, opt_state
-                P("data"), P("data"),          # features, lengths
-                P(), P(),                      # vc, inv_map
-                P("data"), P("data"), P("data"), P("data"),  # gt, cons, end, w
-                P(), P(),                      # lr, rng
-            ),
-            out_specs=(
-                P(), P(), P(),
-                {"nll": P(), "kl": P(), "log_det": P()},
-            ),
-            **check_kwargs,
+    def local_loss(params, features, lengths, vc, inv_map, gt, cons,
+                   end_allowed, weights, rng):
+        # compound-z parity: fold the step key with each instance's
+        # GLOBAL batch index, so sampling matches single-device runs
+        # under any device count
+        key_offset = jax.lax.axis_index("data") * features.shape[0]
+        terms = _local_loss_terms(
+            module, use_labels, discriminative, partition_fn,
+            params, features, lengths, vc, inv_map, gt, cons,
+            end_allowed, weights, rng, key_offset=key_offset,
         )
-        return jax.jit(sharded)
+        nll, kl, log_det, den = (jax.lax.psum(t, "data") for t in terms)
+        return _terms_to_loss_aux(nll, kl, log_det, den, use_labels)
 
-    # dp x tp path: automatic partitioning over both axes (the
-    # in-shardings of the placed arguments drive the partitioner). The
-    # compute is global here, so per-instance keys fold over the global
-    # batch index directly (key_offset=0).
-    def loss_fn(params, features, lengths, vc, inv_map, gt, cons, end_allowed, weights, rng):
-        nll, kl, log_det, den = _local_loss_terms(
-            module, use_labels, discriminative, hsmm_partition,
+    def local_step(params, opt_state, features, lengths, vc, inv_map,
+                   gt, cons, end_allowed, weights, lr, rng):
+        (loss, aux), grads = jax.value_and_grad(local_loss, has_aux=True)(
             params, features, lengths, vc, inv_map, gt, cons,
             end_allowed, weights, rng,
         )
-        return _terms_to_loss_aux(nll, kl, log_det, den, use_labels)
-
-    def step(params, opt_state, features, lengths, vc, inv_map, gt, cons, end_allowed, weights, lr, rng):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, features, lengths, vc, inv_map, gt, cons, end_allowed, weights, rng
-        )
+        # each shard's autodiff only carries its own shard's term of
+        # the psum'd loss; the global gradient is their sum
+        grads = jax.lax.psum(grads, "data")
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(
             lambda p, u: p + u, params, apply_lr(updates, lr)
         )
         return params, opt_state, loss, aux
 
-    return jax.jit(step)
+    try:
+        from jax import shard_map  # jax >= 0.8
+
+        check_kwargs = {"check_vma": False}
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+        check_kwargs = {"check_rep": False}
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(), P(),                      # params, opt_state
+            P("data"), P("data"),          # features, lengths
+            P(), P(),                      # vc, inv_map
+            P("data"), P("data"), P("data"), P("data"),  # gt, cons, end, w
+            P(), P(),                      # lr, rng
+        ),
+        out_specs=(
+            P(), P(), P(),
+            {"nll": P(), "kl": P(), "log_det": P()},
+        ),
+        **check_kwargs,
+    )
+    return jax.jit(sharded)
+
 
 
 def pad_batch_for_mesh(mesh, arrays, batch_size, pad_to=None):

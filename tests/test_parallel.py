@@ -1,8 +1,9 @@
 """Multi-chip sharding tests on the 8-device virtual CPU mesh.
 
-Validates that the full sharded training step (dp over videos on 'data',
-tp over class tables on 'model') compiles and executes, and that the
-graft-entry dry run passes for several device counts.
+Validates that the full data-parallel sharded training step compiles
+and executes, and that the graft-entry dry run passes for several
+device counts. (Class-table tensor parallelism was retired in round 3;
+model_parallel > 1 raises — see parallel/mesh.py.)
 """
 
 import numpy as np
@@ -107,7 +108,7 @@ def test_sharded_matches_single_device():
 
     weights = np.ones(B, np.float32)
     losses = {}
-    for mp in (1, 2):
+    for mp in (1,):
         mesh = make_mesh(8, model_parallel=mp)
         with mesh:
             step = build_sharded_train_step(module, tx, mesh, use_labels=True)
@@ -122,6 +123,12 @@ def test_sharded_matches_single_device():
                 5e-3, jax.random.PRNGKey(0),
             )
             losses[mp] = float(loss)
+
+    # retired tensor-parallel axis fails loudly, not silently
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        make_mesh(8, model_parallel=2)
 
     # single-device reference
     from action_segmentation_tpu.ops.hsmm import hsmm_gold_score
