@@ -173,3 +173,101 @@ def params_from_reference_state_dict(state_dict):
     missing = [k for k in REFERENCE_PARAM_KEYS if k not in params]
     assert not missing, "state_dict missing reference params: {}".format(missing)
     return params, skipped
+
+
+def compound_params_from_reference_state_dict(state_dict):
+    """Map a reference ComponentSemiMarkovModule state_dict
+    (semimarkov_modules.py:755-812) to ComponentHsmm params.
+
+    torch Linear weights transpose ((out, in) -> (in, out)); the
+    EmbeddingBag tables carry over (our dense row-normalized membership
+    matmul reproduces mode='mean'); residual-MLP Sequentials map
+    layer-for-layer; the (D, D) diagonal covariance flattens. VAE
+    encoder weights are refused loudly — the torch cuDNN LSTM and our
+    scan LSTM parameterizations differ structurally (same policy as the
+    NICE flow refusal in params_from_reference_state_dict); the
+    factor-head import is exact (tests/test_reference_dp_parity.py::
+    test_compound_module_parity pins the equivalence).
+
+    Returns (params, meta) with meta carrying the architecture the
+    shapes imply: n_components, embedding_dim, mean_layers,
+    length_layers, feature_dim, n_classes (None without per-class
+    biases), per_class_bias.
+    """
+    sd = {}
+    for key, val in state_dict.items():
+        name = key[len("model."):] if key.startswith("model.") else key
+        if hasattr(val, "detach"):
+            val = val.detach().cpu().numpy()
+        sd[name] = np.asarray(val, np.float32)
+    if any(k.startswith("feature_projector") for k in sd):
+        raise NotImplementedError(
+            "reference NICE flow weights cannot be imported (see "
+            "params_from_reference_state_dict)"
+        )
+    if any(k.startswith(("encoder.", "encoder_to_params")) for k in sd):
+        raise NotImplementedError(
+            "reference VAE encoder (torch LSTM) weights cannot be "
+            "imported; import the z_dim=0 factor heads and retrain the "
+            "encoder, or decode with use_mean_z after re-encoding"
+        )
+
+    def lin(prefix):
+        return {
+            "w": np.ascontiguousarray(sd[prefix + ".weight"].T),
+            "b": sd[prefix + ".bias"],
+        }
+
+    def res_mlp(prefix):
+        idxs = sorted({
+            int(k[len(prefix) + 1:].split(".")[0])
+            for k in sd
+            if k.startswith(prefix + ".")
+        })
+        return {
+            "in": lin("{}.0".format(prefix)),
+            "res": [
+                {
+                    "lin1": lin("{}.{}.lin1".format(prefix, i)),
+                    "lin2": lin("{}.{}.lin2".format(prefix, i)),
+                }
+                for i in idxs[1:-1]
+            ],
+            "out": lin("{}.{}".format(prefix, idxs[-1])),
+        }
+
+    cov = sd["gaussian_cov"]
+    if cov.ndim == 2:
+        off = cov - np.diag(np.diag(cov))
+        assert np.abs(off).max() <= 1e-6 * max(1.0, np.abs(cov).max())
+        cov = np.diag(cov).copy()
+
+    params = {
+        "initial_embeddings": sd["initial_embeddings.weight"],
+        "transition_embeddings": sd["transition_embeddings.weight"],
+        "emission_embeddings": sd["emission_embeddings.weight"],
+        "length_embeddings": sd["length_embeddings.weight"],
+        "initial_weights": lin("initial_weights"),
+        "transition_weights": lin("transition_weights"),
+        "emission_mean_mlp": res_mlp("emission_mean_mlp"),
+        "length_mlp": res_mlp("length_mlp"),
+        "emission_mean_bias": sd["emission_mean_bias"],
+        "gaussian_cov": cov,
+    }
+    per_class_bias = "initial_bias" in sd
+    if per_class_bias:
+        params["initial_bias"] = sd["initial_bias"]
+        params["transition_bias"] = sd["transition_bias"]
+        params["length_bias"] = sd["length_bias"]
+
+    emb = params["initial_embeddings"]
+    meta = {
+        "n_components": emb.shape[0],
+        "embedding_dim": emb.shape[1],
+        "mean_layers": len(params["emission_mean_mlp"]["res"]),
+        "length_layers": len(params["length_mlp"]["res"]),
+        "feature_dim": params["emission_mean_bias"].shape[0],
+        "n_classes": sd["initial_bias"].shape[0] if per_class_bias else None,
+        "per_class_bias": per_class_bias,
+    }
+    return params, meta

@@ -989,20 +989,57 @@ class SemiMarkovModel(Model):
 
 def semimarkov_from_reference_state_dict(args, state_dict):
     """Build a serving-ready SemiMarkovModel from a reference-trained
-    SemiMarkovModule state_dict (torch or numpy leaves).
+    state_dict (torch or numpy leaves) — Gaussian SemiMarkovModule or
+    ComponentSemiMarkovModule (auto-detected by the embedding tables).
 
-    The reference's Gaussian-HSMM parameter names match this
-    framework's one-for-one (semimarkov_modules.py:142-159), so
-    migration is a cast: shapes determine n_classes / feature_dim.
-    Transition/end constraint sets are corpus-derived, not weights —
-    rebuild them through SemiMarkovModel.from_args when decoding with
+    Gaussian: the parameter names match one-for-one
+    (semimarkov_modules.py:142-159). Compound: EmbeddingBag tables /
+    transposed Linears / residual MLPs map layer-for-layer
+    (checkpoint.compound_params_from_reference_state_dict); the
+    components->classes structure is the identity map (the reference's
+    default, semimarkov.py:85-90) — --sm_component_decompose_steps
+    models carry corpus structure not present in a state_dict and must
+    be imported via --reference_pickle. Transition/end constraint sets
+    are corpus-derived, not weights — rebuild them through
+    SemiMarkovModel.from_args when decoding with
     --sm_constrain_transitions.
     """
-    from action_segmentation_tpu.checkpoint import params_from_reference_state_dict
-
-    assert not getattr(args, "sm_component_model", False), (
-        "only the Gaussian SemiMarkovModule transfers weight-for-weight"
+    from action_segmentation_tpu.checkpoint import (
+        compound_params_from_reference_state_dict,
+        params_from_reference_state_dict,
     )
+
+    is_compound = any(
+        (k[len("model."):] if k.startswith("model.") else k)
+        == "initial_embeddings.weight"
+        for k in state_dict
+    )
+    if is_compound:
+        from action_segmentation_tpu.models.compound import ComponentHsmm
+
+        params, meta = compound_params_from_reference_state_dict(state_dict)
+        n_classes = meta["n_classes"] or meta["n_components"]
+        assert meta["n_components"] == n_classes, (
+            "decomposed-steps compound models need the corpus's "
+            "component structure; import via --reference_pickle"
+        )
+        args.sm_component_model = True
+        args.sm_component_embedding_dim = meta["embedding_dim"]
+        args.sm_component_mean_layers = meta["mean_layers"]
+        args.sm_component_length_layers = meta["length_layers"]
+        args.sm_component_z_dim = 0
+        module = ComponentHsmm(
+            args,
+            n_classes,
+            n_components=meta["n_components"],
+            class_to_components={c: {c} for c in range(n_classes)},
+            feature_dim=meta["feature_dim"],
+            allow_self_transitions=True,
+            per_class_bias=meta["per_class_bias"],
+        )
+        module.params = jax.tree_util.tree_map(jnp.asarray, params)
+        return SemiMarkovModel(args, n_classes, meta["feature_dim"], module)
+
     params, skipped = params_from_reference_state_dict(state_dict)
     if skipped:
         logger.debug("import: skipping non-parameter keys {}".format(skipped))

@@ -593,3 +593,277 @@ def test_reference_weights_migration_decode(ref_sm, tmp_path):
         )
         rspans, _ = np_edge_viterbi(scores.detach().double().numpy()[0], T + 1)
         np.testing.assert_array_equal(np.asarray(labels), _fill(rspans[:T]))
+
+
+def test_closed_form_fit_and_decode_parity(ref_sm):
+    """The S6 path end-to-end: closed-form supervised fit on an
+    identical corpus yields the same parameters as the reference's
+    fit_supervised (smoothed MLE formulas, merged-class stats,
+    semimarkov_modules.py:195-256), and the fitted models decode
+    identically through the DP harness."""
+    from action_segmentation_tpu.models.semimarkov import GaussianHsmm
+
+    rng = np.random.RandomState(9)
+    n_classes, max_k = 4, 6
+    args = make_args(max_k)
+    merge = {i: i for i in range(n_classes)}
+    merge[3] = 1
+    ref = ref_sm.SemiMarkovModule(
+        args, n_classes, D, allow_self_transitions=True, merge_classes=merge
+    )
+    ours = GaussianHsmm(
+        args, n_classes, D, allow_self_transitions=True, merge_classes=merge
+    )
+
+    feats, labels = [], []
+    for _ in range(8):
+        T = int(rng.randint(15, 40))
+        lab = []
+        while len(lab) < T:
+            lab.extend([int(rng.randint(n_classes))] * int(rng.randint(1, 8)))
+        lab = np.array(lab[:T], np.int64)
+        feats.append((rng.randn(T, D) + lab[:, None] * 0.5).astype(np.float64))
+        labels.append(lab)
+
+    ref.fit_supervised(
+        [torch.from_numpy(f) for f in feats],
+        [torch.from_numpy(l) for l in labels],
+    )
+    ours.fit_supervised([f.astype(np.float32) for f in feats], labels)
+
+    np.testing.assert_allclose(
+        np.asarray(ours.params["init_logits"]),
+        ref.init_logits.detach().numpy(), rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.params["transition_logits"]),
+        ref.transition_logits.detach().numpy(), rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.params["poisson_log_rates"]),
+        ref.poisson_log_rates.detach().numpy(), rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.params["gaussian_means"]),
+        ref.gaussian_means.detach().numpy(), rtol=1e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.params["gaussian_cov"]),
+        np.diag(ref.gaussian_cov.detach().numpy()), rtol=1e-3, atol=1e-4,
+    )
+
+    # decode the fitted models on fresh features through the DP harness
+    b, T = 3, 30
+    test_feats = rng.randn(b, T, D).astype(np.float32)
+    lengths = np.array([30, 22, 17], np.int64)
+    run_parity(ref_sm, ref, ours, test_feats, lengths, None, None, None,
+               check_marginals=False, exact_labels=False)
+
+
+def test_compound_module_parity(ref_sm):
+    """Weight-matched differential parity for the compound model: copy a
+    reference ComponentSemiMarkovModule's state (EmbeddingBag tables,
+    transposed Linears, residual-MLP layers, per-class biases) into our
+    ComponentHsmm and assert identical partition and decode through the
+    reference's own score_features edge tensor — covering the neural
+    factor heads (mean-of-component embeddings, f(embed(from)).embed(to)
+    transitions, residual-MLP means and length rates), constraint
+    masking, merged-class embedding gathers, and valid-class slicing.
+    (z_dim=0: the VAE z path draws RNG and is covered by behavioral
+    tests; the factor heads are what transfer weight-for-weight.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from action_segmentation_tpu.models.compound import ComponentHsmm
+    from action_segmentation_tpu.ops.hsmm import hsmm_partition, hsmm_viterbi
+
+    rng = np.random.RandomState(11)
+    n_classes, n_components, Dm, e = 6, 9, 8, 12
+    class_to_components = {
+        0: {0}, 1: {1, 2}, 2: {3}, 3: {4, 5, 0}, 4: {6}, 5: {7, 8},
+    }
+    starts = {0, 1}
+    transitions = {0: {2, 3}, 1: {3}, 2: {4, 5}, 3: {5, 0}, 4: {0, 1}, 5: {1}}
+    ends = {4, 5}
+    merge = {i: i for i in range(n_classes)}
+    merge[5] = 2
+
+    args = make_args(max_k=5)
+    args.sm_component_mean_layers = 2
+    args.sm_component_length_layers = 1
+    args.sm_component_embedding_dim = e
+    args.sm_component_z_dim = 0
+    args.sm_component_z_hidden_dim = 16
+    args.sm_compound_structure = True
+    args.seq_num_layers_component = 1
+
+    ref = ref_sm.ComponentSemiMarkovModule(
+        args, n_classes, n_components, class_to_components, Dm,
+        allow_self_transitions=False, per_class_bias=True,
+        allowed_starts=starts, allowed_transitions=transitions,
+        allowed_ends=ends, merge_classes=merge,
+    )
+    # randomize the flat parameters torch leaves at zero
+    with torch.no_grad():
+        for name in ("initial_bias", "transition_bias", "length_bias"):
+            getattr(ref, name).copy_(torch.from_numpy(
+                rng.randn(n_classes).astype(np.float32) * 0.3))
+        ref.emission_mean_bias.copy_(torch.from_numpy(
+            rng.randn(Dm).astype(np.float32)))
+        cov = rng.uniform(0.5, 1.5, Dm).astype(np.float32)
+        ref.gaussian_cov.copy_(torch.diag(torch.from_numpy(cov)))
+
+    ours = ComponentHsmm(
+        args, n_classes, n_components, class_to_components, Dm,
+        allow_self_transitions=False, per_class_bias=True,
+        allowed_starts=starts, allowed_transitions=transitions,
+        allowed_ends=ends, merge_classes=merge,
+    )
+
+    def lin(mod):
+        return {
+            "w": jnp.asarray(mod.weight.detach().numpy().T),
+            "b": jnp.asarray(mod.bias.detach().numpy()),
+        }
+
+    def res_mlp(seq):
+        layers = list(seq)
+        return {
+            "in": lin(layers[0]),
+            "res": [
+                {"lin1": lin(r.lin1), "lin2": lin(r.lin2)}
+                for r in layers[1:-1]
+            ],
+            "out": lin(layers[-1]),
+        }
+
+    ours.params.update({
+        "initial_embeddings": jnp.asarray(
+            ref.initial_embeddings.weight.detach().numpy()),
+        "transition_embeddings": jnp.asarray(
+            ref.transition_embeddings.weight.detach().numpy()),
+        "emission_embeddings": jnp.asarray(
+            ref.emission_embeddings.weight.detach().numpy()),
+        "length_embeddings": jnp.asarray(
+            ref.length_embeddings.weight.detach().numpy()),
+        "initial_weights": lin(ref.initial_weights),
+        "transition_weights": lin(ref.transition_weights),
+        "emission_mean_mlp": res_mlp(ref.emission_mean_mlp),
+        "length_mlp": res_mlp(ref.length_mlp),
+        "emission_mean_bias": jnp.asarray(
+            ref.emission_mean_bias.detach().numpy()),
+        "initial_bias": jnp.asarray(ref.initial_bias.detach().numpy()),
+        "transition_bias": jnp.asarray(ref.transition_bias.detach().numpy()),
+        "length_bias": jnp.asarray(ref.length_bias.detach().numpy()),
+        "gaussian_cov": jnp.asarray(cov),
+    })
+
+    b, T = 3, 24
+    feats = rng.randn(b, T, Dm).astype(np.float32)
+    lengths = np.array([24, 18, 11], np.int64)
+    vc = np.array([0, 1, 2, 3, 4, 5])
+    C_sub = len(vc)
+
+    # reference edge tensor (batched factor heads -> all_batched path)
+    ref.set_z(torch.from_numpy(feats), torch.from_numpy(lengths), use_mean=True)
+    scores, _ = ref.score_features(
+        torch.from_numpy(feats), torch.from_numpy(lengths).long(),
+        torch.from_numpy(vc).long(), add_eos=True, use_mean_z=True,
+        additional_allowed_ends_per_instance=[[], [], []],
+    )
+    scores_np = scores.detach().double().numpy()
+    ref_logz = torch_edge_logz(scores.double(), lengths + 1).detach().numpy()
+
+    end_allowed = np.where(
+        np.isin(vc, sorted(ends)), 0.0, BIG_NEG
+    )[None].repeat(b, axis=0).astype(np.float32)
+    pots, _, _ = ours.compute_potentials(
+        ours.params,
+        jnp.asarray(feats),
+        jnp.asarray(lengths, jnp.int32),
+        jnp.asarray(vc, jnp.int32),
+        jnp.zeros((b, T, C_sub), jnp.float32),
+        jnp.asarray(end_allowed),
+        jax.random.PRNGKey(0),
+        True,
+    )
+    our_logz = np.asarray(hsmm_partition(pots, jnp.asarray(lengths, jnp.int32)))
+    np.testing.assert_allclose(our_logz, ref_logz, rtol=1e-5, atol=5e-3)
+
+    our_spans, our_scores = hsmm_viterbi(pots, jnp.asarray(lengths, jnp.int32))
+    for i in range(b):
+        L = int(lengths[i]) + 1
+        rspans, rscore = np_edge_viterbi(scores_np[i], L)
+        np.testing.assert_allclose(
+            float(np.asarray(our_scores)[i]), rscore, rtol=1e-5, atol=5e-3
+        )
+        # merged classes tie only emission/length; transitions still
+        # distinguish them, so labels are generically unique here
+        np.testing.assert_array_equal(
+            _fill(np.asarray(our_spans)[i][: L - 1]), _fill(rspans[: L - 1])
+        )
+
+
+def test_compound_reference_weights_migration_decode(ref_sm, tmp_path):
+    """Compound-model migration end-to-end: a reference
+    ComponentSemiMarkovModule state_dict (identity class->component map,
+    the reference's default) imported through
+    scripts/import_reference_model.py decodes frame-for-frame like the
+    reference DP over its own edge tensor."""
+    if "." not in sys.path:
+        sys.path.insert(0, ".")
+    from scripts.import_reference_model import main as import_main
+
+    from action_segmentation_tpu.api import Segmenter
+
+    rng = np.random.RandomState(13)
+    n_classes, Dm, e, max_k = 5, 8, 10, 6
+    args = make_args(max_k)
+    args.sm_component_mean_layers = 2
+    args.sm_component_length_layers = 1
+    args.sm_component_embedding_dim = e
+    args.sm_component_z_dim = 0
+    args.sm_component_z_hidden_dim = 16
+    args.sm_compound_structure = True
+
+    ref = ref_sm.ComponentSemiMarkovModule(
+        args, n_classes, n_classes, {c: {c} for c in range(n_classes)}, Dm,
+        allow_self_transitions=True, per_class_bias=True,
+    )
+    with torch.no_grad():
+        for name in ("initial_bias", "transition_bias", "length_bias"):
+            getattr(ref, name).copy_(torch.from_numpy(
+                rng.randn(n_classes).astype(np.float32) * 0.3))
+        ref.emission_mean_bias.copy_(torch.from_numpy(
+            rng.randn(Dm).astype(np.float32)))
+        cov = rng.uniform(0.5, 1.5, Dm).astype(np.float32)
+        ref.gaussian_cov.copy_(torch.diag(torch.from_numpy(cov)))
+
+    sd_path = str(tmp_path / "ref_compound.pt")
+    torch.save(ref.state_dict(), sd_path)
+    out_path = str(tmp_path / "imported.pkl")
+    import_main([
+        "--state_dict", sd_path, "--output", out_path,
+        "--sm_max_span_length", str(max_k),
+    ])
+
+    seg = Segmenter.load(out_path)
+    feature_list = [
+        rng.randn(int(rng.randint(8, 30)), Dm).astype(np.float32)
+        for _ in range(4)
+    ]
+    got = seg.segment_many(feature_list)
+
+    for feats, labels in zip(feature_list, got):
+        T = feats.shape[0]
+        ft = torch.from_numpy(feats[None])
+        lt = torch.tensor([T])
+        ref.set_z(ft, lt, use_mean=True)
+        # the reference's compound heads crash on valid_classes=None
+        # (transition_bias[None] adds a dim, semimarkov_modules.py:934);
+        # its callers always pass explicit indices — do the same
+        scores, _ = ref.score_features(
+            ft, lt, torch.arange(n_classes), add_eos=True, use_mean_z=True,
+        )
+        rspans, _ = np_edge_viterbi(scores.detach().double().numpy()[0], T + 1)
+        np.testing.assert_array_equal(np.asarray(labels), _fill(rspans[:T]))
