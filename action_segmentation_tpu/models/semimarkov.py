@@ -987,7 +987,7 @@ class SemiMarkovModel(Model):
         return predictions
 
 
-def semimarkov_from_reference_state_dict(args, state_dict):
+def semimarkov_from_reference_state_dict(args, state_dict, class_to_components=None):
     """Build a serving-ready SemiMarkovModel from a reference-trained
     state_dict (torch or numpy leaves) — Gaussian SemiMarkovModule or
     ComponentSemiMarkovModule (auto-detected by the embedding tables).
@@ -1018,11 +1018,21 @@ def semimarkov_from_reference_state_dict(args, state_dict):
         from action_segmentation_tpu.models.compound import ComponentHsmm
 
         params, meta = compound_params_from_reference_state_dict(state_dict)
-        n_classes = meta["n_classes"] or meta["n_components"]
-        assert meta["n_components"] == n_classes, (
-            "decomposed-steps compound models need the corpus's "
-            "component structure; import via --reference_pickle"
-        )
+        if class_to_components is not None:
+            # --reference_pickle path: the pickled module carries the
+            # corpus-derived decompose-steps structure
+            class_to_components = {
+                int(c): set(int(x) for x in comps)
+                for c, comps in class_to_components.items()
+            }
+            n_classes = meta["n_classes"] or len(class_to_components)
+        else:
+            n_classes = meta["n_classes"] or meta["n_components"]
+            assert meta["n_components"] == n_classes, (
+                "decomposed-steps compound models need the corpus's "
+                "component structure; import via --reference_pickle"
+            )
+            class_to_components = {c: {c} for c in range(n_classes)}
         args.sm_component_model = True
         args.sm_component_embedding_dim = meta["embedding_dim"]
         args.sm_component_mean_layers = meta["mean_layers"]
@@ -1032,7 +1042,7 @@ def semimarkov_from_reference_state_dict(args, state_dict):
             args,
             n_classes,
             n_components=meta["n_components"],
-            class_to_components={c: {c} for c in range(n_classes)},
+            class_to_components=class_to_components,
             feature_dim=meta["feature_dim"],
             allow_self_transitions=True,
             per_class_bias=meta["per_class_bias"],

@@ -68,10 +68,16 @@ def main(argv=None):
         "pass exactly one of --state_dict / --reference_pickle"
     )
 
+    class_to_components = None
     if args.reference_pickle:
         assert args.reference_src, "--reference_pickle needs --reference_src"
         ref_model = load_reference_pickle(args.reference_pickle, args.reference_src)
         state_dict = ref_model.model.state_dict()
+        # decompose-steps compound models carry the corpus-derived
+        # component structure on the module
+        class_to_components = getattr(
+            ref_model.model, "class_to_components", None
+        )
         # carry over the flags both CLIs share (max span length etc.)
         for key, val in vars(ref_model.args).items():
             if hasattr(args, key) and "--{}".format(key) not in (argv or sys.argv):
@@ -81,7 +87,9 @@ def main(argv=None):
 
         state_dict = torch.load(args.state_dict, map_location="cpu")
 
-    model = semimarkov_from_reference_state_dict(args, state_dict)
+    model = semimarkov_from_reference_state_dict(
+        args, state_dict, class_to_components=class_to_components
+    )
     with open(args.output, "wb") as f:
         pickle.dump(model, f)
     print(

@@ -64,6 +64,14 @@ def test_framewise_gaussian_pipeline(mini_crosstask):
     for task, s in stats["all"].items():
         mof = s["mof"][0] / s["mof"][1]
         assert mof > 0.5, (task, mof)
+    # full-covariance variant through the same CLI path
+    stats = main_mod.main(
+        _base_argv(root, "framewise_gaussian_mixture")
+        + ["--gm_covariance", "full"]
+    )
+    for task, s in stats["all"].items():
+        mof = s["mof"][0] / s["mof"][1]
+        assert mof > 0.5, (task, mof)
 
 
 def test_sequential_baselines_pipeline(mini_crosstask):

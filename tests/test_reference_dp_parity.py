@@ -867,3 +867,69 @@ def test_compound_reference_weights_migration_decode(ref_sm, tmp_path):
         )
         rspans, _ = np_edge_viterbi(scores.detach().double().numpy()[0], T + 1)
         np.testing.assert_array_equal(np.asarray(labels), _fill(rspans[:T]))
+
+
+def test_compound_decomposed_pickle_migration(ref_sm, tmp_path):
+    """--reference_pickle migration of a decompose-steps compound model:
+    the corpus-derived class->components structure rides the pickled
+    module (not the state_dict) and must transfer; decode of the
+    imported model matches the reference DP."""
+    import pickle as pkl
+
+    if "." not in sys.path:
+        sys.path.insert(0, ".")
+    from scripts.import_reference_model import main as import_main
+
+    from action_segmentation_tpu.api import Segmenter
+
+    rng = np.random.RandomState(17)
+    n_classes, n_components, Dm, e, max_k = 5, 7, 8, 10, 6
+    class_to_components = {0: {0}, 1: {1, 2}, 2: {3}, 3: {4, 5}, 4: {6, 0}}
+    args = make_args(max_k)
+    args.cuda = False  # the reference wrapper's __init__ checks it
+    args.sm_component_model = True
+    args.sm_component_decompose_steps = True
+    args.sm_component_mean_layers = 1
+    args.sm_component_length_layers = 1
+    args.sm_component_embedding_dim = e
+    args.sm_component_z_dim = 0
+    args.sm_component_z_hidden_dim = 16
+    args.sm_compound_structure = True
+
+    ref = ref_sm.ComponentSemiMarkovModule(
+        args, n_classes, n_components, class_to_components, Dm,
+        allow_self_transitions=True, per_class_bias=True,
+    )
+    with torch.no_grad():
+        ref.emission_mean_bias.copy_(torch.from_numpy(
+            rng.randn(Dm).astype(np.float32)))
+        cov = rng.uniform(0.5, 1.5, Dm).astype(np.float32)
+        ref.gaussian_cov.copy_(torch.diag(torch.from_numpy(cov)))
+
+    # the reference pickles its SemiMarkovModel wrapper (main.py:239-264)
+    from models.semimarkov.semimarkov import SemiMarkovModel as RefModel
+
+    wrapper = RefModel(args, n_classes, Dm, ref)
+    pkl_path = str(tmp_path / "ref_full.pkl")
+    with open(pkl_path, "wb") as f:
+        pkl.dump(wrapper, f)
+
+    out_path = str(tmp_path / "imported.pkl")
+    import_main([
+        "--reference_pickle", pkl_path, "--reference_src", REF,
+        "--output", out_path,
+    ])
+
+    seg = Segmenter.load(out_path)
+    assert seg.model.module.n_components == n_components
+    feats = rng.randn(20, Dm).astype(np.float32)
+    got = seg.segment_many([feats])[0]
+
+    ft = torch.from_numpy(feats[None])
+    lt = torch.tensor([20])
+    ref.set_z(ft, lt, use_mean=True)
+    scores, _ = ref.score_features(
+        ft, lt, torch.arange(n_classes), add_eos=True, use_mean_z=True,
+    )
+    rspans, _ = np_edge_viterbi(scores.detach().double().numpy()[0], 21)
+    np.testing.assert_array_equal(np.asarray(got), _fill(rspans[:20]))
