@@ -135,6 +135,17 @@ REFERENCE_PARAM_KEYS = (
 REFERENCE_BUFFER_KEYS = ("init_constraints", "transition_constraints")
 
 
+
+def _diag_from_reference_cov(val):
+    """The reference stores the tied diagonal covariance as a full
+    (D, D) matrix (semimarkov_modules.py:149-151); keep the diagonal."""
+    off_diag = val - np.diag(np.diag(val))
+    assert np.abs(off_diag).max() <= 1e-6 * max(1.0, np.abs(val).max()), (
+        "reference gaussian_cov is not diagonal"
+    )
+    return np.diag(val).copy()
+
+
 def params_from_reference_state_dict(state_dict):
     """Map a reference SemiMarkovModule state_dict to our param pytree.
 
@@ -159,14 +170,7 @@ def params_from_reference_state_dict(state_dict):
                 val = val.detach().cpu().numpy()
             val = np.asarray(val, np.float32)
             if name == "gaussian_cov" and val.ndim == 2:
-                # the reference stores the tied diagonal covariance as a
-                # full (D, D) matrix (semimarkov_modules.py:149-151); we
-                # keep only the diagonal vector
-                off_diag = val - np.diag(np.diag(val))
-                assert np.abs(off_diag).max() <= 1e-6 * max(
-                    1.0, np.abs(val).max()
-                ), "reference gaussian_cov is not diagonal"
-                val = np.diag(val).copy()
+                val = _diag_from_reference_cov(val)
             params[name] = val
         else:
             skipped.append(key)
@@ -238,9 +242,7 @@ def compound_params_from_reference_state_dict(state_dict):
 
     cov = sd["gaussian_cov"]
     if cov.ndim == 2:
-        off = cov - np.diag(np.diag(cov))
-        assert np.abs(off).max() <= 1e-6 * max(1.0, np.abs(cov).max())
-        cov = np.diag(cov).copy()
+        cov = _diag_from_reference_cov(cov)
 
     params = {
         "initial_embeddings": sd["initial_embeddings.weight"],

@@ -630,6 +630,14 @@ class SemiMarkovModel(Model):
 
     def fit(self, train_data, use_labels, callback_fn=None):
         args = self.args
+        if getattr(args, "model_parallel", 1) not in (None, 1):
+            # validate here, not only in make_mesh: without
+            # --data_parallel (or on a 1-device backend) the mesh is
+            # never built and the retired flag would be silently dropped
+            raise NotImplementedError(
+                "--model_parallel > 1 was retired (round 3); use "
+                "--data_parallel. Design record: docs/DESIGN.md §6."
+            )
         if use_labels:
             assert not args.sm_constrain_transitions
         initialize = True

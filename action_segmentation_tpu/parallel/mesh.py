@@ -93,11 +93,10 @@ def _params_shardings(mesh, params):
 def _local_loss_terms(module, use_labels, discriminative, partition_fn,
                       params, features, lengths, vc, inv_map, gt, cons,
                       end_allowed, weights, rng, key_offset=0):
-    """Weighted SUMS of the per-component loss terms over a (shard of a)
-    batch, plus the weight sum — the building block both sharded-step
-    variants share (global weighted means = psum(weighted sums) /
-    psum(weights)). Returning the components separately lets the drain
-    log real nll/kl/log_det under --data_parallel."""
+    """Weighted SUMS of the per-component loss terms over one shard of a
+    batch, plus the weight sum (global weighted means = psum(weighted
+    sums) / psum(weights)). Returning the components separately lets the
+    drain log real nll/kl/log_det under --data_parallel."""
     # pad_batch_for_mesh fills dummy rows with length 0; clamp so the
     # weight-0 rows still run a well-defined length-1 DP (a 0-length
     # forward pass going non-finite would NaN the batch via 0 * nan)
