@@ -317,6 +317,13 @@ def bench_epoch_realistic():
         "epoch_frames_per_sec": round(total_frames / warm_epoch, 1),
         "decode_mixed_frames_per_sec": round(total_frames / decode_dt, 1),
         "epoch_frames": total_frames,
+        # on this environment's remote-TPU tunnel every dispatch->fetch
+        # round trip costs ~0.5 s, so the small-corpus realistic numbers
+        # are tunnel-latency-bound, not compute-bound (the headline
+        # metrics difference that latency away; a co-located chip's
+        # epoch wall-clock is dominated by the ~70 us/batch device time)
+        "realistic_note": "wall-clock incl. host loop + remote-tunnel "
+        "round trips; see CLAUDE.md round-trip rule",
     }
 
 
