@@ -417,3 +417,25 @@ def test_shape_bucketing_bounds_compiles(mini_crosstask):
             if sample is not None:
                 buckets.add(pad_length_to_bucket(sample["features"].shape[0]))
     assert traces <= len(buckets), (traces, buckets)
+
+
+def test_semimarkov_data_parallel_cli_pipeline(mini_crosstask):
+    """--data_parallel through the REAL driver: main() wires the mesh
+    train step (psum'd aux stats), the sharded decode inside predict,
+    and the stat aggregation — the full train->test->aggregate path on
+    the 8-device mesh, compared against the single-device run."""
+    from action_segmentation_tpu import main as main_mod
+
+    root, _ = mini_crosstask
+    argv = _base_argv(root, "semimarkov") + [
+        "--training", "supervised",
+        "--sm_supervised_method", "gradient-based",
+        "--lr", "1e-2",
+    ]
+    stats_dp = main_mod.main(argv + ["--data_parallel"])
+    stats_sd = main_mod.main(argv)
+    for task in stats_sd["all"]:
+        for key in ("mof", "f1"):
+            a = stats_dp["all"][task][key]
+            b = stats_sd["all"][task][key]
+            assert abs(a[0] / a[1] - b[0] / b[1]) < 0.05, (task, key, a, b)
