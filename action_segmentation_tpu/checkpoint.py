@@ -151,29 +151,31 @@ def params_from_reference_state_dict(state_dict):
 
     The reference's parameter names (semimarkov_modules.py:142-159)
     match this framework's one-for-one; values may be torch tensors or
-    numpy arrays, and an optional 'model.' prefix is stripped. Returns
-    (params, skipped_keys). Flow-projector weights are refused loudly
-    (the NICE parameterizations differ structurally).
+    numpy arrays, and an optional 'model.' prefix is stripped. NICE
+    flow-projector weights map through
+    flow_params_from_reference_state_dict. Returns (params,
+    skipped_keys).
     """
     params = {}
     skipped = []
+    flow_sd = {}
     for key, val in state_dict.items():
         name = key[len("model."):] if key.startswith("model.") else key
-        if name.startswith("feature_projector"):
-            raise NotImplementedError(
-                "reference NICE flow weights ({}) cannot be imported; "
-                "retrain the projector or import the non-flow subset via "
-                "--sm_init_non_projection_parameters_from".format(key)
-            )
-        if name in REFERENCE_PARAM_KEYS:
-            if hasattr(val, "detach"):
-                val = val.detach().cpu().numpy()
-            val = np.asarray(val, np.float32)
+        if hasattr(val, "detach"):
+            val = val.detach().cpu().numpy()
+        val = np.asarray(val, np.float32)
+        if name.startswith("feature_projector."):
+            flow_sd[name] = val
+        elif name in REFERENCE_PARAM_KEYS:
             if name == "gaussian_cov" and val.ndim == 2:
                 val = _diag_from_reference_cov(val)
             params[name] = val
         else:
             skipped.append(key)
+    if flow_sd:
+        params["feature_projector"] = flow_params_from_reference_state_dict(
+            flow_sd
+        )
     missing = [k for k in REFERENCE_PARAM_KEYS if k not in params]
     assert not missing, "state_dict missing reference params: {}".format(missing)
     return params, skipped
@@ -186,11 +188,11 @@ def compound_params_from_reference_state_dict(state_dict):
     torch Linear weights transpose ((out, in) -> (in, out)); the
     EmbeddingBag tables carry over (our dense row-normalized membership
     matmul reproduces mode='mean'); residual-MLP Sequentials map
-    layer-for-layer; the (D, D) diagonal covariance flattens. VAE
+    layer-for-layer; the (D, D) diagonal covariance flattens; NICE flow
+    weights map through flow_params_from_reference_state_dict. VAE
     encoder weights are refused loudly — the torch cuDNN LSTM and our
-    scan LSTM parameterizations differ structurally (same policy as the
-    NICE flow refusal in params_from_reference_state_dict); the
-    factor-head import is exact (tests/test_reference_dp_parity.py::
+    scan LSTM parameterizations differ structurally; the factor-head
+    import is exact (tests/test_reference_dp_parity.py::
     test_compound_module_parity pins the equivalence).
 
     Returns (params, meta) with meta carrying the architecture the
@@ -204,11 +206,7 @@ def compound_params_from_reference_state_dict(state_dict):
         if hasattr(val, "detach"):
             val = val.detach().cpu().numpy()
         sd[name] = np.asarray(val, np.float32)
-    if any(k.startswith("feature_projector") for k in sd):
-        raise NotImplementedError(
-            "reference NICE flow weights cannot be imported (see "
-            "params_from_reference_state_dict)"
-        )
+    flow_sd = {k: v for k, v in sd.items() if k.startswith("feature_projector.")}
     if any(k.startswith(("encoder.", "encoder_to_params")) for k in sd):
         raise NotImplementedError(
             "reference VAE encoder (torch LSTM) weights cannot be "
@@ -261,6 +259,10 @@ def compound_params_from_reference_state_dict(state_dict):
         params["initial_bias"] = sd["initial_bias"]
         params["transition_bias"] = sd["transition_bias"]
         params["length_bias"] = sd["length_bias"]
+    if flow_sd:
+        params["feature_projector"] = flow_params_from_reference_state_dict(
+            flow_sd
+        )
 
     emb = params["initial_embeddings"]
     meta = {
@@ -273,3 +275,52 @@ def compound_params_from_reference_state_dict(state_dict):
         "per_class_bias": per_class_bias,
     }
     return params, meta
+
+
+def flow_params_from_reference_state_dict(sd, prefix="feature_projector."):
+    """Map the reference NICETrans weights (flow.py:59-126) under
+    ``prefix`` in a (numpy-leaf) state_dict to our flow pytree.
+
+    The architectures are identical — ReLUNet is in_layer + N hidden
+    cells + out_layer, NICETrans is `flow_couple_layers` coupling cells
+    (+ scale cells with --flow_scale) applied with the same
+    alternating-half schedule — so the mapping is Linear transposes.
+    Equivalence is pinned by
+    tests/test_reference_dp_parity.py::test_nice_flow_import_parity.
+    """
+    import re
+
+    def lin(p):
+        return {
+            "w": np.ascontiguousarray(sd[p + ".weight"].T),
+            "b": sd[p + ".bias"],
+        }
+
+    def relu_net(p):
+        hidden = sorted({
+            int(m.group(1))
+            for k in sd
+            for m in [re.match(r"cell(\d+)\.", k[len(p) + 1:])]
+            if k.startswith(p + ".") and m
+        })
+        layers = [lin(p + ".in_layer")]
+        layers += [lin("{}.cell{}".format(p, j)) for j in hidden]
+        layers += [lin(p + ".out_layer")]
+        return {"layers": layers}
+
+    def cell_indices(kind):
+        pat = re.compile(re.escape(prefix) + kind + r"(\d+)\.")
+        return sorted({
+            int(m.group(1)) for k in sd for m in [pat.match(k)] if m
+        })
+
+    idxs = cell_indices("cell")
+    params = {
+        "cells": [relu_net("{}cell{}".format(prefix, i)) for i in idxs]
+    }
+    scale_idxs = cell_indices("scale_cell")
+    if scale_idxs:
+        params["scale_cells"] = [
+            relu_net("{}scale_cell{}".format(prefix, i)) for i in scale_idxs
+        ]
+    return params

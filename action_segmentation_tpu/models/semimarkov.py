@@ -995,6 +995,21 @@ class SemiMarkovModel(Model):
         return predictions
 
 
+def _set_flow_args_from_params(args, params):
+    """Derive the NICE flow flags from an imported projector pytree so
+    the pickled args stay coherent with the weights."""
+    flow = params.get("feature_projector")
+    args.sm_feature_projection = flow is not None
+    if flow is None:
+        return
+    args.flow_couple_layers = len(flow["cells"])
+    layers = flow["cells"][0]["layers"]
+    args.flow_hidden_units = int(np.asarray(layers[0]["w"]).shape[1])
+    args.flow_hidden_layers = len(layers) - 2
+    args.flow_scale = "scale_cells" in flow
+    args.flow_scale_no_zero = getattr(args, "flow_scale_no_zero", False)
+
+
 def semimarkov_from_reference_state_dict(args, state_dict, class_to_components=None):
     """Build a serving-ready SemiMarkovModel from a reference-trained
     state_dict (torch or numpy leaves) — Gaussian SemiMarkovModule or
@@ -1046,6 +1061,7 @@ def semimarkov_from_reference_state_dict(args, state_dict, class_to_components=N
         args.sm_component_mean_layers = meta["mean_layers"]
         args.sm_component_length_layers = meta["length_layers"]
         args.sm_component_z_dim = 0
+        _set_flow_args_from_params(args, params)
         module = ComponentHsmm(
             args,
             n_classes,
@@ -1062,8 +1078,9 @@ def semimarkov_from_reference_state_dict(args, state_dict, class_to_components=N
     if skipped:
         logger.debug("import: skipping non-parameter keys {}".format(skipped))
     n_classes, feature_dim = params["gaussian_means"].shape
+    _set_flow_args_from_params(args, params)
     module = GaussianHsmm(
         args, n_classes, feature_dim, allow_self_transitions=True
     )
-    module.params = {k: jnp.asarray(v) for k, v in params.items()}
+    module.params = jax.tree_util.tree_map(jnp.asarray, params)
     return SemiMarkovModel(args, n_classes, feature_dim, module)

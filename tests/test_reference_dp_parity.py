@@ -933,3 +933,106 @@ def test_compound_decomposed_pickle_migration(ref_sm, tmp_path):
     )
     rspans, _ = np_edge_viterbi(scores.detach().double().numpy()[0], 21)
     np.testing.assert_array_equal(np.asarray(got), _fill(rspans[:20]))
+
+
+@pytest.mark.parametrize("flow_scale", [False, True])
+def test_nice_flow_import_parity(ref_sm, flow_scale):
+    """flow_params_from_reference_state_dict maps reference NICETrans
+    weights exactly: projected features and log-Jacobians match the
+    reference forward for both additive and affine (--flow_scale)
+    couplings."""
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REF)
+    try:
+        from models.flow import NICETrans
+    finally:
+        sys.path.remove(REF)
+
+    from action_segmentation_tpu.checkpoint import (
+        flow_params_from_reference_state_dict,
+    )
+    from action_segmentation_tpu.models import flow as our_flow
+
+    rng = np.random.RandomState(19)
+    Df = 8
+    args = make_args(5)
+    args.flow_hidden_layers = 2
+    args.flow_hidden_units = 12
+    args.flow_couple_layers = 3
+    args.flow_scale = flow_scale
+    args.flow_scale_no_zero = True  # nonzero scale nets: a real test
+
+    ref = NICETrans(args, features=Df)
+    sd = {
+        "feature_projector." + k: v.detach().numpy()
+        for k, v in ref.state_dict().items()
+    }
+    params = flow_params_from_reference_state_dict(sd)
+    assert ("scale_cells" in params) == flow_scale
+
+    x = rng.randn(2, 15, Df).astype(np.float32)
+    want_h, want_jac = ref(torch.from_numpy(x))
+    got_h, got_jac = our_flow.nice_apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(got_h), want_h.detach().numpy(), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_jac), want_jac.detach().numpy(), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_flow_model_migration_decode(ref_sm, tmp_path):
+    """A reference SemiMarkovModule trained WITH the NICE projector
+    imports end-to-end (previously refused) and decodes like the
+    reference DP over its own projected-feature edge tensor."""
+    if "." not in sys.path:
+        sys.path.insert(0, ".")
+    from scripts.import_reference_model import main as import_main
+
+    from action_segmentation_tpu.api import Segmenter
+
+    rng = np.random.RandomState(23)
+    n_classes, Dm, max_k = 4, 8, 5
+    args = make_args(max_k)
+    args.sm_feature_projection = True
+    args.flow_hidden_layers = 1
+    args.flow_hidden_units = 10
+    args.flow_couple_layers = 2
+    args.flow_scale = True
+    args.flow_scale_no_zero = True
+
+    ref = ref_sm.SemiMarkovModule(args, n_classes, Dm,
+                                  allow_self_transitions=True)
+    with torch.no_grad():
+        ref.gaussian_means.copy_(torch.from_numpy(
+            rng.randn(n_classes, Dm).astype(np.float32)))
+        cov = rng.uniform(0.5, 1.5, Dm).astype(np.float32)
+        ref.gaussian_cov.copy_(torch.diag(torch.from_numpy(cov)))
+        ref.transition_logits.copy_(torch.from_numpy(
+            rng.randn(n_classes, n_classes).astype(np.float32)))
+
+    sd_path = str(tmp_path / "ref_flow.pt")
+    torch.save(ref.state_dict(), sd_path)
+    out_path = str(tmp_path / "imported.pkl")
+    import_main([
+        "--state_dict", sd_path, "--output", out_path,
+        "--sm_max_span_length", str(max_k),
+    ])
+
+    seg = Segmenter.load(out_path)
+    assert "feature_projector" in seg.model.module.params
+    feature_list = [
+        rng.randn(int(rng.randint(8, 25)), Dm).astype(np.float32)
+        for _ in range(3)
+    ]
+    got = seg.segment_many(feature_list)
+
+    for feats, labels in zip(feature_list, got):
+        T = feats.shape[0]
+        scores, _ = ref.score_features(
+            torch.from_numpy(feats[None]), torch.tensor([T]), None,
+            add_eos=True, use_mean_z=False,
+        )
+        rspans, _ = np_edge_viterbi(scores.detach().double().numpy()[0], T + 1)
+        np.testing.assert_array_equal(np.asarray(labels), _fill(rspans[:T]))
