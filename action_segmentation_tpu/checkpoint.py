@@ -207,12 +207,7 @@ def compound_params_from_reference_state_dict(state_dict):
             val = val.detach().cpu().numpy()
         sd[name] = np.asarray(val, np.float32)
     flow_sd = {k: v for k, v in sd.items() if k.startswith("feature_projector.")}
-    if any(k.startswith(("encoder.", "encoder_to_params")) for k in sd):
-        raise NotImplementedError(
-            "reference VAE encoder (torch LSTM) weights cannot be "
-            "imported; import the z_dim=0 factor heads and retrain the "
-            "encoder, or decode with use_mean_z after re-encoding"
-        )
+    has_encoder = any(k.startswith("encoder.") for k in sd)
 
     def lin(prefix):
         return {
@@ -263,6 +258,20 @@ def compound_params_from_reference_state_dict(state_dict):
         params["feature_projector"] = flow_params_from_reference_state_dict(
             flow_sd
         )
+    z_dim = 0
+    z_hidden_dim = 0
+    encoder_layers = 0
+    if has_encoder:
+        params["encoder"] = lstm_params_from_reference_state_dict(
+            sd, "encoder.encoder."
+        )
+        params["encoder_to_params"] = {
+            "w": np.ascontiguousarray(sd["encoder_to_params.weight"].T),
+            "b": sd["encoder_to_params.bias"],
+        }
+        z_dim = sd["encoder_to_params.weight"].shape[0] // 2
+        z_hidden_dim = 2 * sd["encoder.encoder.weight_hh_l0"].shape[1]
+        encoder_layers = len(params["encoder"]["layers"])
 
     emb = params["initial_embeddings"]
     meta = {
@@ -273,6 +282,9 @@ def compound_params_from_reference_state_dict(state_dict):
         "feature_dim": params["emission_mean_bias"].shape[0],
         "n_classes": sd["initial_bias"].shape[0] if per_class_bias else None,
         "per_class_bias": per_class_bias,
+        "z_dim": z_dim,
+        "z_hidden_dim": z_hidden_dim,
+        "encoder_layers": encoder_layers,
     }
     return params, meta
 
@@ -324,3 +336,37 @@ def flow_params_from_reference_state_dict(sd, prefix="feature_projector."):
             relu_net("{}scale_cell{}".format(prefix, i)) for i in scale_idxs
         ]
     return params
+
+
+def lstm_params_from_reference_state_dict(sd, prefix):
+    """Map torch nn.LSTM (bidirectional, batch_first) weights under
+    ``prefix`` to our scan-LSTM pytree (models/rnn.py): the equations
+    and the i/f/g/o gate order are torch's own, so the mapping is
+    weight transposes per layer per direction.
+
+    Padding caveat (documented delta): the reference max-pools encoder
+    outputs over zero-PADDED frames (sequential.py:26-30 +
+    semimarkov_modules.py:834, clamping every dimension at >= 0 when a
+    batch is padded); our pooling masks to real frames. On unpadded
+    sequences the imported encoder is exact
+    (tests/test_reference_dp_parity.py::test_vae_encoder_import_parity).
+    """
+    layers = []
+    l = 0
+    while prefix + "weight_ih_l{}".format(l) in sd:
+        cells = []
+        for suffix in ("", "_reverse"):
+            key = prefix + "weight_ih_l{}{}".format(l, suffix)
+            if key not in sd:
+                continue
+            cells.append({
+                "w_ih": np.ascontiguousarray(
+                    sd[prefix + "weight_ih_l{}{}".format(l, suffix)].T),
+                "w_hh": np.ascontiguousarray(
+                    sd[prefix + "weight_hh_l{}{}".format(l, suffix)].T),
+                "b_ih": sd[prefix + "bias_ih_l{}{}".format(l, suffix)],
+                "b_hh": sd[prefix + "bias_hh_l{}{}".format(l, suffix)],
+            })
+        layers.append(cells)
+        l += 1
+    return {"layers": layers}

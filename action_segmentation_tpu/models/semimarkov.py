@@ -1060,7 +1060,10 @@ def semimarkov_from_reference_state_dict(args, state_dict, class_to_components=N
         args.sm_component_embedding_dim = meta["embedding_dim"]
         args.sm_component_mean_layers = meta["mean_layers"]
         args.sm_component_length_layers = meta["length_layers"]
-        args.sm_component_z_dim = 0
+        args.sm_component_z_dim = meta["z_dim"]
+        if meta["z_dim"] > 0:
+            args.sm_component_z_hidden_dim = meta["z_hidden_dim"]
+            args.seq_num_layers_component = meta["encoder_layers"]
         _set_flow_args_from_params(args, params)
         module = ComponentHsmm(
             args,

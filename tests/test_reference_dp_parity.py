@@ -1036,3 +1036,103 @@ def test_flow_model_migration_decode(ref_sm, tmp_path):
         )
         rspans, _ = np_edge_viterbi(scores.detach().double().numpy()[0], T + 1)
         np.testing.assert_array_equal(np.asarray(labels), _fill(rspans[:T]))
+
+
+def test_vae_encoder_import_parity(ref_sm):
+    """lstm_params_from_reference_state_dict maps a torch bidirectional
+    multi-layer nn.LSTM exactly: on unpadded sequences our scan LSTM's
+    outputs match torch's (same equations, same i/f/g/o gate order).
+    (On PADDED batches the downstream pooling deliberately diverges: the
+    reference max-pools over zero-padded frames, clamping at >= 0;
+    ours masks to real frames — documented in checkpoint.py.)"""
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REF)
+    try:
+        from models.sequential import Encoder
+    finally:
+        sys.path.remove(REF)
+
+    from action_segmentation_tpu.checkpoint import (
+        lstm_params_from_reference_state_dict,
+    )
+    from action_segmentation_tpu.models import rnn
+
+    rng = np.random.RandomState(29)
+    Df, H = 6, 8  # output_dim = H (H//2 per direction)
+    args = types.SimpleNamespace(seq_num_layers=2)
+    enc = Encoder(args, Df, H)
+    sd = {
+        "encoder.encoder." + k: v.detach().numpy()
+        for k, v in enc.encoder.state_dict().items()
+    }
+    params = lstm_params_from_reference_state_dict(sd, "encoder.encoder.")
+    assert len(params["layers"]) == 2
+    assert len(params["layers"][0]) == 2  # bidirectional
+
+    B, T = 3, 12
+    x = rng.randn(B, T, Df).astype(np.float32)
+    lengths = np.full(B, T, np.int64)  # unpadded: pooling quirk dormant
+    want = enc(
+        torch.from_numpy(x), torch.from_numpy(lengths), output_padding_value=0
+    ).detach().numpy()
+    got = np.asarray(rnn.lstm_apply(params, jnp.asarray(x), jnp.asarray(lengths)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_compound_vae_migration_decode(ref_sm, tmp_path):
+    """Full compound + VAE migration (the last former refusal): encoder
+    and factor heads import from a reference state_dict, and mean-z
+    decode on unpadded videos matches the reference DP."""
+    if "." not in sys.path:
+        sys.path.insert(0, ".")
+    from scripts.import_reference_model import main as import_main
+
+    from action_segmentation_tpu.api import Segmenter
+
+    rng = np.random.RandomState(31)
+    n_classes, Dm, e, max_k = 4, 6, 8, 5
+    args = make_args(max_k)
+    args.sm_component_mean_layers = 1
+    args.sm_component_length_layers = 1
+    args.sm_component_embedding_dim = e
+    args.sm_component_z_dim = 3
+    args.sm_component_z_hidden_dim = 8
+    args.sm_compound_structure = True
+    args.seq_num_layers = 2
+
+    ref = ref_sm.ComponentSemiMarkovModule(
+        args, n_classes, n_classes, {c: {c} for c in range(n_classes)}, Dm,
+        allow_self_transitions=True, per_class_bias=True,
+    )
+    with torch.no_grad():
+        ref.emission_mean_bias.copy_(torch.from_numpy(
+            rng.randn(Dm).astype(np.float32)))
+        cov = rng.uniform(0.5, 1.5, Dm).astype(np.float32)
+        ref.gaussian_cov.copy_(torch.diag(torch.from_numpy(cov)))
+
+    sd_path = str(tmp_path / "ref_vae.pt")
+    torch.save(ref.state_dict(), sd_path)
+    out_path = str(tmp_path / "imported.pkl")
+    import_main([
+        "--state_dict", sd_path, "--output", out_path,
+        "--sm_max_span_length", str(max_k),
+    ])
+
+    seg = Segmenter.load(out_path)
+    assert seg.model.module.z_dim == 3
+    # one video per segment_many call -> unpadded (the reference's
+    # pad-pooling quirk is dormant; see test_vae_encoder_import_parity)
+    for _ in range(3):
+        T = int(rng.randint(10, 25))
+        feats = rng.randn(T, Dm).astype(np.float32)
+        labels = seg.segment_many([feats])[0]
+
+        ft = torch.from_numpy(feats[None])
+        lt = torch.tensor([T])
+        ref.set_z(ft, lt, use_mean=True)
+        scores, _ = ref.score_features(
+            ft, lt, torch.arange(n_classes), add_eos=True, use_mean_z=True,
+        )
+        rspans, _ = np_edge_viterbi(scores.detach().double().numpy()[0], T + 1)
+        np.testing.assert_array_equal(np.asarray(labels), _fill(rspans[:T]))
