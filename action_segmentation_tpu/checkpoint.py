@@ -370,3 +370,78 @@ def lstm_params_from_reference_state_dict(sd, prefix):
         layers.append(cells)
         l += 1
     return {"layers": layers}
+
+
+def _lin_to_reference(p, prefix):
+    return {
+        prefix + ".weight": np.ascontiguousarray(np.asarray(p["w"]).T),
+        prefix + ".bias": np.asarray(p["b"]),
+    }
+
+
+def _res_mlp_to_reference(p, prefix):
+    out = _lin_to_reference(p["in"], "{}.0".format(prefix))
+    for i, r in enumerate(p["res"]):
+        out.update(_lin_to_reference(r["lin1"], "{}.{}.lin1".format(prefix, i + 1)))
+        out.update(_lin_to_reference(r["lin2"], "{}.{}.lin2".format(prefix, i + 1)))
+    out.update(_lin_to_reference(p["out"], "{}.{}".format(prefix, 1 + len(p["res"]))))
+    return out
+
+
+def _relu_net_to_reference(p, prefix):
+    layers = p["layers"]
+    out = _lin_to_reference(layers[0], prefix + ".in_layer")
+    for j, lyr in enumerate(layers[1:-1]):
+        out.update(_lin_to_reference(lyr, "{}.cell{}".format(prefix, j)))
+    out.update(_lin_to_reference(layers[-1], prefix + ".out_layer"))
+    return out
+
+
+def reference_state_dict_from_params(params):
+    """Inverse of the import mappings: serialize a module's param pytree
+    as a reference-named numpy state_dict that the reference's own
+    ``load_state_dict`` accepts (Gaussian SemiMarkovModule or
+    ComponentSemiMarkovModule, including NICE flow and VAE encoder) —
+    migration is bidirectional. Round-trip and reference-decode parity:
+    tests/test_reference_dp_parity.py::test_export_to_reference_*.
+    """
+    params = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+    sd = {}
+    compound = "initial_embeddings" in params
+    if compound:
+        for name in ("initial", "transition", "emission", "length"):
+            sd[name + "_embeddings.weight"] = params[name + "_embeddings"]
+        sd.update(_lin_to_reference(params["initial_weights"], "initial_weights"))
+        sd.update(_lin_to_reference(params["transition_weights"], "transition_weights"))
+        sd.update(_res_mlp_to_reference(params["emission_mean_mlp"], "emission_mean_mlp"))
+        sd.update(_res_mlp_to_reference(params["length_mlp"], "length_mlp"))
+        sd["emission_mean_bias"] = params["emission_mean_bias"]
+        for name in ("initial_bias", "transition_bias", "length_bias"):
+            if name in params:
+                sd[name] = params[name]
+        if "encoder" in params:
+            for l, cells in enumerate(params["encoder"]["layers"]):
+                for cell, suffix in zip(cells, ("", "_reverse")):
+                    base = "encoder.encoder."
+                    sd[base + "weight_ih_l{}{}".format(l, suffix)] = (
+                        np.ascontiguousarray(cell["w_ih"].T))
+                    sd[base + "weight_hh_l{}{}".format(l, suffix)] = (
+                        np.ascontiguousarray(cell["w_hh"].T))
+                    sd[base + "bias_ih_l{}{}".format(l, suffix)] = cell["b_ih"]
+                    sd[base + "bias_hh_l{}{}".format(l, suffix)] = cell["b_hh"]
+            sd.update(_lin_to_reference(params["encoder_to_params"], "encoder_to_params"))
+    else:
+        for name in ("poisson_log_rates", "gaussian_means",
+                     "transition_logits", "init_logits"):
+            sd[name] = params[name]
+    cov = params["gaussian_cov"]
+    sd["gaussian_cov"] = np.diag(cov) if cov.ndim == 1 else cov
+    if "feature_projector" in params:
+        flow = params["feature_projector"]
+        for i, cell in enumerate(flow["cells"]):
+            sd.update(_relu_net_to_reference(
+                cell, "feature_projector.cell{}".format(i)))
+        for i, cell in enumerate(flow.get("scale_cells", [])):
+            sd.update(_relu_net_to_reference(
+                cell, "feature_projector.scale_cell{}".format(i)))
+    return sd

@@ -218,8 +218,12 @@ class ComponentHsmm(GaussianHsmm):
         mvc = jnp.asarray(self.merge_map)[vcs] if self.merge_map is not None else vcs
 
         feats, log_det = self.project_features(params, features, lengths)
+        # z encodes the RAW features: the reference calls set_z before
+        # the flow projector runs (semimarkov_modules.py:566-571) —
+        # caught by test_export_to_reference_decode, which pairs the
+        # compound model with a flow for the first time
         z, kl = self._get_z_and_kl(
-            params, feats, lengths, rng, use_mean_z, key_offset=key_offset
+            params, features, lengths, rng, use_mean_z, key_offset=key_offset
         )
 
         # initial: w . embed(class) (+ class bias), masked log-softmax

@@ -1136,3 +1136,139 @@ def test_compound_vae_migration_decode(ref_sm, tmp_path):
         )
         rspans, _ = np_edge_viterbi(scores.detach().double().numpy()[0], T + 1)
         np.testing.assert_array_equal(np.asarray(labels), _fill(rspans[:T]))
+
+
+def test_export_to_reference_roundtrip():
+    """reference_state_dict_from_params is the exact inverse of the
+    import mappings (Gaussian + flow round-trips through the reference
+    naming)."""
+    import jax
+    import jax.numpy as jnp
+
+    from action_segmentation_tpu.checkpoint import (
+        params_from_reference_state_dict,
+        reference_state_dict_from_params,
+    )
+    from action_segmentation_tpu.models.semimarkov import GaussianHsmm
+
+    args = make_args(5)
+    args.sm_feature_projection = True
+    args.flow_hidden_layers = 1
+    args.flow_hidden_units = 6
+    args.flow_couple_layers = 2
+    args.flow_scale = True
+    args.flow_scale_no_zero = True
+    ours = GaussianHsmm(args, 4, 8, allow_self_transitions=True, seed=3)
+
+    sd = reference_state_dict_from_params(ours.params)
+    back, _ = params_from_reference_state_dict(sd)
+    flat_a = jax.tree_util.tree_leaves_with_path(ours.params)
+    flat_b = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(
+            jax.tree_util.tree_map(jnp.asarray, back)
+        )
+    )
+    for key, val in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(val), np.asarray(flat_b[jax.tree_util.keystr(key)]),
+            err_msg=jax.tree_util.keystr(key),
+        )
+
+
+def test_export_to_reference_decode(ref_sm, tmp_path):
+    """Bidirectional migration, the hard direction: OUR compound + VAE +
+    flow weights exported through scripts/export_reference_model.py load
+    into the reference's OWN ComponentSemiMarkovModule (strict
+    state_dict), and the reference DP decodes identically to us."""
+    import pickle as pkl
+
+    import jax
+
+    if "." not in sys.path:
+        sys.path.insert(0, ".")
+    from scripts.export_reference_model import main as export_main
+
+    from action_segmentation_tpu.api import Segmenter
+    from action_segmentation_tpu.models.compound import ComponentHsmm
+    from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+
+    rng = np.random.RandomState(37)
+    n_classes, Dm, e, max_k = 4, 6, 8, 5
+    args = make_args(max_k)
+    args.sm_component_model = True
+    args.sm_component_mean_layers = 1
+    args.sm_component_length_layers = 1
+    args.sm_component_embedding_dim = e
+    args.sm_component_z_dim = 3
+    args.sm_component_z_hidden_dim = 8
+    args.seq_num_layers_component = 2
+    args.seq_num_layers = 2
+    args.sm_compound_structure = True
+    args.cuda = False
+    args.sm_feature_projection = True
+    args.flow_hidden_layers = 1
+    args.flow_hidden_units = 6
+    args.flow_couple_layers = 2
+    args.flow_scale = False
+
+    module = ComponentHsmm(
+        args, n_classes, n_classes, {c: {c} for c in range(n_classes)}, Dm,
+        allow_self_transitions=True, seed=7,
+    )
+    ours = SemiMarkovModel(args, n_classes, Dm, module)
+    model_path = str(tmp_path / "ours.pkl")
+    with open(model_path, "wb") as f:
+        pkl.dump(ours, f)
+    sd_path = str(tmp_path / "exported.pt")
+    export_main(["--model", model_path, "--output", sd_path])
+
+    ref = ref_sm.ComponentSemiMarkovModule(
+        args, n_classes, n_classes, {c: {c} for c in range(n_classes)}, Dm,
+        allow_self_transitions=True, per_class_bias=True,
+    )
+    missing = ref.load_state_dict(torch.load(sd_path), strict=True)
+    assert not missing.missing_keys and not missing.unexpected_keys
+
+    seg = Segmenter(ours)
+    for _ in range(2):
+        T = int(rng.randint(10, 22))
+        feats = rng.randn(T, Dm).astype(np.float32)
+        labels = np.asarray(seg.segment_many([feats])[0])
+
+        ft = torch.from_numpy(feats[None])
+        lt = torch.tensor([T])
+        ref.set_z(ft, lt, use_mean=True)
+        scores, _ = ref.score_features(
+            ft, lt, torch.arange(n_classes), add_eos=True, use_mean_z=True,
+        )
+        scores_np = scores.detach().double().numpy()[0]
+        _, rscore = np_edge_viterbi(scores_np, T + 1)
+        # fresh xavier weights give near-uniform factors, so boundary
+        # placements tie within float noise (and with self-transitions
+        # allowed, frame labels cannot reconstruct the internal span
+        # boundaries); the meaningful invariant is the max path score
+        # of the exported weights matching on both constructions
+        import jax.numpy as jnp
+        from action_segmentation_tpu.ops.hsmm import hsmm_viterbi
+
+        pots, _, _ = module.compute_potentials(
+            module.params,
+            jnp.asarray(feats[None]),
+            jnp.asarray([T], jnp.int32),
+            jnp.arange(n_classes, dtype=jnp.int32),
+            jnp.zeros((1, T, n_classes), jnp.float32),
+            jnp.zeros((1, n_classes), jnp.float32),
+            jax.random.PRNGKey(0),
+            True,
+        )
+        our_spans, our_score = hsmm_viterbi(pots, jnp.asarray([T], jnp.int32))
+        np.testing.assert_allclose(
+            float(np.asarray(our_score)[0]), rscore, rtol=1e-5, atol=1e-3
+        )
+        # and our decoded path, scored on the REFERENCE edge tensor,
+        # attains that same max
+        ours_on_ref = edge_path_score(
+            scores_np, np.asarray(our_spans)[0], T, n_classes
+        )
+        np.testing.assert_allclose(ours_on_ref, rscore, rtol=1e-5, atol=1e-3)
