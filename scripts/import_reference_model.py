@@ -15,6 +15,9 @@ Two input forms:
       --output out/all.pkl
 
 The output pickle drops into --model_input_path / api.Segmenter.load.
+Scope: the semimarkov family (Gaussian / compound, incl. NICE flow and
+VAE encoder — the paper's models). The baseline classifiers
+(framewise/sequential) are minutes to retrain and have no import path.
 Model flags (e.g. --sm_max_span_length) follow this framework's CLI;
 with --reference_pickle, the pickled args' shared flag values are
 applied automatically unless overridden.
