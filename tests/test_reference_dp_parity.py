@@ -1272,3 +1272,69 @@ def test_export_to_reference_decode(ref_sm, tmp_path):
             scores_np, np.asarray(our_spans)[0], T, n_classes
         )
         np.testing.assert_allclose(ours_on_ref, rscore, rtol=1e-5, atol=1e-3)
+
+
+def test_training_gradient_parity(ref_sm):
+    """The full unsupervised training gradient, differentially: d logZ /
+    d {init_logits, transition_logits, poisson_log_rates,
+    gaussian_means} computed by torch autograd through the reference's
+    own factor heads + log_hsmm + edge DP must match jax.grad through
+    our compute_potentials + hsmm_partition — the gradient every
+    training step consumes, end-to-end across the masked softmaxes,
+    Poisson table, Gaussian matmul, EOS folding and valid-class
+    slicing."""
+    import jax
+    import jax.numpy as jnp
+
+    from action_segmentation_tpu.ops.hsmm import hsmm_partition
+
+    rng = np.random.RandomState(41)
+    n_classes, max_k = 6, 5
+    ref, ours = build_pair(ref_sm, rng, n_classes, max_k,
+                           allow_self_transitions=True)
+    b, T = 3, 28
+    feats = rng.randn(b, T, D).astype(np.float32)
+    lengths = _random_lengths(rng, b, T)
+    vc = np.array([0, 1, 3, 4, 5])
+    vc_t = torch.from_numpy(vc).long()
+    lengths_t = torch.from_numpy(lengths).long()
+
+    # torch side: grads through the reference's own module
+    for p in (ref.init_logits, ref.transition_logits,
+              ref.poisson_log_rates, ref.gaussian_means):
+        p.requires_grad_(True)
+    scores, _ = ref.score_features(
+        torch.from_numpy(feats), lengths_t, vc_t,
+        add_eos=True, use_mean_z=False,
+    )
+    logz = torch_edge_logz(scores.double(), lengths + 1)
+    logz.sum().backward()
+
+    # our side: jax.grad through compute_potentials + hsmm_partition
+    C_sub = len(vc)
+    def total(params):
+        pots, _, _ = ours.compute_potentials(
+            params,
+            jnp.asarray(feats),
+            jnp.asarray(lengths, jnp.int32),
+            jnp.asarray(vc, jnp.int32),
+            jnp.zeros((b, T, C_sub), jnp.float32),
+            jnp.zeros((b, C_sub), jnp.float32),
+            jax.random.PRNGKey(0),
+            False,
+        )
+        return hsmm_partition(pots, jnp.asarray(lengths, jnp.int32)).sum()
+
+    grads = jax.grad(total)(ours.params)
+    for ours_key, ref_param in (
+        ("init_logits", ref.init_logits),
+        ("transition_logits", ref.transition_logits),
+        ("poisson_log_rates", ref.poisson_log_rates),
+        ("gaussian_means", ref.gaussian_means),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(grads[ours_key]),
+            ref_param.grad.numpy(),
+            rtol=1e-4, atol=2e-4,
+            err_msg=ours_key,
+        )
