@@ -285,6 +285,14 @@ def compound_params_from_reference_state_dict(state_dict):
         "z_dim": z_dim,
         "z_hidden_dim": z_hidden_dim,
         "encoder_layers": encoder_layers,
+        # --no_sm_compound_structure models take z out of the structure
+        # heads: their input dim is e, not e+z (indistinguishable and
+        # irrelevant when z_dim == 0)
+        "compound_structure": (
+            sd["initial_weights.weight"].shape[1] == emb.shape[1] + z_dim
+            if z_dim > 0
+            else True
+        ),
     }
     return params, meta
 
@@ -397,6 +405,20 @@ def _relu_net_to_reference(p, prefix):
     return out
 
 
+def _lstm_to_reference(p, prefix):
+    """Inverse of lstm_params_from_reference_state_dict."""
+    out = {}
+    for l, cells in enumerate(p["layers"]):
+        for cell, suffix in zip(cells, ("", "_reverse")):
+            out[prefix + "weight_ih_l{}{}".format(l, suffix)] = (
+                np.ascontiguousarray(cell["w_ih"].T))
+            out[prefix + "weight_hh_l{}{}".format(l, suffix)] = (
+                np.ascontiguousarray(cell["w_hh"].T))
+            out[prefix + "bias_ih_l{}{}".format(l, suffix)] = cell["b_ih"]
+            out[prefix + "bias_hh_l{}{}".format(l, suffix)] = cell["b_hh"]
+    return out
+
+
 def reference_state_dict_from_params(params):
     """Inverse of the import mappings: serialize a module's param pytree
     as a reference-named numpy state_dict that the reference's own
@@ -420,15 +442,7 @@ def reference_state_dict_from_params(params):
             if name in params:
                 sd[name] = params[name]
         if "encoder" in params:
-            for l, cells in enumerate(params["encoder"]["layers"]):
-                for cell, suffix in zip(cells, ("", "_reverse")):
-                    base = "encoder.encoder."
-                    sd[base + "weight_ih_l{}{}".format(l, suffix)] = (
-                        np.ascontiguousarray(cell["w_ih"].T))
-                    sd[base + "weight_hh_l{}{}".format(l, suffix)] = (
-                        np.ascontiguousarray(cell["w_hh"].T))
-                    sd[base + "bias_ih_l{}{}".format(l, suffix)] = cell["b_ih"]
-                    sd[base + "bias_hh_l{}{}".format(l, suffix)] = cell["b_hh"]
+            sd.update(_lstm_to_reference(params["encoder"], "encoder.encoder."))
             sd.update(_lin_to_reference(params["encoder_to_params"], "encoder_to_params"))
     else:
         for name in ("poisson_log_rates", "gaussian_means",

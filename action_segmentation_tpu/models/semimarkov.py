@@ -1061,6 +1061,7 @@ def semimarkov_from_reference_state_dict(args, state_dict, class_to_components=N
         args.sm_component_mean_layers = meta["mean_layers"]
         args.sm_component_length_layers = meta["length_layers"]
         args.sm_component_z_dim = meta["z_dim"]
+        args.sm_compound_structure = meta["compound_structure"]
         if meta["z_dim"] > 0:
             args.sm_component_z_hidden_dim = meta["z_hidden_dim"]
             args.seq_num_layers_component = meta["encoder_layers"]

@@ -1338,3 +1338,56 @@ def test_training_gradient_parity(ref_sm):
             rtol=1e-4, atol=2e-4,
             err_msg=ours_key,
         )
+
+
+def test_no_compound_structure_migration(ref_sm, tmp_path):
+    """--no_sm_compound_structure + z_dim > 0: the structure heads take
+    e-dim inputs (no z); the importer must detect the flag from
+    initial_weights' input dim instead of building mismatched heads."""
+    if "." not in sys.path:
+        sys.path.insert(0, ".")
+    from scripts.import_reference_model import main as import_main
+
+    from action_segmentation_tpu.api import Segmenter
+
+    rng = np.random.RandomState(43)
+    n_classes, Dm, e, max_k = 4, 6, 8, 5
+    args = make_args(max_k)
+    args.sm_component_mean_layers = 1
+    args.sm_component_length_layers = 1
+    args.sm_component_embedding_dim = e
+    args.sm_component_z_dim = 3
+    args.sm_component_z_hidden_dim = 8
+    args.sm_compound_structure = False  # --no_sm_compound_structure
+    args.seq_num_layers = 2
+
+    ref = ref_sm.ComponentSemiMarkovModule(
+        args, n_classes, n_classes, {c: {c} for c in range(n_classes)}, Dm,
+        allow_self_transitions=True, per_class_bias=True,
+    )
+    with torch.no_grad():
+        cov = rng.uniform(0.5, 1.5, Dm).astype(np.float32)
+        ref.gaussian_cov.copy_(torch.diag(torch.from_numpy(cov)))
+
+    sd_path = str(tmp_path / "ref_nostruct.pt")
+    torch.save(ref.state_dict(), sd_path)
+    out_path = str(tmp_path / "imported.pkl")
+    import_main([
+        "--state_dict", sd_path, "--output", out_path,
+        "--sm_max_span_length", str(max_k),
+    ])
+
+    seg = Segmenter.load(out_path)
+    assert seg.model.module.structure_uses_z is False
+    T = 16
+    feats = rng.randn(T, Dm).astype(np.float32)
+    labels = seg.segment_many([feats])[0]
+
+    ft = torch.from_numpy(feats[None])
+    lt = torch.tensor([T])
+    ref.set_z(ft, lt, use_mean=True)
+    scores, _ = ref.score_features(
+        ft, lt, torch.arange(n_classes), add_eos=True, use_mean_z=True,
+    )
+    rspans, _ = np_edge_viterbi(scores.detach().double().numpy()[0], T + 1)
+    np.testing.assert_array_equal(np.asarray(labels), _fill(rspans[:T]))
