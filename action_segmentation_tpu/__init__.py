@@ -19,3 +19,15 @@ Layout:
 __version__ = "0.1.0"
 
 BIG_NEG = -1e9
+
+# Reference parity is defined in fp32: the reference's CUDA stack runs
+# exact float32 matmuls, but JAX's DEFAULT matmul precision on TPU
+# rounds inputs to bf16 — measured 0.23-nat emission log-prob errors at
+# the production shape (D=300), enough to flip near-boundary frame
+# decodes (found by scripts/dp_parity_fuzz.py on-chip; CPU tests are
+# exact either way). Full-fp32 emission costs +0.035 ms of a ~0.96 ms
+# decode (~4%); the numerically-sensitive emission contractions also
+# pin Precision.HIGHEST explicitly in ops/distributions.py.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "float32")

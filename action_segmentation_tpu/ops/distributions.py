@@ -28,11 +28,15 @@ def gaussian_emission_log_probs(features, means, cov_diag):
     """
     inv_v = 1.0 / cov_diag
     const = -0.5 * (features.shape[-1] * LOG_2PI + jnp.sum(jnp.log(cov_diag)))
-    x_sq = jnp.einsum("...td,d->...t", features**2, inv_v)
+    x_sq = jnp.einsum(
+        "...td,d->...t", features**2, inv_v,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     cross = jnp.einsum(
         "...td,...cd->...tc",
         features,
         means * inv_v,
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
     mu_sq = jnp.sum(means**2 * inv_v, axis=-1)  # (..., C)
@@ -50,9 +54,13 @@ def gaussian_emission_log_probs_diag(features, means, cov_diag):
     inv_v = 1.0 / cov_diag  # (C, D)
     D = features.shape[-1]
     const = -0.5 * (D * LOG_2PI + jnp.sum(jnp.log(cov_diag), axis=-1))  # (C,)
-    x_sq = jnp.einsum("...td,cd->...tc", features**2, inv_v)
+    x_sq = jnp.einsum(
+        "...td,cd->...tc", features**2, inv_v,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     cross = jnp.einsum(
         "...td,cd->...tc", features, means * inv_v,
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
     mu_sq = jnp.sum(means**2 * inv_v, axis=-1)  # (C,)
@@ -79,11 +87,13 @@ def gaussian_emission_log_probs_fullcov(features, means, cov):
             chol, jnp.eye(D, dtype=cov.dtype), lower=True
         )
         logdet = jnp.sum(jnp.log(jnp.diagonal(chol)))
-        y = jnp.einsum("...td,ed->...te", features, inv_chol)  # (..., T, D)
-        m = jnp.einsum("cd,ed->ce", means, inv_chol)  # (C, D)
+        hi = jax.lax.Precision.HIGHEST
+        y = jnp.einsum("...td,ed->...te", features, inv_chol, precision=hi)
+        m = jnp.einsum("cd,ed->ce", means, inv_chol, precision=hi)
         y_sq = jnp.sum(y**2, axis=-1)
         cross = jnp.einsum(
-            "...te,ce->...tc", y, m, preferred_element_type=jnp.float32
+            "...te,ce->...tc", y, m, precision=hi,
+            preferred_element_type=jnp.float32,
         )
         m_sq = jnp.sum(m**2, axis=-1)
         quad = y_sq[..., None] - 2.0 * cross + m_sq
@@ -95,8 +105,9 @@ def gaussian_emission_log_probs_fullcov(features, means, cov):
         lower=True,
     )
     logdet = jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
-    ys = jnp.einsum("cij,...tj->...tci", inv_chol, features)  # (..., T, C, D)
-    mu_y = jnp.einsum("cij,cj->ci", inv_chol, means)  # (C, D)
+    hi = jax.lax.Precision.HIGHEST
+    ys = jnp.einsum("cij,...tj->...tci", inv_chol, features, precision=hi)
+    mu_y = jnp.einsum("cij,cj->ci", inv_chol, means, precision=hi)
     quad = jnp.sum((ys - mu_y) ** 2, axis=-1)  # (..., T, C)
     return -0.5 * (D * LOG_2PI + quad) - logdet
 

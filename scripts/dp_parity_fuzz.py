@@ -1,0 +1,180 @@
+"""Randomized differential fuzzing against the reference's log_hsmm.
+
+Reuses the tests/test_reference_dp_parity.py harness to sweep many
+random configurations (C, K, T, batch, ragged lengths, constraint
+density, merges, narration penalties, self-transition bans, valid-class
+subsets) and compare log-partition + Viterbi score + frame marginals
+against the reference's own edge-tensor construction. A one-off hunt
+for latent semantic mismatches beyond the pinned test configs.
+
+Run: python scripts/dp_parity_fuzz.py [n_configs] [seed]
+Exits nonzero on the first mismatch, printing the offending config.
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def random_config(rng):
+    n_classes = int(rng.randint(2, 9))
+    T = int(rng.randint(4, 36))
+    cfg = {
+        "n_classes": n_classes,
+        # max_k > padded T hits the reference's K-clamp representability
+        # quirk (full-buffer spans unrepresentable in its edge tensor) —
+        # a KNOWN pinned divergence
+        # (test_k_clamp_divergence_is_only_the_full_buffer_span), so the
+        # fuzz space stays below it
+        "max_k": int(rng.randint(2, min(8, T + 1))),
+        "allow_self_transitions": bool(rng.rand() < 0.5),
+        "b": int(rng.randint(1, 5)),
+        "T": T,
+        "constrained": bool(rng.rand() < 0.5),
+        "merged": bool(rng.rand() < 0.4),
+        "narration": bool(rng.rand() < 0.4),
+        "subset": bool(rng.rand() < 0.6),
+    }
+    return cfg
+
+
+def build_constraints(rng, n_classes):
+    """Random allowed-transition structure with at least one VALID path:
+    ends are drawn from the transition-closure of the starts (an
+    unsatisfiable grammar drives logZ to BIG_NEG saturation on both
+    sides, where posteriors are numerically arbitrary — the reference
+    would be training on a 1e9 loss)."""
+    starts = set(
+        int(c) for c in rng.choice(n_classes, size=max(1, n_classes // 2),
+                                   replace=False)
+    )
+    transitions = {}
+    for src in range(n_classes):
+        tgts = rng.choice(n_classes, size=max(1, int(rng.randint(1, n_classes + 1))),
+                          replace=False)
+        transitions[src] = set(int(t) for t in tgts)
+    reachable = set(starts)
+    frontier = set(starts)
+    while frontier:
+        nxt = set()
+        for src in frontier:
+            nxt |= transitions.get(src, set())
+        frontier = nxt - reachable
+        reachable |= nxt
+    reachable = sorted(reachable)
+    k = max(1, int(rng.randint(1, len(reachable) + 1)))
+    ends = set(int(c) for c in rng.choice(reachable, size=k, replace=False))
+    return starts, transitions, ends
+
+
+def main():
+    n_configs = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+
+    import tests.test_reference_dp_parity as harness
+
+    # materialize the module fixture by hand
+    gen = harness.ref_sm.__wrapped__()
+    ref_mod = next(gen)
+
+    rng = np.random.RandomState(seed)
+    for i in range(n_configs):
+        cfg = random_config(rng)
+        n_classes = cfg["n_classes"]
+        constraints = merge = None
+        if cfg["constrained"]:
+            constraints = build_constraints(rng, n_classes)
+        if cfg["merged"]:
+            merge = {c: c for c in range(n_classes)}
+            if n_classes >= 3:
+                merge[n_classes - 1] = int(rng.randint(n_classes - 1))
+        ref, ours = harness.build_pair(
+            ref_mod, rng, n_classes, cfg["max_k"],
+            cfg["allow_self_transitions"], constraints=constraints,
+            merge=merge,
+        )
+        b, T = cfg["b"], cfg["T"]
+        feats = rng.randn(b, T, harness.D).astype(np.float32)
+        lengths = np.maximum(rng.randint(1, T + 1, size=b), 1).astype(np.int64)
+        lengths[0] = T
+        if cfg["subset"] and n_classes > 2:
+            k = int(rng.randint(2, n_classes + 1))
+            vc = set(int(c) for c in rng.choice(n_classes, size=k, replace=False))
+            if constraints is not None:
+                # both sides assert when the subset excludes every
+                # allowed end (log_hsmm:470 / _batch_device_args);
+                # real task structures guarantee ends are valid classes
+                vc.add(int(rng.choice(sorted(constraints[2]))))
+                vc.add(int(rng.choice(sorted(constraints[0]))))
+            vc = np.sort(np.fromiter(vc, dtype=np.int64))
+        elif constraints is not None:
+            # the reference's score_features iterates valid_classes to
+            # build allowed_ends (semimarkov_modules.py:566-577); its
+            # callers always pass explicit indices when constrained
+            vc = np.arange(n_classes)
+        else:
+            vc = None
+        classes = list(vc) if vc is not None else list(range(n_classes))
+        cons = None
+        if cfg["narration"]:
+            cons = ((rng.rand(b, T, len(classes)) < 0.3) * -6.0).astype(
+                np.float32
+            )
+        addl = None
+        if constraints is not None:
+            # per-instance additional ends from the valid set
+            addl = [
+                [int(rng.choice(classes))] if rng.rand() < 0.5 else []
+                for _ in range(b)
+            ]
+        # skip instances with (numerically) no valid path: marginal /
+        # decode comparisons under BIG_NEG saturation compare noise
+        import jax
+        import jax.numpy as jnp
+
+        from action_segmentation_tpu.ops.hsmm import hsmm_partition
+
+        classes_arr = np.asarray(classes, np.int64)
+        end_allowed = np.zeros((b, len(classes)), np.float32)
+        if ours.allowed_ends is not None:
+            for ii in range(b):
+                allowed = set(ours.allowed_ends) | set(addl[ii])
+                end_allowed[ii] = np.where(
+                    np.array([ix in allowed for ix in classes_arr]), 0.0, -1e9
+                )
+        pots, _, _ = ours.compute_potentials(
+            ours.params, jnp.asarray(feats),
+            jnp.asarray(lengths, jnp.int32),
+            jnp.asarray(classes_arr, jnp.int32),
+            jnp.asarray(cons) if cons is not None
+            else jnp.zeros((b, T, len(classes)), jnp.float32),
+            jnp.asarray(end_allowed), jax.random.PRNGKey(0), False,
+        )
+        logz = np.asarray(hsmm_partition(pots, jnp.asarray(lengths, jnp.int32)))
+        if (logz < -1e8).any():
+            print("skip degenerate config {} (dead instance)".format(i), flush=True)
+            continue
+        try:
+            harness.run_parity(
+                ref_mod, ref, ours, feats, lengths,
+                None if vc is None else np.asarray(vc),
+                cons, addl,
+                check_marginals=(i % 3 == 0),  # marginals are the slow leg
+                exact_labels=(merge is None),
+            )
+        except Exception:
+            print("MISMATCH at config {}: {}".format(i, cfg), flush=True)
+            raise
+        if (i + 1) % 10 == 0:
+            print("{}/{} configs OK".format(i + 1, n_configs), flush=True)
+    try:  # run the fixture's cleanup while the interpreter is intact
+        next(gen)
+    except StopIteration:
+        pass
+    print("dp parity fuzz: {} configs OK".format(n_configs))
+
+
+if __name__ == "__main__":
+    main()
