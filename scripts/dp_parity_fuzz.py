@@ -17,6 +17,8 @@ sys.path.insert(0, ".")
 
 import numpy as np
 
+D = 8  # feature dim (matches the harness)
+
 
 def random_config(rng):
     n_classes = int(rng.randint(2, 9))
@@ -176,5 +178,180 @@ def main():
     print("dp parity fuzz: {} configs OK".format(n_configs))
 
 
+
+
+def compound_fuzz(n_configs, seed):
+    """Compound-model differential fuzz: random structures (component
+    maps incl. decompose-style many-to-many, embedding dims, MLP depths,
+    z on/off, compound-structure flag, constraints, merges, subsets)
+    flow through the VERIFIED import mapping
+    (compound_params_from_reference_state_dict) into ComponentHsmm, and
+    partition + Viterbi max-score must match the reference's own
+    score_features edge tensor. z_dim > 0 configs use uniform full
+    lengths (the reference's pad-pooling quirk is a documented delta).
+    """
+    import torch
+
+    import tests.test_reference_dp_parity as harness
+    from action_segmentation_tpu.checkpoint import (
+        compound_params_from_reference_state_dict,
+    )
+    from action_segmentation_tpu.models.compound import ComponentHsmm
+    from action_segmentation_tpu.ops.hsmm import hsmm_partition, hsmm_viterbi
+
+    import jax
+    import jax.numpy as jnp
+
+    gen = harness.ref_sm.__wrapped__()
+    ref_mod = next(gen)
+    rng = np.random.RandomState(seed)
+
+    for i in range(n_configs):
+        n_classes = int(rng.randint(2, 7))
+        T = int(rng.randint(6, 26))
+        max_k = int(rng.randint(2, min(7, T + 1)))
+        z_dim = int(rng.choice([0, 0, 2, 3]))
+        cfg = dict(
+            n_classes=n_classes, T=T, max_k=max_k, z_dim=z_dim,
+            allow_self=bool(rng.rand() < 0.5),
+            compound_structure=bool(rng.rand() < 0.7),
+            decompose=bool(rng.rand() < 0.5),
+            constrained=bool(rng.rand() < 0.4),
+            merged=bool(rng.rand() < 0.3),
+        )
+        args = harness.make_args(max_k)
+        args.cuda = False
+        args.sm_component_mean_layers = int(rng.randint(1, 3))
+        args.sm_component_length_layers = int(rng.randint(1, 3))
+        args.sm_component_embedding_dim = int(rng.randint(4, 13))
+        args.sm_component_z_dim = z_dim
+        args.sm_component_z_hidden_dim = 8
+        args.sm_compound_structure = cfg["compound_structure"]
+        args.seq_num_layers = 2
+        args.seq_num_layers_component = 2
+
+        if cfg["decompose"]:
+            n_components = n_classes + int(rng.randint(0, 4))
+            c2c = {
+                c: set(
+                    int(x) for x in rng.choice(
+                        n_components,
+                        size=int(rng.randint(1, min(4, n_components) + 1)),
+                        replace=False,
+                    )
+                )
+                for c in range(n_classes)
+            }
+        else:
+            n_components = n_classes
+            c2c = {c: {c} for c in range(n_classes)}
+
+        kw = {}
+        constraints = None
+        if cfg["constrained"]:
+            constraints = build_constraints(rng, n_classes)
+            kw = dict(allowed_starts=constraints[0],
+                      allowed_transitions=constraints[1],
+                      allowed_ends=constraints[2])
+        merge = None
+        if cfg["merged"]:
+            merge = {c: c for c in range(n_classes)}
+            if n_classes >= 3:
+                merge[n_classes - 1] = int(rng.randint(n_classes - 1))
+
+        ref = ref_mod.ComponentSemiMarkovModule(
+            args, n_classes, n_components, c2c, D,
+            allow_self_transitions=cfg["allow_self"], per_class_bias=True,
+            merge_classes=merge, **kw,
+        )
+        with torch.no_grad():
+            for name in ("initial_bias", "transition_bias", "length_bias"):
+                getattr(ref, name).copy_(torch.from_numpy(
+                    rng.randn(n_classes).astype(np.float32) * 0.3))
+            ref.emission_mean_bias.copy_(torch.from_numpy(
+                rng.randn(D).astype(np.float32)))
+            cov = rng.uniform(0.5, 1.5, D).astype(np.float32)
+            ref.gaussian_cov.copy_(torch.diag(torch.from_numpy(cov)))
+
+        params, _ = compound_params_from_reference_state_dict({
+            k: v.detach().numpy() for k, v in ref.state_dict().items()
+        })
+        ours = ComponentHsmm(
+            args, n_classes, n_components, c2c, D,
+            allow_self_transitions=cfg["allow_self"], per_class_bias=True,
+            merge_classes=merge, seed=0, **kw,
+        )
+        ours.params = jax.tree_util.tree_map(jnp.asarray, params)
+
+        b = int(rng.randint(1, 4))
+        feats = rng.randn(b, T, D).astype(np.float32)
+        if z_dim > 0:
+            lengths = np.full(b, T, np.int64)
+        else:
+            lengths = np.maximum(rng.randint(1, T + 1, size=b), 1).astype(np.int64)
+            lengths[0] = T
+        vc = np.arange(n_classes)
+        addl = [[] for _ in range(b)]
+
+        ft = torch.from_numpy(feats)
+        lt = torch.from_numpy(lengths).long()
+        ref.set_z(ft, lt, use_mean=True)
+        scores, _ = ref.score_features(
+            ft, lt, torch.from_numpy(vc).long(), add_eos=True,
+            use_mean_z=True,
+            additional_allowed_ends_per_instance=(
+                addl if ref.allowed_ends is not None else None
+            ),
+        )
+        scores_np = scores.detach().double().numpy()
+        ref_logz = harness.torch_edge_logz(
+            scores.double(), lengths + 1).detach().numpy()
+
+        end_allowed = np.zeros((b, n_classes), np.float32)
+        if ours.allowed_ends is not None:
+            for ii in range(b):
+                allowed = set(ours.allowed_ends)
+                mask = np.array([ix in allowed for ix in vc])
+                end_allowed[ii] = np.where(mask, 0.0, -1e9)
+        pots, _, _ = ours.compute_potentials(
+            ours.params, jnp.asarray(feats), jnp.asarray(lengths, jnp.int32),
+            jnp.asarray(vc, jnp.int32),
+            jnp.zeros((b, T, n_classes), jnp.float32),
+            jnp.asarray(end_allowed), jax.random.PRNGKey(0), True,
+        )
+        our_logz = np.asarray(hsmm_partition(pots, jnp.asarray(lengths, jnp.int32)))
+        if (our_logz < -1e8).any():
+            print("skip degenerate compound config {}".format(i), flush=True)
+            continue
+        try:
+            np.testing.assert_allclose(our_logz, ref_logz, rtol=1e-5, atol=5e-3)
+            our_spans, our_scores = hsmm_viterbi(
+                pots, jnp.asarray(lengths, jnp.int32))
+            for ii in range(b):
+                L = int(lengths[ii]) + 1
+                _, rscore = harness.np_edge_viterbi(scores_np[ii], L)
+                np.testing.assert_allclose(
+                    float(np.asarray(our_scores)[ii]), rscore,
+                    rtol=1e-5, atol=5e-3,
+                )
+        except Exception:
+            print("COMPOUND MISMATCH at config {}: {}".format(i, cfg), flush=True)
+            raise
+        if (i + 1) % 10 == 0:
+            print("{}/{} compound configs OK".format(i + 1, n_configs), flush=True)
+    try:
+        next(gen)
+    except StopIteration:
+        pass
+    print("compound parity fuzz: {} configs OK".format(n_configs))
+
+
 if __name__ == "__main__":
-    main()
+    if "--compound" in sys.argv:
+        sys.argv.remove("--compound")
+        compound_fuzz(
+            int(sys.argv[1]) if len(sys.argv) > 1 else 30,
+            int(sys.argv[2]) if len(sys.argv) > 2 else 0,
+        )
+    else:
+        main()
