@@ -71,6 +71,101 @@ def build_constraints(rng, n_classes):
     return starts, transitions, ends
 
 
+def fuzz_one(harness, ref_mod, rng, i, check_marginals=None):
+    """Draw and run ONE random differential config; returns 'ok' or
+    'skip'. Raises on any mismatch against the reference edge-DP.
+    Shared by the one-off sweep (main) and the standing pytest slice
+    (tests/test_dp_parity_fuzz.py)."""
+    cfg = random_config(rng)
+    n_classes = cfg["n_classes"]
+    constraints = merge = None
+    if cfg["constrained"]:
+        constraints = build_constraints(rng, n_classes)
+    if cfg["merged"]:
+        merge = {c: c for c in range(n_classes)}
+        if n_classes >= 3:
+            merge[n_classes - 1] = int(rng.randint(n_classes - 1))
+    ref, ours = harness.build_pair(
+        ref_mod, rng, n_classes, cfg["max_k"],
+        cfg["allow_self_transitions"], constraints=constraints,
+        merge=merge,
+    )
+    b, T = cfg["b"], cfg["T"]
+    feats = rng.randn(b, T, harness.D).astype(np.float32)
+    lengths = np.maximum(rng.randint(1, T + 1, size=b), 1).astype(np.int64)
+    lengths[0] = T
+    if cfg["subset"] and n_classes > 2:
+        k = int(rng.randint(2, n_classes + 1))
+        vc = set(int(c) for c in rng.choice(n_classes, size=k, replace=False))
+        if constraints is not None:
+            # both sides assert when the subset excludes every
+            # allowed end (log_hsmm:470 / _batch_device_args);
+            # real task structures guarantee ends are valid classes
+            vc.add(int(rng.choice(sorted(constraints[2]))))
+            vc.add(int(rng.choice(sorted(constraints[0]))))
+        vc = np.sort(np.fromiter(vc, dtype=np.int64))
+    elif constraints is not None:
+        # the reference's score_features iterates valid_classes to
+        # build allowed_ends (semimarkov_modules.py:566-577); its
+        # callers always pass explicit indices when constrained
+        vc = np.arange(n_classes)
+    else:
+        vc = None
+    classes = list(vc) if vc is not None else list(range(n_classes))
+    cons = None
+    if cfg["narration"]:
+        cons = ((rng.rand(b, T, len(classes)) < 0.3) * -6.0).astype(
+            np.float32
+        )
+    addl = None
+    if constraints is not None:
+        # per-instance additional ends from the valid set
+        addl = [
+            [int(rng.choice(classes))] if rng.rand() < 0.5 else []
+            for _ in range(b)
+        ]
+    # skip instances with (numerically) no valid path: marginal /
+    # decode comparisons under BIG_NEG saturation compare noise
+    import jax
+    import jax.numpy as jnp
+
+    from action_segmentation_tpu.ops.hsmm import hsmm_partition
+
+    classes_arr = np.asarray(classes, np.int64)
+    end_allowed = np.zeros((b, len(classes)), np.float32)
+    if ours.allowed_ends is not None:
+        for ii in range(b):
+            allowed = set(ours.allowed_ends) | set(addl[ii])
+            end_allowed[ii] = np.where(
+                np.array([ix in allowed for ix in classes_arr]), 0.0, -1e9
+            )
+    pots, _, _ = ours.compute_potentials(
+        ours.params, jnp.asarray(feats),
+        jnp.asarray(lengths, jnp.int32),
+        jnp.asarray(classes_arr, jnp.int32),
+        jnp.asarray(cons) if cons is not None
+        else jnp.zeros((b, T, len(classes)), jnp.float32),
+        jnp.asarray(end_allowed), jax.random.PRNGKey(0), False,
+    )
+    logz = np.asarray(hsmm_partition(pots, jnp.asarray(lengths, jnp.int32)))
+    if (logz < -1e8).any():
+        return "skip"
+    try:
+        harness.run_parity(
+            ref_mod, ref, ours, feats, lengths,
+            None if vc is None else np.asarray(vc),
+            cons, addl,
+            check_marginals=(
+                (i % 3 == 0) if check_marginals is None else check_marginals
+            ),  # marginals are the slow leg
+            exact_labels=(merge is None),
+        )
+    except Exception:
+        print("MISMATCH at config {}: {}".format(i, cfg), flush=True)
+        raise
+    return "ok"
+
+
 def main():
     n_configs = int(sys.argv[1]) if len(sys.argv) > 1 else 60
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
@@ -83,92 +178,8 @@ def main():
 
     rng = np.random.RandomState(seed)
     for i in range(n_configs):
-        cfg = random_config(rng)
-        n_classes = cfg["n_classes"]
-        constraints = merge = None
-        if cfg["constrained"]:
-            constraints = build_constraints(rng, n_classes)
-        if cfg["merged"]:
-            merge = {c: c for c in range(n_classes)}
-            if n_classes >= 3:
-                merge[n_classes - 1] = int(rng.randint(n_classes - 1))
-        ref, ours = harness.build_pair(
-            ref_mod, rng, n_classes, cfg["max_k"],
-            cfg["allow_self_transitions"], constraints=constraints,
-            merge=merge,
-        )
-        b, T = cfg["b"], cfg["T"]
-        feats = rng.randn(b, T, harness.D).astype(np.float32)
-        lengths = np.maximum(rng.randint(1, T + 1, size=b), 1).astype(np.int64)
-        lengths[0] = T
-        if cfg["subset"] and n_classes > 2:
-            k = int(rng.randint(2, n_classes + 1))
-            vc = set(int(c) for c in rng.choice(n_classes, size=k, replace=False))
-            if constraints is not None:
-                # both sides assert when the subset excludes every
-                # allowed end (log_hsmm:470 / _batch_device_args);
-                # real task structures guarantee ends are valid classes
-                vc.add(int(rng.choice(sorted(constraints[2]))))
-                vc.add(int(rng.choice(sorted(constraints[0]))))
-            vc = np.sort(np.fromiter(vc, dtype=np.int64))
-        elif constraints is not None:
-            # the reference's score_features iterates valid_classes to
-            # build allowed_ends (semimarkov_modules.py:566-577); its
-            # callers always pass explicit indices when constrained
-            vc = np.arange(n_classes)
-        else:
-            vc = None
-        classes = list(vc) if vc is not None else list(range(n_classes))
-        cons = None
-        if cfg["narration"]:
-            cons = ((rng.rand(b, T, len(classes)) < 0.3) * -6.0).astype(
-                np.float32
-            )
-        addl = None
-        if constraints is not None:
-            # per-instance additional ends from the valid set
-            addl = [
-                [int(rng.choice(classes))] if rng.rand() < 0.5 else []
-                for _ in range(b)
-            ]
-        # skip instances with (numerically) no valid path: marginal /
-        # decode comparisons under BIG_NEG saturation compare noise
-        import jax
-        import jax.numpy as jnp
-
-        from action_segmentation_tpu.ops.hsmm import hsmm_partition
-
-        classes_arr = np.asarray(classes, np.int64)
-        end_allowed = np.zeros((b, len(classes)), np.float32)
-        if ours.allowed_ends is not None:
-            for ii in range(b):
-                allowed = set(ours.allowed_ends) | set(addl[ii])
-                end_allowed[ii] = np.where(
-                    np.array([ix in allowed for ix in classes_arr]), 0.0, -1e9
-                )
-        pots, _, _ = ours.compute_potentials(
-            ours.params, jnp.asarray(feats),
-            jnp.asarray(lengths, jnp.int32),
-            jnp.asarray(classes_arr, jnp.int32),
-            jnp.asarray(cons) if cons is not None
-            else jnp.zeros((b, T, len(classes)), jnp.float32),
-            jnp.asarray(end_allowed), jax.random.PRNGKey(0), False,
-        )
-        logz = np.asarray(hsmm_partition(pots, jnp.asarray(lengths, jnp.int32)))
-        if (logz < -1e8).any():
+        if fuzz_one(harness, ref_mod, rng, i) == "skip":
             print("skip degenerate config {} (dead instance)".format(i), flush=True)
-            continue
-        try:
-            harness.run_parity(
-                ref_mod, ref, ours, feats, lengths,
-                None if vc is None else np.asarray(vc),
-                cons, addl,
-                check_marginals=(i % 3 == 0),  # marginals are the slow leg
-                exact_labels=(merge is None),
-            )
-        except Exception:
-            print("MISMATCH at config {}: {}".format(i, cfg), flush=True)
-            raise
         if (i + 1) % 10 == 0:
             print("{}/{} configs OK".format(i + 1, n_configs), flush=True)
     try:  # run the fixture's cleanup while the interpreter is intact
@@ -178,6 +189,153 @@ def main():
     print("dp parity fuzz: {} configs OK".format(n_configs))
 
 
+
+
+def compound_fuzz_one(harness, ref_mod, rng, i):
+    """Draw and run ONE random compound differential config; 'ok' or
+    'skip'. Raises on mismatch. Shared by compound_fuzz and the standing
+    pytest slice."""
+    import torch
+
+    from action_segmentation_tpu.checkpoint import (
+        compound_params_from_reference_state_dict,
+    )
+    from action_segmentation_tpu.models.compound import ComponentHsmm
+    from action_segmentation_tpu.ops.hsmm import hsmm_partition, hsmm_viterbi
+
+    import jax
+    import jax.numpy as jnp
+
+    n_classes = int(rng.randint(2, 7))
+    T = int(rng.randint(6, 26))
+    max_k = int(rng.randint(2, min(7, T + 1)))
+    z_dim = int(rng.choice([0, 0, 2, 3]))
+    cfg = dict(
+        n_classes=n_classes, T=T, max_k=max_k, z_dim=z_dim,
+        allow_self=bool(rng.rand() < 0.5),
+        compound_structure=bool(rng.rand() < 0.7),
+        decompose=bool(rng.rand() < 0.5),
+        constrained=bool(rng.rand() < 0.4),
+        merged=bool(rng.rand() < 0.3),
+    )
+    args = harness.make_args(max_k)
+    args.cuda = False
+    args.sm_component_mean_layers = int(rng.randint(1, 3))
+    args.sm_component_length_layers = int(rng.randint(1, 3))
+    args.sm_component_embedding_dim = int(rng.randint(4, 13))
+    args.sm_component_z_dim = z_dim
+    args.sm_component_z_hidden_dim = 8
+    args.sm_compound_structure = cfg["compound_structure"]
+    args.seq_num_layers = 2
+    args.seq_num_layers_component = 2
+
+    if cfg["decompose"]:
+        n_components = n_classes + int(rng.randint(0, 4))
+        c2c = {
+            c: set(
+                int(x) for x in rng.choice(
+                    n_components,
+                    size=int(rng.randint(1, min(4, n_components) + 1)),
+                    replace=False,
+                )
+            )
+            for c in range(n_classes)
+        }
+    else:
+        n_components = n_classes
+        c2c = {c: {c} for c in range(n_classes)}
+
+    kw = {}
+    constraints = None
+    if cfg["constrained"]:
+        constraints = build_constraints(rng, n_classes)
+        kw = dict(allowed_starts=constraints[0],
+                  allowed_transitions=constraints[1],
+                  allowed_ends=constraints[2])
+    merge = None
+    if cfg["merged"]:
+        merge = {c: c for c in range(n_classes)}
+        if n_classes >= 3:
+            merge[n_classes - 1] = int(rng.randint(n_classes - 1))
+
+    ref = ref_mod.ComponentSemiMarkovModule(
+        args, n_classes, n_components, c2c, D,
+        allow_self_transitions=cfg["allow_self"], per_class_bias=True,
+        merge_classes=merge, **kw,
+    )
+    with torch.no_grad():
+        for name in ("initial_bias", "transition_bias", "length_bias"):
+            getattr(ref, name).copy_(torch.from_numpy(
+                rng.randn(n_classes).astype(np.float32) * 0.3))
+        ref.emission_mean_bias.copy_(torch.from_numpy(
+            rng.randn(D).astype(np.float32)))
+        cov = rng.uniform(0.5, 1.5, D).astype(np.float32)
+        ref.gaussian_cov.copy_(torch.diag(torch.from_numpy(cov)))
+
+    params, _ = compound_params_from_reference_state_dict({
+        k: v.detach().numpy() for k, v in ref.state_dict().items()
+    })
+    ours = ComponentHsmm(
+        args, n_classes, n_components, c2c, D,
+        allow_self_transitions=cfg["allow_self"], per_class_bias=True,
+        merge_classes=merge, seed=0, **kw,
+    )
+    ours.params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    b = int(rng.randint(1, 4))
+    feats = rng.randn(b, T, D).astype(np.float32)
+    if z_dim > 0:
+        lengths = np.full(b, T, np.int64)
+    else:
+        lengths = np.maximum(rng.randint(1, T + 1, size=b), 1).astype(np.int64)
+        lengths[0] = T
+    vc = np.arange(n_classes)
+    addl = [[] for _ in range(b)]
+
+    ft = torch.from_numpy(feats)
+    lt = torch.from_numpy(lengths).long()
+    ref.set_z(ft, lt, use_mean=True)
+    scores, _ = ref.score_features(
+        ft, lt, torch.from_numpy(vc).long(), add_eos=True,
+        use_mean_z=True,
+        additional_allowed_ends_per_instance=(
+            addl if ref.allowed_ends is not None else None
+        ),
+    )
+    scores_np = scores.detach().double().numpy()
+    ref_logz = harness.torch_edge_logz(
+        scores.double(), lengths + 1).detach().numpy()
+
+    end_allowed = np.zeros((b, n_classes), np.float32)
+    if ours.allowed_ends is not None:
+        for ii in range(b):
+            allowed = set(ours.allowed_ends)
+            mask = np.array([ix in allowed for ix in vc])
+            end_allowed[ii] = np.where(mask, 0.0, -1e9)
+    pots, _, _ = ours.compute_potentials(
+        ours.params, jnp.asarray(feats), jnp.asarray(lengths, jnp.int32),
+        jnp.asarray(vc, jnp.int32),
+        jnp.zeros((b, T, n_classes), jnp.float32),
+        jnp.asarray(end_allowed), jax.random.PRNGKey(0), True,
+    )
+    our_logz = np.asarray(hsmm_partition(pots, jnp.asarray(lengths, jnp.int32)))
+    if (our_logz < -1e8).any():
+        return "skip"
+    try:
+        np.testing.assert_allclose(our_logz, ref_logz, rtol=1e-5, atol=5e-3)
+        our_spans, our_scores = hsmm_viterbi(
+            pots, jnp.asarray(lengths, jnp.int32))
+        for ii in range(b):
+            L = int(lengths[ii]) + 1
+            _, rscore = harness.np_edge_viterbi(scores_np[ii], L)
+            np.testing.assert_allclose(
+                float(np.asarray(our_scores)[ii]), rscore,
+                rtol=1e-5, atol=5e-3,
+            )
+    except Exception:
+        print("COMPOUND MISMATCH at config {}: {}".format(i, cfg), flush=True)
+        raise
+    return "ok"
 
 
 def compound_fuzz(n_configs, seed):
@@ -190,153 +348,14 @@ def compound_fuzz(n_configs, seed):
     score_features edge tensor. z_dim > 0 configs use uniform full
     lengths (the reference's pad-pooling quirk is a documented delta).
     """
-    import torch
-
     import tests.test_reference_dp_parity as harness
-    from action_segmentation_tpu.checkpoint import (
-        compound_params_from_reference_state_dict,
-    )
-    from action_segmentation_tpu.models.compound import ComponentHsmm
-    from action_segmentation_tpu.ops.hsmm import hsmm_partition, hsmm_viterbi
-
-    import jax
-    import jax.numpy as jnp
 
     gen = harness.ref_sm.__wrapped__()
     ref_mod = next(gen)
     rng = np.random.RandomState(seed)
-
     for i in range(n_configs):
-        n_classes = int(rng.randint(2, 7))
-        T = int(rng.randint(6, 26))
-        max_k = int(rng.randint(2, min(7, T + 1)))
-        z_dim = int(rng.choice([0, 0, 2, 3]))
-        cfg = dict(
-            n_classes=n_classes, T=T, max_k=max_k, z_dim=z_dim,
-            allow_self=bool(rng.rand() < 0.5),
-            compound_structure=bool(rng.rand() < 0.7),
-            decompose=bool(rng.rand() < 0.5),
-            constrained=bool(rng.rand() < 0.4),
-            merged=bool(rng.rand() < 0.3),
-        )
-        args = harness.make_args(max_k)
-        args.cuda = False
-        args.sm_component_mean_layers = int(rng.randint(1, 3))
-        args.sm_component_length_layers = int(rng.randint(1, 3))
-        args.sm_component_embedding_dim = int(rng.randint(4, 13))
-        args.sm_component_z_dim = z_dim
-        args.sm_component_z_hidden_dim = 8
-        args.sm_compound_structure = cfg["compound_structure"]
-        args.seq_num_layers = 2
-        args.seq_num_layers_component = 2
-
-        if cfg["decompose"]:
-            n_components = n_classes + int(rng.randint(0, 4))
-            c2c = {
-                c: set(
-                    int(x) for x in rng.choice(
-                        n_components,
-                        size=int(rng.randint(1, min(4, n_components) + 1)),
-                        replace=False,
-                    )
-                )
-                for c in range(n_classes)
-            }
-        else:
-            n_components = n_classes
-            c2c = {c: {c} for c in range(n_classes)}
-
-        kw = {}
-        constraints = None
-        if cfg["constrained"]:
-            constraints = build_constraints(rng, n_classes)
-            kw = dict(allowed_starts=constraints[0],
-                      allowed_transitions=constraints[1],
-                      allowed_ends=constraints[2])
-        merge = None
-        if cfg["merged"]:
-            merge = {c: c for c in range(n_classes)}
-            if n_classes >= 3:
-                merge[n_classes - 1] = int(rng.randint(n_classes - 1))
-
-        ref = ref_mod.ComponentSemiMarkovModule(
-            args, n_classes, n_components, c2c, D,
-            allow_self_transitions=cfg["allow_self"], per_class_bias=True,
-            merge_classes=merge, **kw,
-        )
-        with torch.no_grad():
-            for name in ("initial_bias", "transition_bias", "length_bias"):
-                getattr(ref, name).copy_(torch.from_numpy(
-                    rng.randn(n_classes).astype(np.float32) * 0.3))
-            ref.emission_mean_bias.copy_(torch.from_numpy(
-                rng.randn(D).astype(np.float32)))
-            cov = rng.uniform(0.5, 1.5, D).astype(np.float32)
-            ref.gaussian_cov.copy_(torch.diag(torch.from_numpy(cov)))
-
-        params, _ = compound_params_from_reference_state_dict({
-            k: v.detach().numpy() for k, v in ref.state_dict().items()
-        })
-        ours = ComponentHsmm(
-            args, n_classes, n_components, c2c, D,
-            allow_self_transitions=cfg["allow_self"], per_class_bias=True,
-            merge_classes=merge, seed=0, **kw,
-        )
-        ours.params = jax.tree_util.tree_map(jnp.asarray, params)
-
-        b = int(rng.randint(1, 4))
-        feats = rng.randn(b, T, D).astype(np.float32)
-        if z_dim > 0:
-            lengths = np.full(b, T, np.int64)
-        else:
-            lengths = np.maximum(rng.randint(1, T + 1, size=b), 1).astype(np.int64)
-            lengths[0] = T
-        vc = np.arange(n_classes)
-        addl = [[] for _ in range(b)]
-
-        ft = torch.from_numpy(feats)
-        lt = torch.from_numpy(lengths).long()
-        ref.set_z(ft, lt, use_mean=True)
-        scores, _ = ref.score_features(
-            ft, lt, torch.from_numpy(vc).long(), add_eos=True,
-            use_mean_z=True,
-            additional_allowed_ends_per_instance=(
-                addl if ref.allowed_ends is not None else None
-            ),
-        )
-        scores_np = scores.detach().double().numpy()
-        ref_logz = harness.torch_edge_logz(
-            scores.double(), lengths + 1).detach().numpy()
-
-        end_allowed = np.zeros((b, n_classes), np.float32)
-        if ours.allowed_ends is not None:
-            for ii in range(b):
-                allowed = set(ours.allowed_ends)
-                mask = np.array([ix in allowed for ix in vc])
-                end_allowed[ii] = np.where(mask, 0.0, -1e9)
-        pots, _, _ = ours.compute_potentials(
-            ours.params, jnp.asarray(feats), jnp.asarray(lengths, jnp.int32),
-            jnp.asarray(vc, jnp.int32),
-            jnp.zeros((b, T, n_classes), jnp.float32),
-            jnp.asarray(end_allowed), jax.random.PRNGKey(0), True,
-        )
-        our_logz = np.asarray(hsmm_partition(pots, jnp.asarray(lengths, jnp.int32)))
-        if (our_logz < -1e8).any():
+        if compound_fuzz_one(harness, ref_mod, rng, i) == "skip":
             print("skip degenerate compound config {}".format(i), flush=True)
-            continue
-        try:
-            np.testing.assert_allclose(our_logz, ref_logz, rtol=1e-5, atol=5e-3)
-            our_spans, our_scores = hsmm_viterbi(
-                pots, jnp.asarray(lengths, jnp.int32))
-            for ii in range(b):
-                L = int(lengths[ii]) + 1
-                _, rscore = harness.np_edge_viterbi(scores_np[ii], L)
-                np.testing.assert_allclose(
-                    float(np.asarray(our_scores)[ii]), rscore,
-                    rtol=1e-5, atol=5e-3,
-                )
-        except Exception:
-            print("COMPOUND MISMATCH at config {}: {}".format(i, cfg), flush=True)
-            raise
         if (i + 1) % 10 == 0:
             print("{}/{} compound configs OK".format(i + 1, n_configs), flush=True)
     try:
