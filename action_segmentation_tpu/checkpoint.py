@@ -190,10 +190,12 @@ def compound_params_from_reference_state_dict(state_dict):
     matmul reproduces mode='mean'); residual-MLP Sequentials map
     layer-for-layer; the (D, D) diagonal covariance flattens; NICE flow
     weights map through flow_params_from_reference_state_dict. VAE
-    encoder weights are refused loudly — the torch cuDNN LSTM and our
-    scan LSTM parameterizations differ structurally; the factor-head
-    import is exact (tests/test_reference_dp_parity.py::
-    test_compound_module_parity pins the equivalence).
+    encoder (BiLSTM) weights import via
+    lstm_params_from_reference_state_dict — exact on unpadded
+    sequences; the padded-batch pooling delta is documented there and
+    pinned by tests/test_reference_dp_parity.py::
+    test_vae_encoder_import_parity (factor heads:
+    test_compound_module_parity).
 
     Returns (params, meta) with meta carrying the architecture the
     shapes imply: n_components, embedding_dim, mean_layers,

@@ -63,6 +63,19 @@ class ComponentHsmm(GaussianHsmm):
             dest="sm_compound_structure",
         )
         parser.add_argument("--seq_num_layers_component", type=int, default=2)
+        parser.add_argument(
+            "--sm_reference_pooling",
+            action="store_true",
+            help="reproduce the reference's VAE-encoder max-pool over "
+            "ZERO-PADDED frames (semimarkov_modules.py:843-858 + "
+            "sequential.py:26-30): videos shorter than the batch max "
+            "have every pooled dimension clamped at >= 0, so z (hence "
+            "decode) depends on the batch composition. Default is the "
+            "masked pool (real frames only) — padding-invariant, and "
+            "identical on unpadded batches. Use this flag when decoding "
+            "a migrated reference model whose batched outputs must match "
+            "frame-for-frame.",
+        )
 
     def __init__(
         self,
@@ -173,12 +186,28 @@ class ComponentHsmm(GaussianHsmm):
                 jnp.zeros((B,), jnp.float32),
             )
         encoded = rnn.lstm_apply(params["encoder"], features, lengths)
-        # masked max: pooling over zero-padded frames would clamp every
-        # dimension at >= 0 AND make z depend on the batch's pad width
         frame_mask = (
             jnp.arange(features.shape[1])[None, :] < lengths[:, None]
         )[:, :, None]
-        pooled = jnp.max(jnp.where(frame_mask, encoded, -jnp.inf), axis=1)
+        if getattr(self.args, "sm_reference_pooling", False):
+            # reference-exact pooling (--sm_reference_pooling): torch's
+            # pad_packed_sequence zero-fills frames past each video's
+            # length up to the BATCH max, and the reference max-pools
+            # over that window (semimarkov_modules.py:843-858), clamping
+            # shorter videos' pooled activations at >= 0. Our buffer is
+            # bucket-padded wider than the batch max, so the window is
+            # cut at max(lengths) to match the reference batch exactly.
+            window = (
+                jnp.arange(features.shape[1])[None, :, None]
+                < jnp.max(lengths)
+            )
+            enc0 = jnp.where(frame_mask, encoded, 0.0)
+            pooled = jnp.max(jnp.where(window, enc0, -jnp.inf), axis=1)
+        else:
+            # masked max (default): pooling over zero-padded frames
+            # would clamp every dimension at >= 0 AND make z depend on
+            # the batch's pad width
+            pooled = jnp.max(jnp.where(frame_mask, encoded, -jnp.inf), axis=1)
         stats = _linear(params["encoder_to_params"], pooled)
         mean, logvar = stats[:, : self.z_dim], stats[:, self.z_dim :]
         # per-video keys: fold the step key with each instance's GLOBAL

@@ -1391,3 +1391,117 @@ def test_no_compound_structure_migration(ref_sm, tmp_path):
     )
     rspans, _ = np_edge_viterbi(scores.detach().double().numpy()[0], T + 1)
     np.testing.assert_array_equal(np.asarray(labels), _fill(rspans[:T]))
+
+
+def test_compound_reference_pooling_ragged_batch(ref_sm):
+    """--sm_reference_pooling reproduces the reference's zero-pad
+    max-pool (semimarkov_modules.py:832-838 via pad_packed_sequence's
+    padding_value=0) on a RAGGED batch, so a migrated compound model's
+    z — hence its decode — matches the reference frame-for-frame even
+    when videos are batched with padding. Also asserts the default
+    masked pooling actually DIFFERS on this batch (the flag is not a
+    no-op: the quirk is exercised)."""
+    import jax
+    import jax.numpy as jnp
+
+    from action_segmentation_tpu.checkpoint import (
+        compound_params_from_reference_state_dict,
+    )
+    from action_segmentation_tpu.models.compound import ComponentHsmm
+    from action_segmentation_tpu.ops.hsmm import hsmm_partition, hsmm_viterbi
+
+    rng = np.random.RandomState(41)
+    n_classes, Dm, e, max_k = 4, 6, 8, 5
+    args = make_args(max_k)
+    args.cuda = False
+    args.sm_component_mean_layers = 1
+    args.sm_component_length_layers = 1
+    args.sm_component_embedding_dim = e
+    args.sm_component_z_dim = 3
+    args.sm_component_z_hidden_dim = 8
+    args.sm_compound_structure = True
+    args.seq_num_layers = 2
+    args.seq_num_layers_component = 2
+
+    ref = ref_sm.ComponentSemiMarkovModule(
+        args, n_classes, n_classes, {c: {c} for c in range(n_classes)}, Dm,
+        allow_self_transitions=True, per_class_bias=True,
+    )
+    with torch.no_grad():
+        ref.emission_mean_bias.copy_(torch.from_numpy(
+            rng.randn(Dm).astype(np.float32)))
+        cov = rng.uniform(0.5, 1.5, Dm).astype(np.float32)
+        ref.gaussian_cov.copy_(torch.diag(torch.from_numpy(cov)))
+    params, _ = compound_params_from_reference_state_dict({
+        k: v.detach().numpy() for k, v in ref.state_dict().items()
+    })
+
+    # ragged batch: the zero-pad clamp is live for the short videos
+    b, T = 3, 18
+    lengths = np.array([T, 11, 7], np.int64)
+    feats = rng.randn(b, T, Dm).astype(np.float32)
+    for i in range(b):
+        feats[i, lengths[i]:] = 0.0
+    # push encoder outputs negative so max(., 0) clamping actually bites
+    ft = torch.from_numpy(feats)
+    lt = torch.from_numpy(lengths)
+    ref.set_z(ft, lt, use_mean=True)
+    ref_z = ref.z.detach().numpy()
+    scores, _ = ref.score_features(
+        ft, lt, torch.arange(n_classes), add_eos=True, use_mean_z=True,
+    )
+    scores_np = scores.detach().double().numpy()
+    ref_logz = torch_edge_logz(scores.double(), lengths + 1).detach().numpy()
+
+    vc = jnp.arange(n_classes, dtype=jnp.int32)
+    cons = jnp.zeros((b, T, n_classes), jnp.float32)
+    endm = jnp.zeros((b, n_classes), jnp.float32)
+
+    def run(reference_pooling, pad_extra=0):
+        import argparse
+        a2 = argparse.Namespace(**vars(args))
+        a2.sm_reference_pooling = reference_pooling
+        ours = ComponentHsmm(
+            a2, n_classes, n_classes, {c: {c} for c in range(n_classes)},
+            Dm, allow_self_transitions=True, per_class_bias=True, seed=0,
+        )
+        ours.params = jax.tree_util.tree_map(jnp.asarray, params)
+        f = feats
+        c = np.asarray(cons)
+        if pad_extra:
+            # bucket padding wider than the batch max must not change z
+            f = np.pad(feats, ((0, 0), (0, pad_extra), (0, 0)))
+            c = np.pad(c, ((0, 0), (0, pad_extra), (0, 0)))
+        pots, _, kl = ours.compute_potentials(
+            ours.params, jnp.asarray(f), jnp.asarray(lengths, jnp.int32),
+            vc, jnp.asarray(c), endm, jax.random.PRNGKey(0), True,
+        )
+        z, _ = ours._get_z_and_kl(
+            ours.params, jnp.asarray(f), jnp.asarray(lengths, jnp.int32),
+            jax.random.PRNGKey(0), True,
+        )
+        logz = np.asarray(hsmm_partition(pots, jnp.asarray(lengths, jnp.int32)))
+        _, vscores = hsmm_viterbi(pots, jnp.asarray(lengths, jnp.int32))
+        return np.asarray(z), logz, np.asarray(vscores)
+
+    z_flag, logz_flag, vs_flag = run(True)
+    np.testing.assert_allclose(z_flag, ref_z, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(logz_flag, ref_logz, rtol=1e-5, atol=5e-3)
+    for ii in range(b):
+        _, rscore = np_edge_viterbi(scores_np[ii], int(lengths[ii]) + 1)
+        np.testing.assert_allclose(vs_flag[ii], rscore, rtol=1e-5, atol=5e-3)
+
+    # wider bucket padding leaves the reference-pooling z unchanged
+    z_pad, logz_pad, _ = run(True, pad_extra=6)
+    np.testing.assert_allclose(z_pad, z_flag, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(logz_pad, logz_flag, rtol=1e-6, atol=1e-4)
+
+    # the default masked pooling diverges on the clamped (short) videos
+    z_default, _, _ = run(False)
+    assert np.abs(z_default[1:] - z_flag[1:]).max() > 1e-4, (
+        "flag is a no-op: masked and reference pooling agree on a "
+        "ragged batch that should clamp"
+    )
+    # ...but agrees on the full-length video (no padding inside the
+    # batch-max window for it)
+    np.testing.assert_allclose(z_default[0], z_flag[0], rtol=1e-5, atol=1e-5)
