@@ -221,9 +221,12 @@ def train(args, train_data, dev_data, split_name, verbose=False, train_sub_data=
             dev_stats = None
         log_str = "{}\tepoch {:2d}".format(split_name, epoch)
         for stat, value in stats.items():
-            if isinstance(value, float):
-                log_str += "\t{} {:.4f}".format(stat, value)
-            else:
+            try:
+                # fit's deferred stats are 0-d device arrays; float()
+                # forces them here (main.py's per-epoch consumption is
+                # the caller's sync, not the training loop's)
+                log_str += "\t{} {:.4f}".format(stat, float(value))
+            except (TypeError, ValueError):
                 log_str += "\t{} {}".format(stat, value)
         for s in split_stats:
             log_str += "\n"
@@ -260,7 +263,7 @@ def train(args, train_data, dev_data, split_name, verbose=False, train_sub_data=
         )
         logger.debug(
             "best train loss {:.4f} in epoch {}".format(
-                best_train_stats["train_loss"], best_epoch
+                float(best_train_stats["train_loss"]), best_epoch
             )
         )
         best_model = pickle.loads(models_by_epoch[best_epoch])

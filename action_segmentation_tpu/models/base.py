@@ -78,12 +78,71 @@ class ReduceLROnPlateau:
         return self.lr
 
 
-def make_optimizer(args):
+class DevicePlateauLR:
+    """On-device ReduceLROnPlateau with the exact semantics of the host
+    controller above (mode=min, relative threshold, cooldown=0).
+
+    State and the produced learning rate are 0-d jax arrays, so the
+    training loop can thread the next epoch's lr into the jitted update
+    step WITHOUT fetching the epoch loss to the host — on this
+    environment every dispatch->fetch round trip costs ~0.5 s
+    (CLAUDE.md round-trip rule), and the per-epoch loss fetch was the
+    realistic-epoch bottleneck (scripts/epoch_decompose.py). ``lr`` is
+    readable/settable as a float for checkpoint meta / resume.
+    """
+
+    def __init__(self, lr, factor=0.2, patience=1, min_lr=1e-4, threshold=1e-5):
+        self.factor = float(factor)
+        self.patience = int(patience)
+        self.min_lr = float(min_lr)
+        self.threshold = float(threshold)
+        self.state = {
+            "lr": jnp.float32(lr),
+            "best": jnp.float32(jnp.inf),
+            "num_bad": jnp.int32(0),
+        }
+        factor_, patience_, min_lr_, threshold_ = (
+            self.factor, self.patience, self.min_lr, self.threshold
+        )
+
+        @jax.jit
+        def _step(state, metric):
+            # NaN metric compares False -> not improved (host parity)
+            improved = metric < state["best"] * (1.0 - threshold_)
+            best = jnp.where(improved, metric, state["best"])
+            num_bad = jnp.where(improved, 0, state["num_bad"] + 1)
+            trigger = (~improved) & (num_bad > patience_)
+            lr = jnp.where(
+                trigger, jnp.maximum(state["lr"] * factor_, min_lr_), state["lr"]
+            )
+            num_bad = jnp.where(trigger, 0, num_bad)
+            return {"lr": lr, "best": best, "num_bad": num_bad}
+
+        self._step = _step
+
+    def step(self, metric):
+        """metric: 0-d array (or float); returns the new lr as a 0-d
+        array. Pure dispatch — never forces a device fetch."""
+        self.state = self._step(self.state, jnp.asarray(metric, jnp.float32))
+        return self.state["lr"]
+
+    @property
+    def lr(self):
+        return float(self.state["lr"])
+
+    @lr.setter
+    def lr(self, value):
+        self.state = dict(self.state, lr=jnp.float32(value))
+
+
+def make_optimizer(args, device_scheduler=False):
     """(optax transform, plateau scheduler or None).
 
     The transform excludes the learning rate (applied explicitly in the
-    train step so the host-side plateau schedule can change it without
-    rebuilding optimizer state) and includes the grad-norm clip.
+    train step so the plateau schedule can change it without rebuilding
+    optimizer state) and includes the grad-norm clip. With
+    ``device_scheduler`` the plateau controller is the on-device
+    DevicePlateauLR (identical semantics; no per-epoch loss fetch).
     """
     tx = optax.chain(
         optax.clip_by_global_norm(args.max_grad_norm)
@@ -92,10 +151,11 @@ def make_optimizer(args):
         optax.scale_by_adam(),
         optax.scale(-1.0),
     )
+    sched_cls = DevicePlateauLR if device_scheduler else ReduceLROnPlateau
     scheduler = (
         None
         if args.no_reduce_plateau
-        else ReduceLROnPlateau(
+        else sched_cls(
             args.lr,
             factor=args.reduce_plateau_factor,
             patience=args.reduce_plateau_patience,

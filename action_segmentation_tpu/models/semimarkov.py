@@ -654,7 +654,12 @@ class SemiMarkovModel(Model):
             if callback_fn:
                 callback_fn(-1, {})
 
-        tx, scheduler = make_optimizer(args)
+        # device_scheduler: the plateau controller steps on device from
+        # the device-resident epoch loss, so no per-epoch loss fetch is
+        # needed to produce the next epoch's lr (round-trip rule; the
+        # per-epoch drain was the realistic-epoch wall clock — measured
+        # in docs/DESIGN.md §9)
+        tx, scheduler = make_optimizer(args, device_scheduler=True)
         lr = args.lr
 
         if initialize:
@@ -671,12 +676,11 @@ class SemiMarkovModel(Model):
 
         opt_state = tx.init(self.module.params)
         use_dp = getattr(args, "data_parallel", False) and len(jax.devices()) > 1
+        dp_accumulate = use_dp and args.batch_accumulation > 1
         if use_dp:
-            assert args.batch_accumulation <= 1, (
-                "batch accumulation with --data_parallel not supported"
-            )
             from action_segmentation_tpu.parallel.mesh import (
                 batch_sharding,
+                build_sharded_grad_step,
                 build_sharded_train_step,
                 make_mesh,
                 pad_batch_for_mesh,
@@ -685,9 +689,16 @@ class SemiMarkovModel(Model):
             )
 
             mesh = make_mesh(model_parallel=getattr(args, "model_parallel", 1))
-            sharded_step = build_sharded_train_step(
-                self.module, tx, mesh, use_labels
-            )
+            if dp_accumulate:
+                # --batch_accumulation under dp: sharded grad-only step,
+                # host-accumulated replicated grads, shared update step
+                sharded_grad_step = build_sharded_grad_step(
+                    self.module, mesh, use_labels
+                )
+            else:
+                sharded_step = build_sharded_train_step(
+                    self.module, tx, mesh, use_labels
+                )
             self.module.params, opt_state, _ = shard_train_inputs(
                 mesh, self.module.params, opt_state, []
             )
@@ -736,52 +747,142 @@ class SemiMarkovModel(Model):
                     )
                 )
 
+        # lr as a strong-typed device scalar from the start: the jitted
+        # update / sharded steps would otherwise retrace (minutes each
+        # through the remote-compile path) when the device scheduler's
+        # f32 output replaces a host float after the first epoch
+        lr = jnp.float32(lr)
+
         profile_dir = getattr(args, "profile_dir", None)
 
-        for epoch in range(start_epoch, args.epochs):
+        # ----- deferred stats/logging (round-4 epoch pipeline) -----
+        # Every dispatch->fetch round trip through the remote-TPU tunnel
+        # costs ~0.5 s (CLAUDE.md round-trip rule), and the round-4
+        # decomposition (scripts/epoch_decompose.py, docs/DESIGN.md §9)
+        # measured that the per-epoch drain + the print_every
+        # float(gnorm) fetch WERE the realistic-epoch wall clock. The
+        # loop therefore never forces a fetch per epoch: per-batch
+        # scalars queue as device arrays, the plateau scheduler steps on
+        # device (DevicePlateauLR), log lines capture their host context
+        # (counts, wall-clock throughput) eagerly but fetch + print
+        # lazily, and everything flushes in ONE stacked transfer at
+        # backpressure points, checkpoints, and fit end. Callers that
+        # force the callback stats (e.g. main.py's per-epoch CSV/decode)
+        # pay their own sync, exactly as before.
+        deferred_checks = []  # (epoch, batch_ix, loss) device scalars
+        deferred_logs = []    # (host fmt tuple, (5,) device vector)
+        _FLUSH_ZERO = jnp.float32(0.0)          # count-padding fillers
+        _FLUSH_ZERO5 = jnp.zeros((5,), jnp.float32)
+
+        def flush_deferred():
+            if not deferred_checks and not deferred_logs:
+                return
+            # SHAPE-BUCKETED flush: jnp.stack/concatenate trace on the
+            # number of operands, so flushing raw counts would compile a
+            # fresh executable per distinct (n_checks, n_logs) — through
+            # the remote-compile path that one-time cost measured ~90 s
+            # at fit end (scripts/epoch_decompose.py). Padding the
+            # counts to fixed multiples (32 scalars / 4 log vectors)
+            # bounds the flush to a handful of compiled shapes, all paid
+            # in the compile epoch.
+            n = len(deferred_checks)
+            scalars = [l for _, _, l in deferred_checks]
+            scalars += [_FLUSH_ZERO] * ((-n) % 32)
+            parts = [jnp.stack(scalars)] if scalars else []
+            vecs = [vec for _, vec in deferred_logs]
+            vecs += [_FLUSH_ZERO5] * ((-len(vecs)) % 4)
+            if vecs:
+                parts.append(jnp.concatenate(vecs))
+            flat = np.asarray(
+                jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+            )  # the single fetch
+            for (ep, bix, _), loss_f in zip(deferred_checks, flat[:n]):
+                if not np.isfinite(loss_f):
+                    logger.debug(
+                        "WARNING: non-finite loss {} at epoch {} batch {}".format(
+                            float(loss_f), ep, bix
+                        )
+                    )
+            off = len(scalars)  # log vectors start after the padded scalars
+            for host_args, _ in deferred_logs:
+                ep, bix, num_vid, num_frm, thr = host_args
+                gnorm_f, lr_f, nll_c, kl_c, ld_c = flat[off:off + 5]
+                off += 5
+                logger.debug(
+                    "Epoch: %02d, Batch: %03d, |GParam|: %.2f, lr: %.2E, "
+                    "loss: %.4f, recon: %.4f, kl: %.4f, log_det: %.4f, "
+                    "Throughput: %.2f vid / sec"
+                    % (
+                        ep, bix, gnorm_f, lr_f,
+                        (nll_c + kl_c + ld_c) / num_vid,
+                        nll_c / num_frm,
+                        kl_c / num_frm,
+                        ld_c / num_vid,
+                        thr,
+                    )
+                )
+            deferred_checks.clear()
+            deferred_logs.clear()
+
+        def _prepare_batch(batch):
+            """Host side of one training batch: narration/constraint
+            assembly, row padding, and the single device_put. Runs on
+            the prefetch thread so collation and the H2D transfer of
+            batch i+1 overlap batch i's dispatch — on the TPU host the
+            collate + device_put pair measured 0.45-0.58 s of the
+            0.51-0.65 s warm epoch (scripts/epoch_decompose.py), i.e.
+            the critical path was host prep, not device work. numpy
+            fills and the tunnel transfer release the GIL."""
+            vc, inv_map, cons, end_allowed = self._batch_device_args(
+                batch, train_data, use_narration
+            )
+            B = len(batch["lengths"])
+            frames = int(batch["lengths"].sum())
+            gt = batch.get(
+                "gt_single", np.zeros(batch["features"].shape[:2], np.int64)
+            )
+            if use_dp:
+                (feat_p, len_p, gt_p, cons_p, end_p), w = pad_batch_for_mesh(
+                    mesh,
+                    [batch["features"], batch["lengths"], gt, cons, end_allowed],
+                    B,
+                    pad_to=args.batch_size,
+                )
+                arrs = (feat_p, len_p, gt_p, cons_p, end_p, w)
+                # one device_put for the whole batch (round-trip rule)
+                placed = jax.device_put(
+                    arrs,
+                    tuple(
+                        batch_sharding(mesh, np.asarray(a).ndim) for a in arrs
+                    ),
+                )
+                s_vc, s_inv = shard_shared_inputs(mesh, vc, inv_map)
+                return B, frames, (placed, s_vc, s_inv)
+            feat_p, len_p, gt_p, cons_p, end_p, w = self._pad_batch_rows(
+                batch["features"], batch["lengths"], gt, cons, end_allowed
+            )
+            # one device_put for the whole batch: each separate
+            # transfer pays a tunnel round trip
+            dev = jax.device_put(
+                (feat_p, len_p, vc, inv_map, gt_p, cons_p, end_p, w)
+            )
+            return B, frames, (dev,)
+
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        prefetch_pool = ThreadPoolExecutor(max_workers=1)
+        try:
+          for epoch in range(start_epoch, args.epochs):
             if profile_dir and epoch == start_epoch:
                 jax.profiler.start_trace(profile_dir)
             start_time = time.time()
-            losses, nlls, kls, log_dets = [], [], [], []
             num_frames = 0
             num_videos = 0
-            train_nll = train_kl = train_log_det = 0.0
             acc_grads = None
             acc_count = 0
-            pending = []  # (batch_ix, B, loss, aux) device scalars
-
-            def drain():
-                nonlocal train_nll, train_kl, train_log_det
-                if not pending:
-                    return
-                # stack on device first: each scalar fetch is a full
-                # ~30 ms round trip through the remote tunnel, so the
-                # whole drain must be ONE transfer
-                stacked = jnp.stack(
-                    [
-                        jnp.stack((l, a["nll"], a["kl"], a["log_det"]))
-                        for _, _, l, a in pending
-                    ]
-                )
-                fetched = np.asarray(stacked)
-                for (bix, Bb, _, _), (loss_f, nll_f, kl_f, ld_f) in zip(
-                    pending, fetched
-                ):
-                    loss_f = float(loss_f)
-                    if not np.isfinite(loss_f):
-                        logger.debug(
-                            "WARNING: non-finite loss {} at epoch {} batch {}".format(
-                                loss_f, epoch, bix
-                            )
-                        )
-                    losses.append(loss_f)
-                    nlls.append(float(nll_f))
-                    kls.append(float(kl_f))
-                    log_dets.append(float(ld_f))
-                    train_nll += float(nll_f) * Bb
-                    train_kl += float(kl_f) * Bb
-                    train_log_det += float(ld_f) * Bb
-                pending.clear()
+            ep_stats = []  # per-batch (loss, nll, kl, log_det) device scalars
+            ep_sizes = []  # per-batch host B
 
             batch_iter = iter_batches(
                 train_data,
@@ -790,120 +891,149 @@ class SemiMarkovModel(Model):
                 shuffle=True,
                 seed=(getattr(args, "seed", 1) or 1) + epoch,
             )
-            for batch_ix, batch in enumerate(batch_iter):
-                if args.train_limit and batch_ix >= args.train_limit:
-                    break
-                vc, inv_map, cons, end_allowed = self._batch_device_args(
-                    batch, train_data, use_narration
-                )
-                B = len(batch["lengths"])
-                num_frames += int(batch["lengths"].sum())
+            if args.train_limit:
+                import itertools
+
+                batch_iter = itertools.islice(batch_iter, args.train_limit)
+            batch_iter = iter(batch_iter)
+            pending_prep = deque()
+
+            def _submit_next():
+                b = next(batch_iter, None)
+                if b is not None:
+                    pending_prep.append(prefetch_pool.submit(_prepare_batch, b))
+
+            _submit_next()
+            _submit_next()  # depth-2 pipeline: prep runs one batch ahead
+            batch_ix = -1
+            while pending_prep:
+                batch_ix += 1
+                B, frames, prepped = pending_prep.popleft().result()
+                _submit_next()
+                num_frames += frames
                 num_videos += B
                 rng, step_rng = jax.random.split(rng)
-                gt = batch.get("gt_single", np.zeros(batch["features"].shape[:2], np.int64))
+                stepped = False
+                gnorm = None
                 if use_dp:
-                    (feat_p, len_p, gt_p, cons_p, end_p), w = pad_batch_for_mesh(
-                        mesh,
-                        [batch["features"], batch["lengths"], gt, cons, end_allowed],
-                        B,
-                        pad_to=args.batch_size,
-                    )
-                    arrs = (feat_p, len_p, gt_p, cons_p, end_p, w)
-                    # one device_put for the whole batch (round-trip rule)
-                    placed = jax.device_put(
-                        arrs,
-                        tuple(batch_sharding(mesh, np.asarray(a).ndim) for a in arrs),
-                    )
-                    s_vc, s_inv = shard_shared_inputs(mesh, vc, inv_map)
-                    params, opt_state, loss, aux = sharded_step(
-                        params, opt_state,
-                        placed[0], placed[1], s_vc, s_inv, placed[2],
-                        placed[3], placed[4], placed[5], lr, step_rng,
-                    )
-                    grads = None
+                    placed, s_vc, s_inv = prepped
+                    if dp_accumulate:
+                        loss, aux, grads = sharded_grad_step(
+                            params,
+                            placed[0], placed[1], s_vc, s_inv, placed[2],
+                            placed[3], placed[4], placed[5], step_rng,
+                        )
+                    else:
+                        params, opt_state, loss, aux, gnorm = sharded_step(
+                            params, opt_state,
+                            placed[0], placed[1], s_vc, s_inv, placed[2],
+                            placed[3], placed[4], placed[5], lr, step_rng,
+                        )
+                        grads = None
+                        stepped = True
                 else:
-                    feat_p, len_p, gt_p, cons_p, end_p, w = self._pad_batch_rows(
-                        batch["features"], batch["lengths"], gt, cons, end_allowed
-                    )
-                    # one device_put for the whole batch: each separate
-                    # transfer pays a tunnel round trip
-                    dev = jax.device_put(
-                        (feat_p, len_p, vc, inv_map, gt_p, cons_p, end_p, w)
-                    )
+                    (dev,) = prepped
                     loss, aux, grads = grad_step(params, *dev, step_rng)
                 # defer the scalar fetches: float(loss) here would force a
                 # full device sync every batch, serializing the next
                 # batch's 10s-of-MB host->device transfer behind the step
                 # (measured: a 22 MB batch costs 3-15 ms through the
-                # tunnel vs a ~3 ms step). Stats drain in one batched
-                # device_get at logging points / epoch end, so transfers
-                # overlap compute via dispatch pipelining.
-                pending.append((batch_ix, B, loss, aux))
-                if len(pending) >= 32:
-                    drain()  # bound the dispatch queue / resident inputs
+                # tunnel vs a ~3 ms step). Scalars queue as device arrays
+                # and flush in one batched device_get at backpressure
+                # points / fit end, so transfers overlap compute via
+                # dispatch pipelining.
+                ep_stats.append((loss, aux["nll"], aux["kl"], aux["log_det"]))
+                ep_sizes.append(B)
+                deferred_checks.append((epoch, batch_ix, loss))
+                if len(deferred_checks) >= 32:
+                    flush_deferred()  # bound dispatch queue / resident inputs
 
-                if use_dp:
-                    continue  # sharded step already applied the update
-                # NOTE a partial accumulation window left at epoch end is
-                # dropped, matching the reference exactly (its
-                # multi_batch_losses are never flushed after the batch
-                # loop, semimarkov.py:284-309)
-                acc_grads = (
-                    grads
-                    if acc_grads is None
-                    else jax.tree_util.tree_map(jnp.add, acc_grads, grads)
-                )
-                acc_count += 1
-                if acc_count >= args.batch_accumulation:
-                    mean_grads = jax.tree_util.tree_map(
-                        lambda g: g / acc_count, acc_grads
+                if not stepped:
+                    # NOTE a partial accumulation window left at epoch end
+                    # is dropped, matching the reference exactly (its
+                    # multi_batch_losses are never flushed after the batch
+                    # loop, semimarkov.py:284-309)
+                    acc_grads = (
+                        grads
+                        if acc_grads is None
+                        else jax.tree_util.tree_map(jnp.add, acc_grads, grads)
                     )
-                    params, opt_state, gnorm = update(params, opt_state, mean_grads, lr)
-                    acc_grads = None
-                    acc_count = 0
-                    if args.print_every and (batch_ix % args.print_every == 0):
-                        drain()
-                        logger.debug(
-                            "Epoch: %02d, Batch: %03d, |GParam|: %.2f, lr: %.2E, "
-                            "loss: %.4f, recon: %.4f, kl: %.4f, log_det: %.4f, "
-                            "Throughput: %.2f vid / sec"
-                            % (
-                                epoch,
-                                batch_ix,
-                                float(gnorm),
-                                lr,
-                                (train_nll + train_kl + train_log_det) / num_videos,
-                                train_nll / num_frames,
-                                train_kl / num_frames,
-                                train_log_det / num_videos,
-                                num_videos / (time.time() - start_time),
-                            )
+                    acc_count += 1
+                    if acc_count >= args.batch_accumulation:
+                        mean_grads = jax.tree_util.tree_map(
+                            lambda g: g / acc_count, acc_grads
                         )
+                        params, opt_state, gnorm = update(params, opt_state, mean_grads, lr)
+                        acc_grads = None
+                        acc_count = 0
+                        stepped = True
+                if stepped and args.print_every and (batch_ix % args.print_every == 0):
+                    # the |GParam|/lr/loss line (reference
+                    # semimarkov.py:289-304): the cumulative sums are
+                    # one tiny device dispatch; the line's numbers fetch
+                    # at the next flush, so the hot loop never blocks
+                    st = jnp.stack([jnp.stack(s) for s in ep_stats])
+                    w = jnp.asarray(np.asarray(ep_sizes, np.float32))
+                    vec = jnp.stack([
+                        jnp.asarray(gnorm, jnp.float32),
+                        jnp.asarray(lr, jnp.float32),
+                        st[:, 1] @ w,
+                        st[:, 2] @ w,
+                        st[:, 3] @ w,
+                    ])
+                    deferred_logs.append((
+                        (
+                            epoch, batch_ix, num_videos, num_frames,
+                            num_videos / (time.time() - start_time),
+                        ),
+                        vec,
+                    ))
 
-            drain()
             self.module.params = params
-            if profile_dir and epoch == start_epoch:
-                jax.profiler.stop_trace()
+            if epoch == start_epoch:
+                # pay the flush's (shape-bucketed) compiles and one
+                # round trip inside the compile epoch, so warm epochs
+                # run flush-free until a backpressure/checkpoint point
+                flush_deferred()
+                if profile_dir:
+                    jax.profiler.stop_trace()
+            # per-epoch stats as device scalars (no fetch): consumers
+            # that need floats (tests, main.py's CSV) force them and pay
+            # one sync; the loop itself stays asynchronous across epochs
+            if ep_stats:
+                st = jnp.stack([jnp.stack(s) for s in ep_stats])
+                w = jnp.asarray(np.asarray(ep_sizes, np.float32))
+                train_loss = st[:, 0].mean()
+                nll_sum = st[:, 1] @ w
+                kl_sum = st[:, 2] @ w
+            else:
+                train_loss = 0.0
+                nll_sum = kl_sum = jnp.float32(0.0)
             if ckpt_dir and epoch % getattr(args, "checkpoint_every", 5) == 0:
                 from action_segmentation_tpu import checkpoint as ckpt
 
+                flush_deferred()
                 ckpt.save_orbax(
                     {"params": params, "opt_state": opt_state},
-                    args, epoch, ckpt_dir, lr=lr,
+                    args, epoch, ckpt_dir, lr=float(jnp.asarray(lr)),
                 )
-            train_loss = float(np.mean(losses)) if losses else 0.0
             if scheduler is not None:
+                # on-device plateau step: next epoch's lr is a device
+                # scalar threaded straight into the jitted update
                 lr = scheduler.step(train_loss)
             if callback_fn:
                 callback_fn(
                     epoch,
                     {
                         "train_loss": train_loss,
-                        "train_nll_frame_avg": train_nll / max(num_frames, 1),
-                        "train_kl_vid_avg": train_kl / max(num_videos, 1),
-                        "train_recon_bound": (train_nll + train_kl) / max(num_frames, 1),
+                        "train_nll_frame_avg": nll_sum / max(num_frames, 1),
+                        "train_kl_vid_avg": kl_sum / max(num_videos, 1),
+                        "train_recon_bound": (nll_sum + kl_sum) / max(num_frames, 1),
                     },
                 )
+        finally:
+            prefetch_pool.shutdown(wait=True)
+        flush_deferred()
         self.module.params = params
 
     def predict(self, test_data):
@@ -1055,6 +1185,19 @@ def semimarkov_from_reference_state_dict(args, state_dict, class_to_components=N
                 "decomposed-steps compound models need the corpus's "
                 "component structure; import via --reference_pickle"
             )
+            if meta["n_classes"] is None:
+                # without per-class biases the state_dict carries no
+                # shape that distinguishes n_classes from n_components,
+                # so a decompose-steps model would import undetected
+                # under this identity map — no assert can catch it
+                logger.debug(
+                    "WARNING: compound state_dict has no per-class biases; "
+                    "assuming identity class->component structure "
+                    "(n_classes = n_components = {}). If this model was "
+                    "trained with --sm_component_decompose_steps, import "
+                    "it via --reference_pickle, which carries the corpus's "
+                    "component structure.".format(meta["n_components"])
+                )
             class_to_components = {c: {c} for c in range(n_classes)}
         args.sm_component_model = True
         args.sm_component_embedding_dim = meta["embedding_dim"]

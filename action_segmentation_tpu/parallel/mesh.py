@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from action_segmentation_tpu.models.base import apply_lr
+from action_segmentation_tpu.models.base import apply_lr, global_norm
 from action_segmentation_tpu.utils.logger import logger
 from action_segmentation_tpu.ops.hsmm import (
     hsmm_gold_score,
@@ -133,6 +133,77 @@ def _terms_to_loss_aux(nll, kl, log_det, den, use_labels):
     return loss, {"nll": nll, "kl": kl, "log_det": log_det}
 
 
+def _shard_map_fn():
+    try:
+        from jax import shard_map  # jax >= 0.8
+
+        return shard_map, {"check_vma": False}
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map, {"check_rep": False}
+
+
+def _make_local_loss(module, use_labels):
+    """Per-shard share of the global weighted-mean loss, built so that
+    **no psum sits inside the differentiated region**.
+
+    JAX transposes ``psum`` as ``psum`` (the pmap convention), so
+    differentiating a loss that psums its terms multiplies every
+    shard's cotangent by the axis size: grad-of-psum'd-loss = N x the
+    shard's true contribution, and psum'ing those grads yields N x the
+    global gradient. That exact bug shipped in rounds 2-3 — masked in
+    training because clip_by_global_norm(10) rescaled the inflated
+    gradients back onto the true direction whenever ||g|| > 10 — and
+    was caught by test_sharded_grad_step_matches_single_device_grads
+    (round 4). The fix: each shard differentiates only its LOCAL
+    weighted term sums divided by the (stop_gradient'ed, psum'd) global
+    weight; psum of those per-shard grads is then exactly the global
+    gradient, and the loss/aux values are psum'd OUTSIDE the grad
+    closure.
+
+    Returns ``local_loss(params, ...) -> (local_share, local_terms)``
+    where local_terms = (nll_sum, kl_sum, log_det_sum, weight_sum) are
+    this shard's unreduced sums (psum them for reporting).
+    """
+    from action_segmentation_tpu.ops.hsmm_grad import hsmm_partition_fast
+    from action_segmentation_tpu.ops.hsmm_pallas import pallas_supported
+
+    discriminative = getattr(module.args, "sm_train_discriminatively", False)
+    use_pallas = pallas_supported(module.n_classes)
+    partition_fn = hsmm_partition_fast if use_pallas else hsmm_partition
+
+    def local_loss(params, features, lengths, vc, inv_map, gt, cons,
+                   end_allowed, weights, rng):
+        # compound-z parity: fold the step key with each instance's
+        # GLOBAL batch index, so sampling matches single-device runs
+        # under any device count
+        key_offset = jax.lax.axis_index("data") * features.shape[0]
+        nll_s, kl_s, log_det_s, den_s = _local_loss_terms(
+            module, use_labels, discriminative, partition_fn,
+            params, features, lengths, vc, inv_map, gt, cons,
+            end_allowed, weights, rng, key_offset=key_offset,
+        )
+        # global denominator: weights carry no tangent, but
+        # stop_gradient keeps the psum out of the transposed graph
+        # regardless of how callers thread inputs
+        gden = jnp.maximum(
+            jax.lax.stop_gradient(jax.lax.psum(den_s, "data")), 1.0
+        )
+        local_share = (nll_s - log_det_s) / gden
+        if not use_labels:
+            local_share = local_share + kl_s / gden
+        return local_share, (nll_s, kl_s, log_det_s, den_s)
+
+    return local_loss
+
+
+def _reduce_terms(terms, use_labels):
+    """psum a shard's local term sums and form the global (loss, aux)."""
+    nll, kl, log_det, den = (jax.lax.psum(t, "data") for t in terms)
+    return _terms_to_loss_aux(nll, kl, log_det, den, use_labels)
+
+
 def build_sharded_train_step(module, tx, mesh, use_labels):
     """jit a FULL training step (loss -> grads -> adam update) over the
     mesh.
@@ -150,54 +221,35 @@ def build_sharded_train_step(module, tx, mesh, use_labels):
 
     Signature of the returned step:
       (params, opt_state, features, lengths, vc, inv_map, gt, cons,
-       end_allowed, weights, lr, rng) -> (params, opt_state, loss, aux)
+       end_allowed, weights, lr, rng)
+      -> (params, opt_state, loss, aux, grad_norm)
+    grad_norm is the pre-clip global gradient norm (the reference's
+    |GParam| training log, semimarkov.py:289-304).
     """
-    from action_segmentation_tpu.ops.hsmm_grad import hsmm_partition_fast
-    from action_segmentation_tpu.ops.hsmm_pallas import pallas_supported
-
     assert mesh.shape.get("model", 1) == 1, "tp retired; see make_mesh"
-    discriminative = getattr(module.args, "sm_train_discriminatively", False)
-    use_pallas = pallas_supported(module.n_classes)
-    partition_fn = hsmm_partition_fast if use_pallas else hsmm_partition
-
-    def local_loss(params, features, lengths, vc, inv_map, gt, cons,
-                   end_allowed, weights, rng):
-        # compound-z parity: fold the step key with each instance's
-        # GLOBAL batch index, so sampling matches single-device runs
-        # under any device count
-        key_offset = jax.lax.axis_index("data") * features.shape[0]
-        terms = _local_loss_terms(
-            module, use_labels, discriminative, partition_fn,
-            params, features, lengths, vc, inv_map, gt, cons,
-            end_allowed, weights, rng, key_offset=key_offset,
-        )
-        nll, kl, log_det, den = (jax.lax.psum(t, "data") for t in terms)
-        return _terms_to_loss_aux(nll, kl, log_det, den, use_labels)
+    local_loss = _make_local_loss(module, use_labels)
 
     def local_step(params, opt_state, features, lengths, vc, inv_map,
                    gt, cons, end_allowed, weights, lr, rng):
-        (loss, aux), grads = jax.value_and_grad(local_loss, has_aux=True)(
+        (_, terms), grads = jax.value_and_grad(
+            local_loss, has_aux=True
+        )(
             params, features, lengths, vc, inv_map, gt, cons,
             end_allowed, weights, rng,
         )
-        # each shard's autodiff only carries its own shard's term of
-        # the psum'd loss; the global gradient is their sum
+        # each shard's autodiff carries only its own local share of the
+        # global mean (no psum inside the grad closure — see
+        # _make_local_loss); the global gradient is their sum
         grads = jax.lax.psum(grads, "data")
+        loss, aux = _reduce_terms(terms, use_labels)
+        gnorm = global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(
             lambda p, u: p + u, params, apply_lr(updates, lr)
         )
-        return params, opt_state, loss, aux
+        return params, opt_state, loss, aux, gnorm
 
-    try:
-        from jax import shard_map  # jax >= 0.8
-
-        check_kwargs = {"check_vma": False}
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
-
-        check_kwargs = {"check_rep": False}
-
+    shard_map, check_kwargs = _shard_map_fn()
     sharded = shard_map(
         local_step,
         mesh=mesh,
@@ -211,6 +263,53 @@ def build_sharded_train_step(module, tx, mesh, use_labels):
         out_specs=(
             P(), P(), P(),
             {"nll": P(), "kl": P(), "log_det": P()},
+            P(),
+        ),
+        **check_kwargs,
+    )
+    return jax.jit(sharded)
+
+
+def build_sharded_grad_step(module, mesh, use_labels):
+    """Data-parallel loss + GLOBAL gradients without the optimizer
+    update, for --batch_accumulation under --data_parallel: the host
+    accumulates the returned (replicated) gradient pytrees across
+    micro-batches and applies the shared update step once per window —
+    the reference's accumulation semantics (semimarkov.py:284-309) on
+    the mesh.
+
+    Signature: (params, features, lengths, vc, inv_map, gt, cons,
+    end_allowed, weights, rng) -> (loss, aux, grads); `grads` is the
+    psum'd global gradient, replicated across the mesh.
+    """
+    assert mesh.shape.get("model", 1) == 1, "tp retired; see make_mesh"
+    local_loss = _make_local_loss(module, use_labels)
+
+    def local_grads(params, features, lengths, vc, inv_map, gt, cons,
+                    end_allowed, weights, rng):
+        (_, terms), grads = jax.value_and_grad(local_loss, has_aux=True)(
+            params, features, lengths, vc, inv_map, gt, cons,
+            end_allowed, weights, rng,
+        )
+        grads = jax.lax.psum(grads, "data")
+        loss, aux = _reduce_terms(terms, use_labels)
+        return loss, aux, grads
+
+    shard_map, check_kwargs = _shard_map_fn()
+    sharded = shard_map(
+        local_grads,
+        mesh=mesh,
+        in_specs=(
+            P(),                           # params
+            P("data"), P("data"),          # features, lengths
+            P(), P(),                      # vc, inv_map
+            P("data"), P("data"), P("data"), P("data"),  # gt, cons, end, w
+            P(),                           # rng
+        ),
+        out_specs=(
+            P(),
+            {"nll": P(), "kl": P(), "log_det": P()},
+            P(),
         ),
         **check_kwargs,
     )
@@ -246,14 +345,7 @@ def build_sharded_decode_step(module, mesh, n_classes=None):
     (pad_batch_for_mesh) and drops the padded rows; padded lengths of 0
     are clamped to 1 locally so the traceback stays well-defined.
     """
-    try:
-        from jax import shard_map  # jax >= 0.8
-
-        check_kwargs = {"check_vma": False}
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
-
-        check_kwargs = {"check_rep": False}
+    shard_map, check_kwargs = _shard_map_fn()
 
     from action_segmentation_tpu.ops.hsmm_pallas import (
         hsmm_viterbi_labels_pallas,

@@ -59,3 +59,35 @@ def test_sequential_predict_constraints(mini_crosstask):
     for task, s in stats["all"].items():
         nb = s["mof_non_bg"][0] / s["mof_non_bg"][1]
         assert nb > 0.9, (task, nb)
+
+
+def test_device_plateau_matches_host_scheduler():
+    """DevicePlateauLR (on-device plateau controller; no per-epoch loss
+    fetch) must reproduce the host ReduceLROnPlateau's lr trajectory
+    exactly — including NaN metrics (never 'improve'), the relative
+    threshold, patience resets, and the min_lr floor."""
+    import numpy as np
+
+    from action_segmentation_tpu.models.base import (
+        DevicePlateauLR,
+        ReduceLROnPlateau,
+    )
+
+    rng = np.random.RandomState(7)
+    metrics = list(rng.randn(40).astype(np.float32) * 10 + 50)
+    # plateaus, an improvement burst, a NaN, and a deep floor stretch
+    metrics[5:10] = [60.0] * 5
+    metrics[12] = float("nan")
+    metrics[20:40] = [100.0] * 20
+
+    host = ReduceLROnPlateau(1e-2, factor=0.5, patience=2, min_lr=1e-4)
+    dev = DevicePlateauLR(1e-2, factor=0.5, patience=2, min_lr=1e-4)
+    for m in metrics:
+        lr_h = host.step(m)
+        lr_d = float(dev.step(m))
+        assert abs(lr_h - lr_d) < 1e-9, (m, lr_h, lr_d)
+    assert host.lr <= 1e-4 + 1e-9  # the floor stretch actually decayed
+
+    # lr setter round-trips (checkpoint resume path)
+    dev.lr = 3e-3
+    assert abs(dev.lr - 3e-3) < 1e-9

