@@ -52,7 +52,14 @@ class Segmenter:
         return cls(model, valid_classes=valid_classes)
 
     def segment_many(self, feature_list, batch_size=16):
-        """Segment a list of (T_i, D) float arrays -> list of (T_i,) labels."""
+        """Segment a list of (T_i, D) float arrays -> list of (T_i,) labels.
+
+        Batch for throughput: the packed Viterbi's group-step cost is
+        near-flat in B, measured on chip (scripts/serving_batch_scan.py,
+        docs/DESIGN.md §7): device decode runs 2.5M frames/s at B=1 but
+        15.6-16.3M from B=12 (36x the frames for 5.5x the time), so
+        callers with many videos should keep batch_size >= 12.
+        """
         out = []
         rng = jax.random.PRNGKey(0)
         order = np.argsort([f.shape[0] for f in feature_list])
