@@ -586,6 +586,34 @@ class SemiMarkovModel(Model):
 
         return update
 
+    def _build_train_step(self, tx, use_labels):
+        """Fused grad+update: ONE dispatch per batch (and no HBM round
+        trip for the gradient pytree between two programs) on the
+        no-accumulation single-device path. The split grad/update pair
+        remains for --batch_accumulation, whose window semantics match
+        the reference (semimarkov.py:284-309)."""
+        loss_fn = self._build_loss_fn(use_labels)
+        trainable = self.module.trainable_mask
+
+        @jax.jit
+        def train_step(
+            params, opt_state, lr,
+            features, lengths, vc, inv_map, gt, cons, end_allowed, weights, rng,
+        ):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, features, lengths, vc, inv_map, gt, cons, end_allowed,
+                weights, rng,
+            )
+            grads = jax.tree_util.tree_map(
+                lambda g, t: g if t else jnp.zeros_like(g), grads, trainable
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            updates = apply_lr(updates, lr)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return params, opt_state, loss, aux, global_norm(grads)
+
+        return train_step
+
     def _build_decode_step(self):
         from action_segmentation_tpu.ops.hsmm_pallas import (
             hsmm_viterbi_labels_pallas,
@@ -709,6 +737,65 @@ class SemiMarkovModel(Model):
             f"grad_{use_labels}", lambda: self._build_grad_step(use_labels)
         )
         update = self._get_jitted("update", lambda: self._build_update_step(tx))
+        # single-device no-accumulation batches take the fused
+        # grad+update program: one dispatch, no grad-pytree HBM round
+        # trip, and the per-leaf eager tree_map chain (one tunnel
+        # dispatch PER PARAMETER LEAF per batch in rounds 2-3) vanishes
+        fused_step = None
+        if not use_dp and args.batch_accumulation <= 1:
+            fused_step = self._get_jitted(
+                f"fused_{use_labels}",
+                lambda: self._build_train_step(tx, use_labels),
+            )
+        # jitted pytree add/scale for the accumulation window: one
+        # dispatch per batch instead of one per leaf
+        tree_add = self._get_jitted(
+            "tree_add",
+            lambda: jax.jit(lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)),
+        )
+        tree_scale = self._get_jitted(
+            "tree_scale",
+            lambda: jax.jit(
+                lambda a, c: jax.tree_util.tree_map(lambda g: g * c, a)
+            ),
+        )
+        # per-batch stats fold (count, loss_sum, nll*B sum, kl*B sum,
+        # log_det*B sum): ONE tiny dispatch per batch replacing the
+        # epoch-end jnp.stack chains (which also retraced per distinct
+        # batch count — a fresh remote compile each, scripts/
+        # epoch_decompose.py). B rides in as a weak-typed scalar, so no
+        # retrace across batch sizes.
+        stats_step = self._get_jitted(
+            "stats_step",
+            lambda: jax.jit(
+                lambda c, loss, nll, kl, ld, bw: (
+                    c[0] + 1.0, c[1] + loss,
+                    c[2] + nll * bw, c[3] + kl * bw, c[4] + ld * bw,
+                )
+            ),
+        )
+        log_vec = self._get_jitted(
+            "log_vec",
+            lambda: jax.jit(
+                lambda c, gnorm, lr: jnp.stack([
+                    jnp.asarray(gnorm, jnp.float32),
+                    jnp.asarray(lr, jnp.float32),
+                    c[2], c[3], c[4],
+                ])
+            ),
+        )
+        epoch_summary = self._get_jitted(
+            "epoch_summary",
+            lambda: jax.jit(
+                lambda c, nf, nv: {
+                    "train_loss": c[1] / jnp.maximum(c[0], 1.0),
+                    "train_nll_frame_avg": c[2] / nf,
+                    "train_kl_vid_avg": c[3] / nv,
+                    "train_recon_bound": (c[2] + c[3]) / nf,
+                }
+            ),
+        )
+        _STATS0 = tuple(jnp.zeros((), jnp.float32) for _ in range(5))
 
         rng = jax.random.PRNGKey(getattr(args, "seed", 1) or 1)
         params = self.module.params
@@ -824,15 +911,19 @@ class SemiMarkovModel(Model):
             deferred_checks.clear()
             deferred_logs.clear()
 
-        def _prepare_batch(batch):
+        def _prepare_batch(batch, step_rng):
             """Host side of one training batch: narration/constraint
             assembly, row padding, and the single device_put. Runs on
-            the prefetch thread so collation and the H2D transfer of
-            batch i+1 overlap batch i's dispatch — on the TPU host the
-            collate + device_put pair measured 0.45-0.58 s of the
-            0.51-0.65 s warm epoch (scripts/epoch_decompose.py), i.e.
-            the critical path was host prep, not device work. numpy
-            fills and the tunnel transfer release the GIL."""
+            a 2-worker prefetch pool so collation and the H2D transfer
+            of batches i+1, i+2 overlap batch i's dispatch — on the TPU
+            host the collate + device_put pair measured 0.45-0.58 s of
+            the 0.51-0.65 s warm epoch (scripts/epoch_decompose.py),
+            i.e. the critical path was host prep, not device work, and
+            with one worker the serialized prep chain still bounded the
+            epoch. numpy fills and the tunnel transfer release the GIL,
+            so two preps genuinely overlap. The PRNG split stays on the
+            submit side (deterministic key chain regardless of worker
+            interleaving)."""
             vc, inv_map, cons, end_allowed = self._batch_device_args(
                 batch, train_data, use_narration
             )
@@ -857,7 +948,7 @@ class SemiMarkovModel(Model):
                     ),
                 )
                 s_vc, s_inv = shard_shared_inputs(mesh, vc, inv_map)
-                return B, frames, (placed, s_vc, s_inv)
+                return B, frames, (placed, s_vc, s_inv), step_rng
             feat_p, len_p, gt_p, cons_p, end_p, w = self._pad_batch_rows(
                 batch["features"], batch["lengths"], gt, cons, end_allowed
             )
@@ -866,12 +957,12 @@ class SemiMarkovModel(Model):
             dev = jax.device_put(
                 (feat_p, len_p, vc, inv_map, gt_p, cons_p, end_p, w)
             )
-            return B, frames, (dev,)
+            return B, frames, (dev,), step_rng
 
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        prefetch_pool = ThreadPoolExecutor(max_workers=1)
+        prefetch_pool = ThreadPoolExecutor(max_workers=2)
         try:
           for epoch in range(start_epoch, args.epochs):
             if profile_dir and epoch == start_epoch:
@@ -881,8 +972,8 @@ class SemiMarkovModel(Model):
             num_videos = 0
             acc_grads = None
             acc_count = 0
-            ep_stats = []  # per-batch (loss, nll, kl, log_det) device scalars
-            ep_sizes = []  # per-batch host B
+            # epoch stats fold: (count, loss_sum, nll*B, kl*B, ld*B)
+            stats_carry = _STATS0
 
             batch_iter = iter_batches(
                 train_data,
@@ -899,20 +990,26 @@ class SemiMarkovModel(Model):
             pending_prep = deque()
 
             def _submit_next():
+                nonlocal rng
                 b = next(batch_iter, None)
                 if b is not None:
-                    pending_prep.append(prefetch_pool.submit(_prepare_batch, b))
+                    # split on the submit side, in submit (== batch)
+                    # order, so the key chain is deterministic no matter
+                    # how the two prep workers interleave
+                    rng, step_rng = jax.random.split(rng)
+                    pending_prep.append(
+                        prefetch_pool.submit(_prepare_batch, b, step_rng)
+                    )
 
             _submit_next()
-            _submit_next()  # depth-2 pipeline: prep runs one batch ahead
+            _submit_next()  # depth-2 pipeline: two preps in flight
             batch_ix = -1
             while pending_prep:
                 batch_ix += 1
-                B, frames, prepped = pending_prep.popleft().result()
+                B, frames, prepped, step_rng = pending_prep.popleft().result()
                 _submit_next()
                 num_frames += frames
                 num_videos += B
-                rng, step_rng = jax.random.split(rng)
                 stepped = False
                 gnorm = None
                 if use_dp:
@@ -931,6 +1028,13 @@ class SemiMarkovModel(Model):
                         )
                         grads = None
                         stepped = True
+                elif fused_step is not None:
+                    (dev,) = prepped
+                    params, opt_state, loss, aux, gnorm = fused_step(
+                        params, opt_state, lr, *dev, step_rng
+                    )
+                    grads = None
+                    stepped = True
                 else:
                     (dev,) = prepped
                     loss, aux, grads = grad_step(params, *dev, step_rng)
@@ -942,8 +1046,10 @@ class SemiMarkovModel(Model):
                 # and flush in one batched device_get at backpressure
                 # points / fit end, so transfers overlap compute via
                 # dispatch pipelining.
-                ep_stats.append((loss, aux["nll"], aux["kl"], aux["log_det"]))
-                ep_sizes.append(B)
+                stats_carry = stats_step(
+                    stats_carry, loss, aux["nll"], aux["kl"], aux["log_det"],
+                    float(B),
+                )
                 deferred_checks.append((epoch, batch_ix, loss))
                 if len(deferred_checks) >= 32:
                     flush_deferred()  # bound dispatch queue / resident inputs
@@ -954,14 +1060,14 @@ class SemiMarkovModel(Model):
                     # multi_batch_losses are never flushed after the batch
                     # loop, semimarkov.py:284-309)
                     acc_grads = (
-                        grads
-                        if acc_grads is None
-                        else jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+                        grads if acc_grads is None else tree_add(acc_grads, grads)
                     )
                     acc_count += 1
                     if acc_count >= args.batch_accumulation:
-                        mean_grads = jax.tree_util.tree_map(
-                            lambda g: g / acc_count, acc_grads
+                        mean_grads = (
+                            acc_grads
+                            if acc_count == 1
+                            else tree_scale(acc_grads, 1.0 / acc_count)
                         )
                         params, opt_state, gnorm = update(params, opt_state, mean_grads, lr)
                         acc_grads = None
@@ -969,18 +1075,11 @@ class SemiMarkovModel(Model):
                         stepped = True
                 if stepped and args.print_every and (batch_ix % args.print_every == 0):
                     # the |GParam|/lr/loss line (reference
-                    # semimarkov.py:289-304): the cumulative sums are
-                    # one tiny device dispatch; the line's numbers fetch
-                    # at the next flush, so the hot loop never blocks
-                    st = jnp.stack([jnp.stack(s) for s in ep_stats])
-                    w = jnp.asarray(np.asarray(ep_sizes, np.float32))
-                    vec = jnp.stack([
-                        jnp.asarray(gnorm, jnp.float32),
-                        jnp.asarray(lr, jnp.float32),
-                        st[:, 1] @ w,
-                        st[:, 2] @ w,
-                        st[:, 3] @ w,
-                    ])
+                    # semimarkov.py:289-304): the cumulative sums ride
+                    # the stats fold; building the line's vector is one
+                    # tiny dispatch whose numbers fetch at the next
+                    # flush, so the hot loop never blocks
+                    vec = log_vec(stats_carry, gnorm, lr)
                     deferred_logs.append((
                         (
                             epoch, batch_ix, num_videos, num_frames,
@@ -999,16 +1098,22 @@ class SemiMarkovModel(Model):
                     jax.profiler.stop_trace()
             # per-epoch stats as device scalars (no fetch): consumers
             # that need floats (tests, main.py's CSV) force them and pay
-            # one sync; the loop itself stays asynchronous across epochs
-            if ep_stats:
-                st = jnp.stack([jnp.stack(s) for s in ep_stats])
-                w = jnp.asarray(np.asarray(ep_sizes, np.float32))
-                train_loss = st[:, 0].mean()
-                nll_sum = st[:, 1] @ w
-                kl_sum = st[:, 2] @ w
+            # one sync; the loop itself stays asynchronous across epochs.
+            # ONE dispatch builds the whole callback dict from the fold.
+            if num_videos > 0:
+                cb_stats = epoch_summary(
+                    stats_carry,
+                    float(max(num_frames, 1)),
+                    float(max(num_videos, 1)),
+                )
             else:
-                train_loss = 0.0
-                nll_sum = kl_sum = jnp.float32(0.0)
+                cb_stats = {
+                    "train_loss": 0.0,
+                    "train_nll_frame_avg": jnp.float32(0.0),
+                    "train_kl_vid_avg": jnp.float32(0.0),
+                    "train_recon_bound": jnp.float32(0.0),
+                }
+            train_loss = cb_stats["train_loss"]
             if ckpt_dir and epoch % getattr(args, "checkpoint_every", 5) == 0:
                 from action_segmentation_tpu import checkpoint as ckpt
 
@@ -1022,15 +1127,7 @@ class SemiMarkovModel(Model):
                 # scalar threaded straight into the jitted update
                 lr = scheduler.step(train_loss)
             if callback_fn:
-                callback_fn(
-                    epoch,
-                    {
-                        "train_loss": train_loss,
-                        "train_nll_frame_avg": nll_sum / max(num_frames, 1),
-                        "train_kl_vid_avg": kl_sum / max(num_videos, 1),
-                        "train_recon_bound": (nll_sum + kl_sum) / max(num_frames, 1),
-                    },
-                )
+                callback_fn(epoch, cb_stats)
         finally:
             prefetch_pool.shutdown(wait=True)
         flush_deferred()
