@@ -1,0 +1,291 @@
+"""Device-resident corpus: upload a datasplit to HBM once, gather
+batches on device by row index.
+
+Motivation (round 4, docs/DESIGN.md §9): after the training loop was
+reduced to one fused program per batch, the realistic-epoch wall clock
+was bounded by the REMAINING tunnel requests — chiefly the per-batch
+host->device transfer of features that never change across epochs.
+A corpus is static for the lifetime of a fit/predict loop, so the
+TPU-native layout is to keep it resident in HBM and form batches with
+an on-device gather:
+
+  * one `device_put` per (datasplit, narration) pair per model —
+    amortized across every epoch and every per-epoch evaluation;
+  * batch composition stays a host decision (the same seeded
+    shuffle/bucketing as `iter_batches`) but travels as a tiny int32
+    index matrix riding the dispatch;
+  * a whole epoch executes as a handful of `lax.scan` programs (one
+    per length bucket present), so per-epoch tunnel requests drop from
+    O(batches x programs) to O(buckets).
+
+Size is gated by ``--sm_device_resident_mb``: corpora whose resident
+tensors exceed the budget fall back to the per-batch streaming path
+(the reference-style loop in models/semimarkov.py). On a 16 GB v5e
+chip the full CrossTask PCA-200 feature set is ~650 MB — resident by
+default.
+
+Replaces no single reference file: the reference re-collates and
+re-uploads every batch every epoch (src/data/corpus.py:613-644 +
+src/models/model.py:42-77 DataLoader); this module is the TPU-native
+redesign of that data path.
+"""
+
+from collections import OrderedDict
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from action_segmentation_tpu import BIG_NEG
+from action_segmentation_tpu.data.batching import (
+    make_batch_keys,
+    pad_length_to_bucket,
+)
+
+
+@dataclass
+class PlanGroup:
+    """Batches sharing one padded length bucket, in epoch order."""
+
+    t_width: int                 # static padded time width (bucket)
+    idxs: np.ndarray             # (n, Bp) int32 corpus rows, -1 = pad row
+    vcs: np.ndarray              # (n, Cmax) int32 valid classes, -1 = pad
+    invs: np.ndarray             # (n, C) int32 global->subset map
+    bixs: np.ndarray             # (n,) int32 original epoch batch index
+    bws: np.ndarray              # (n,) float32 true batch sizes
+    keys: List[List[Tuple[str, str]]]  # per batch: (task, video) keys
+    batch_sizes: List[int]       # true B per batch
+    batch_frames: List[int]      # real frames per batch
+
+    @property
+    def n(self):
+        return int(self.idxs.shape[0])
+
+
+@dataclass
+class EpochPlan:
+    groups: List[PlanGroup]
+    videos: int
+    frames: int
+
+    @property
+    def n(self):
+        return sum(g.n for g in self.groups)
+
+
+@dataclass
+class ResidentCorpus:
+    """Device tensors + host-side batch planning for one datasplit."""
+
+    device_args: Tuple[Any, ...]   # (feat, length, gt[, cons][, end]) on device
+    with_cons: bool
+    with_end: bool
+    t_max: int
+    c_max: int
+    n_classes: int
+    nbytes: int
+    row_of: Dict[Tuple[str, str], int]
+    host_len: np.ndarray           # (N,) int32
+    task_vc: Dict[str, np.ndarray]   # task -> (Cmax,) int32 padded vc
+    task_inv: Dict[str, np.ndarray]  # task -> (C,) int32 inv map
+    videos_by_task: Dict[str, Any]
+    datasplit: Any = field(repr=False, default=None)  # keeps id() stable
+
+    def _length_of(self, key):
+        return int(self.host_len[self.row_of[key]])
+
+    def make_plan(self, batch_size, shuffle, seed, limit=None,
+                  sort_by_length=False) -> EpochPlan:
+        """The SAME batch composition as iter_batches (make_batch_keys
+        chunking + seeded batch-granularity shuffle), expressed as
+        per-bucket index-matrix groups. Grouping by length bucket only
+        REORDERS batch execution (stable within a group); batch
+        contents, padded widths, and per-batch PRNG keys (folded from
+        the original epoch batch index) are identical to the streaming
+        path."""
+        keys_batches = make_batch_keys(
+            self.videos_by_task, batch_size, batch_by_task=True,
+            shuffle=shuffle, seed=seed,
+            length_of=(self._length_of if sort_by_length else None),
+        )
+        if limit:
+            keys_batches = keys_batches[:limit]
+        by_width: "OrderedDict[int, list]" = OrderedDict()
+        videos = 0
+        frames = 0
+        for bix, keys in enumerate(keys_batches):
+            rows = [self.row_of[k] for k in keys if k in self.row_of]
+            if not rows:
+                continue
+            lens = self.host_len[rows]
+            t_width = pad_length_to_bucket(int(lens.max()))
+            task = keys[0][0]
+            by_width.setdefault(t_width, []).append(
+                (bix, task, rows, int(lens.sum()))
+            )
+            videos += len(rows)
+            frames += int(lens.sum())
+        groups = []
+        for t_width in sorted(by_width):
+            entries = by_width[t_width]
+            n = len(entries)
+            Bp = batch_size
+            idxs = np.full((n, Bp), -1, np.int32)
+            vcs = np.zeros((n, self.c_max), np.int32)
+            invs = np.zeros((n, self.n_classes), np.int32)
+            bixs = np.zeros(n, np.int32)
+            bws = np.zeros(n, np.float32)
+            g_keys, g_sizes, g_frames = [], [], []
+            for i, (bix, task, rows, fsum) in enumerate(entries):
+                idxs[i, : len(rows)] = rows
+                vcs[i] = self.task_vc[task]
+                invs[i] = self.task_inv[task]
+                bixs[i] = bix
+                bws[i] = float(len(rows))
+                g_keys.append([k for k in keys_batches[bix] if k in self.row_of])
+                g_sizes.append(len(rows))
+                g_frames.append(fsum)
+            groups.append(PlanGroup(
+                t_width=t_width, idxs=idxs, vcs=vcs, invs=invs, bixs=bixs,
+                bws=bws, keys=g_keys, batch_sizes=g_sizes,
+                batch_frames=g_frames,
+            ))
+        return EpochPlan(groups=groups, videos=videos, frames=frames)
+
+
+def _class_width(n_sub, class_bucket, lanes):
+    """Mirror of SemiMarkovModel._batch_device_args' class-count
+    bucketing (pad to a multiple of --sm_class_shape_bucket, never past
+    the Pallas lane width when the true count fits in it)."""
+    bucket = max(1, class_bucket or 1)
+    cp = -(-n_sub // bucket) * bucket
+    if n_sub <= lanes:
+        cp = min(cp, lanes)
+    return cp
+
+
+def build_resident_corpus(model, datasplit, use_narration, budget_mb):
+    """Build the resident tensors for `datasplit`, or return None when
+    they exceed `budget_mb` (callers fall back to per-batch streaming).
+
+    Semantics per video row mirror the streaming collation exactly:
+    features/gt zero-padded to the largest length bucket, narration
+    constraints expanded to task-local class columns and scaled by
+    --sm_constrain_narration_weight (models/semimarkov.py
+    _batch_device_args), end masks 0/BIG_NEG over the padded class
+    width with BIG_NEG beyond each task's true class count.
+    """
+    import jax
+
+    from action_segmentation_tpu.ops.hsmm_pallas import LANES
+
+    args = model.args
+    C = model.n_classes
+
+    # one pass over the datasplit: rows in deterministic (task, video)
+    # order; missing samples are skipped exactly like collate() does
+    rows = []
+    per_task_vc = {}
+    for task in sorted(datasplit.videos_by_task.keys()):
+        for name in sorted(datasplit.videos_by_task[task]):
+            sample = datasplit[(task, name)]
+            if sample is None:
+                continue
+            if task not in per_task_vc:
+                per_task_vc[task] = np.asarray(sample["task_indices"], np.int32)
+            rows.append((task, name, sample))
+    if not rows:
+        return None
+
+    c_max = max(
+        _class_width(len(vc), getattr(args, "sm_class_shape_bucket", 1), LANES)
+        for vc in per_task_vc.values()
+    )
+    lengths = np.array([s["features"].shape[0] for _, _, s in rows], np.int32)
+    t_max = pad_length_to_bucket(int(lengths.max()))
+    N = len(rows)
+    D = rows[0][2]["features"].shape[1]
+
+    with_cons = bool(
+        use_narration
+        and all(s.get("constraints") is not None for _, _, s in rows)
+    )
+    with_end = model.module.allowed_ends is not None
+
+    nbytes = N * t_max * (D + 1) * 4 + N * 4
+    if with_cons:
+        nbytes += N * t_max * c_max * 4
+    if with_end:
+        nbytes += N * c_max * 4
+    if nbytes > budget_mb * (1 << 20):
+        return None
+
+    feat = np.zeros((N, t_max, D), np.float32)
+    gt = np.zeros((N, t_max), np.int32)
+    cons = np.zeros((N, t_max, c_max), np.float32) if with_cons else None
+    end = np.full((N, c_max), BIG_NEG, np.float32) if with_end else None
+    row_of = {}
+    task_vc = {}
+    task_inv = {}
+    for task, vc in per_task_vc.items():
+        vcp = np.full(c_max, -1, np.int32)
+        vcp[: len(vc)] = vc
+        task_vc[task] = vcp
+        inv = np.zeros(C, np.int32)
+        inv[vc] = np.arange(len(vc), dtype=np.int32)
+        task_inv[task] = inv
+
+    for i, (task, name, sample) in enumerate(rows):
+        L = int(lengths[i])
+        row_of[(task, name)] = i
+        feat[i, :L] = sample["features"]
+        if "gt_single" in sample:
+            gt[i, :L] = np.asarray(sample["gt_single"], np.int32)
+        vc = per_task_vc[task]
+        if with_cons:
+            expanded = model._expand_constraints(
+                datasplit, task, vc, sample["constraints"][None]
+            )[0]
+            cons[i, :L, : len(vc)] = (
+                expanded * args.sm_constrain_narration_weight
+            )
+            # streaming parity: collate zero-pads constraints past each
+            # video's length BEFORE expansion, and 1-0=1 puts a penalty
+            # at every step column on padded frames (masked out of the
+            # DP by the end fold, but kept bit-identical here)
+            pad_row = model._expand_constraints(
+                datasplit, task, vc,
+                np.zeros((1, 1, sample["constraints"].shape[1]), np.float32),
+            )[0, 0]
+            cons[i, L:, : len(vc)] = (
+                pad_row * args.sm_constrain_narration_weight
+            )
+        if with_end:
+            addl = model._make_additional_allowed_ends([task], [L])[0]
+            allowed = set(model.module.allowed_ends) | set(addl)
+            mask = np.array([ix in allowed for ix in vc])
+            assert mask.any(), "no allowed end classes for instance"
+            end[i, : len(vc)] = np.where(mask, 0.0, BIG_NEG)
+
+    dev = [feat, lengths, gt]
+    if with_cons:
+        dev.append(cons)
+    if with_end:
+        dev.append(end)
+    device_args = jax.device_put(tuple(dev))  # ONE transfer
+
+    return ResidentCorpus(
+        device_args=device_args,
+        with_cons=with_cons,
+        with_end=with_end,
+        t_max=t_max,
+        c_max=c_max,
+        n_classes=C,
+        nbytes=nbytes,
+        row_of=row_of,
+        host_len=lengths,
+        task_vc=task_vc,
+        task_inv=task_inv,
+        videos_by_task=datasplit.videos_by_task,
+        datasplit=datasplit,
+    )

@@ -51,6 +51,31 @@ from action_segmentation_tpu.ops.stats import semimarkov_sufficient_stats
 from action_segmentation_tpu.utils import all_equal, logger
 
 
+def _fold_key(base_rng, epoch, bix):
+    """Per-batch PRNG key derived INSIDE the jitted step from the fit's
+    base key and the (epoch, batch) coordinates — no per-batch
+    jax.random.split program on the host (each eagerly dispatched
+    program pays a tunnel round trip at drain time), and resume at
+    epoch E reproduces the uninterrupted run's keys exactly (the old
+    sequential split chain restarted from the fit() call, so a resumed
+    chain was offset by the already-consumed batches)."""
+    return jax.random.fold_in(jax.random.fold_in(base_rng, epoch), bix)
+
+
+def _fold_stats(stats, loss, aux, bw):
+    """Epoch-stats fold (count, loss_sum, nll*B, kl*B, log_det*B) as a
+    5-scalar device carry threaded through the per-batch step — the
+    epoch summary and the print_every log line read the carry without
+    any separate per-batch bookkeeping program."""
+    return (
+        stats[0] + 1.0,
+        stats[1] + loss,
+        stats[2] + aux["nll"] * bw,
+        stats[3] + aux["kl"] * bw,
+        stats[4] + aux["log_det"] * bw,
+    )
+
+
 def _constraint_buffers(n_classes, allowed_starts, allowed_transitions, allowed_ends):
     """Boolean disallowed-masks from allowed sets (semimarkov_modules.py:169-193)."""
     if allowed_starts is None:
@@ -283,6 +308,17 @@ class SemiMarkovModel(Model):
             "tasks with different step counts share compiled programs; "
             "1 disables",
         )
+        parser.add_argument(
+            "--sm_device_resident_mb",
+            type=int,
+            default=1024,
+            help="HBM budget (MB) for keeping a datasplit's tensors "
+            "device-resident: epochs/decodes then run as per-bucket "
+            "scan programs with on-device batch gathers instead of "
+            "per-batch host transfers (data/resident.py). Corpora over "
+            "budget, --data_parallel, and --batch_accumulation stream "
+            "per batch. 0 disables",
+        )
         parser.add_argument("--sm_supervised_state_smoothing", type=float, default=1e-2)
         parser.add_argument("--sm_supervised_length_smoothing", type=float, default=1e-1)
         parser.add_argument(
@@ -393,10 +429,12 @@ class SemiMarkovModel(Model):
         self.ordered_indices_by_task = ordered_indices_by_task
         self._jit_cache = {}
 
-    # pickling: drop compiled closures, keep numpy params
+    # pickling: drop compiled closures and device-resident corpora
+    # (rebuilt lazily on demand), keep numpy params
     def __getstate__(self):
         state = dict(self.__dict__)
         state["_jit_cache"] = {}
+        state.pop("_resident_cache", None)
         mod = state["module"]
         mod.params = jax.tree_util.tree_map(np.asarray, mod.params)
         return state
@@ -560,14 +598,19 @@ class SemiMarkovModel(Model):
         return loss_fn
 
     def _build_grad_step(self, use_labels):
+        """Gradient-only per-batch program for --batch_accumulation:
+        key fold-in + value_and_grad + stats fold in one dispatch; the
+        shared update step applies once per window."""
         loss_fn = self._build_loss_fn(use_labels)
 
         @jax.jit
-        def grad_step(params, features, lengths, vc, inv_map, gt, cons, end_allowed, weights, rng):
+        def grad_step(params, stats, base_rng, epoch, bix, bw,
+                      features, lengths, vc, inv_map, gt, cons, end_allowed, weights):
+            rng = _fold_key(base_rng, epoch, bix)
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, features, lengths, vc, inv_map, gt, cons, end_allowed, weights, rng
             )
-            return loss, aux, grads
+            return _fold_stats(stats, loss, aux, bw), loss, grads
 
         return grad_step
 
@@ -587,19 +630,27 @@ class SemiMarkovModel(Model):
         return update
 
     def _build_train_step(self, tx, use_labels):
-        """Fused grad+update: ONE dispatch per batch (and no HBM round
-        trip for the gradient pytree between two programs) on the
-        no-accumulation single-device path. The split grad/update pair
-        remains for --batch_accumulation, whose window semantics match
-        the reference (semimarkov.py:284-309)."""
+        """Fused per-batch program for the single-device
+        no-accumulation path: PRNG fold-in, value_and_grad, Adam
+        update, and the epoch-stats fold all execute in ONE dispatch.
+
+        On the remote-TPU tunnel every dispatched program pays its own
+        round-trip latency when the queue drains, so per-batch side
+        programs (the rng split, the stats fold, a separate update)
+        cost as much as the train step itself — the round-4a loop's
+        ~4 programs/batch bounded the realistic-epoch wall clock
+        (docs/DESIGN.md §9). The split grad/update pair remains for
+        --batch_accumulation, whose window semantics match the
+        reference (semimarkov.py:284-309)."""
         loss_fn = self._build_loss_fn(use_labels)
         trainable = self.module.trainable_mask
 
         @jax.jit
         def train_step(
-            params, opt_state, lr,
-            features, lengths, vc, inv_map, gt, cons, end_allowed, weights, rng,
+            params, opt_state, stats, lr, base_rng, epoch, bix, bw,
+            features, lengths, vc, inv_map, gt, cons, end_allowed, weights,
         ):
+            rng = _fold_key(base_rng, epoch, bix)
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, features, lengths, vc, inv_map, gt, cons, end_allowed,
                 weights, rng,
@@ -610,11 +661,14 @@ class SemiMarkovModel(Model):
             updates, opt_state = tx.update(grads, opt_state, params)
             updates = apply_lr(updates, lr)
             params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-            return params, opt_state, loss, aux, global_norm(grads)
+            return params, opt_state, _fold_stats(stats, loss, aux, bw), loss, global_norm(grads)
 
         return train_step
 
-    def _build_decode_step(self):
+    def _decode_core(self):
+        """Traceable (params, features, lengths, vc, cons, end_allowed,
+        rng) -> (labels, scores) shared by the per-batch decode program
+        and the resident-corpus decode scan."""
         from action_segmentation_tpu.ops.hsmm_pallas import (
             hsmm_viterbi_labels_pallas,
             pallas_supported,
@@ -623,7 +677,6 @@ class SemiMarkovModel(Model):
         module = self.module
         use_pallas = pallas_supported(self.n_classes)
 
-        @jax.jit
         def decode(params, features, lengths, vc, cons, end_allowed, rng):
             pots, _, _ = module.compute_potentials(
                 params, features, lengths, vc, cons, end_allowed, rng, use_mean_z=True
@@ -641,6 +694,156 @@ class SemiMarkovModel(Model):
             return labels, scores
 
         return decode
+
+    def _build_decode_step(self):
+        return jax.jit(self._decode_core())
+
+    # ----- resident-corpus scan programs (round 4) -----
+    #
+    # With the corpus resident in HBM (data/resident.py) a whole epoch
+    # executes as one lax.scan program per length bucket: the gather of
+    # each batch, the PRNG fold, the loss/grad/Adam update, and the
+    # stats fold are all INSIDE the program, so per-epoch tunnel
+    # requests drop from O(batches x programs) to O(buckets) — the
+    # measured dominator of the realistic-epoch wall clock once the
+    # per-batch loop was fully asynchronous (docs/DESIGN.md §9).
+
+    def _get_resident(self, datasplit, use_narration):
+        """Resident tensors for `datasplit` (cached; None when disabled
+        by --sm_device_resident_mb=0 or over budget). The cache holds a
+        reference to the datasplit so id() stays valid."""
+        budget = getattr(self.args, "sm_device_resident_mb", 0) or 0
+        if budget <= 0:
+            return None
+        if not hasattr(self, "_resident_cache"):
+            self._resident_cache = {}
+        key = (id(datasplit), bool(use_narration))
+        if key not in self._resident_cache:
+            from action_segmentation_tpu.data.resident import (
+                build_resident_corpus,
+            )
+
+            self._resident_cache[key] = build_resident_corpus(
+                self, datasplit, use_narration, budget
+            )
+        return self._resident_cache[key]
+
+    def _build_epoch_scan(self, tx, use_labels, with_cons, with_end):
+        """One jitted program per (length bucket, class width): scans
+        the bucket's batches, gathering each from the resident corpus
+        and applying the SAME fused loss/update/stats step as
+        _build_train_step. Returns per-batch losses and flattened
+        (gnorm, lr, nll, kl, log_det) log snapshots (scan order)."""
+        loss_fn = self._build_loss_fn(use_labels)
+        trainable = self.module.trainable_mask
+
+        def fn(params, opt_state, stats, lr, base_rng, epoch, res,
+               idxs, vcs, invs, bixs, bws, t_width):
+            feat, length, gt = res[0], res[1], res[2]
+            k = 3
+            cons_r = None
+            end_r = None
+            if with_cons:
+                cons_r = res[k]
+                k += 1
+            if with_end:
+                end_r = res[k]
+            Bp = idxs.shape[1]
+            Cw = vcs.shape[1]
+
+            def body(carry, xs):
+                params, opt_state, stats = carry
+                idx, vc, inv, bix, bw = xs
+                valid = idx >= 0
+                ri = jnp.clip(idx, 0)
+                f = feat[ri, :t_width]
+                # pad rows: weight 0, length 1 (same convention as
+                # _pad_batch_rows — a 0-length DP would NaN the batch)
+                l = jnp.where(valid, length[ri], 1)
+                g = gt[ri, :t_width]
+                w = valid.astype(jnp.float32)
+                c = (
+                    cons_r[ri, :t_width]
+                    if with_cons
+                    else jnp.zeros((Bp, t_width, Cw), jnp.float32)
+                )
+                e = (
+                    end_r[ri]
+                    if with_end
+                    else jnp.zeros((Bp, Cw), jnp.float32)
+                )
+                rng = _fold_key(base_rng, epoch, bix)
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, f, l, vc, inv, g, c, e, w, rng)
+                grads = jax.tree_util.tree_map(
+                    lambda gr, t: gr if t else jnp.zeros_like(gr),
+                    grads, trainable,
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                updates = apply_lr(updates, lr)
+                params = jax.tree_util.tree_map(
+                    lambda p, u: p + u, params, updates
+                )
+                stats = _fold_stats(stats, loss, aux, bw)
+                snap = jnp.stack([
+                    global_norm(grads),
+                    jnp.asarray(lr, jnp.float32),
+                    stats[2], stats[3], stats[4],
+                ])
+                return (params, opt_state, stats), (loss, snap)
+
+            (params, opt_state, stats), (losses, snaps) = jax.lax.scan(
+                body, (params, opt_state, stats),
+                (idxs, vcs, invs, bixs, bws),
+            )
+            return params, opt_state, stats, losses, jnp.reshape(snaps, (-1,))
+
+        return jax.jit(fn, static_argnames=("t_width",))
+
+    def _build_decode_scan(self, with_cons, with_end):
+        """Scan the decode over a bucket group of resident batches;
+        returns flattened int32 labels (n * Bp * t_width) so a whole
+        predict() is a handful of dispatches plus ONE fetch."""
+        decode = self._decode_core()
+
+        def fn(params, base_rng, res, idxs, vcs, bixs, t_width):
+            feat, length = res[0], res[1]
+            k = 3
+            cons_r = None
+            end_r = None
+            if with_cons:
+                cons_r = res[k]
+                k += 1
+            if with_end:
+                end_r = res[k]
+            Bp = idxs.shape[1]
+            Cw = vcs.shape[1]
+
+            def body(_, xs):
+                idx, vc, bix = xs
+                valid = idx >= 0
+                ri = jnp.clip(idx, 0)
+                f = feat[ri, :t_width]
+                l = jnp.where(valid, length[ri], 1)
+                c = (
+                    cons_r[ri, :t_width]
+                    if with_cons
+                    else jnp.zeros((Bp, t_width, Cw), jnp.float32)
+                )
+                e = (
+                    end_r[ri]
+                    if with_end
+                    else jnp.zeros((Bp, Cw), jnp.float32)
+                )
+                rng = _fold_key(base_rng, 0, bix)
+                labels, _ = decode(params, f, l, vc, c, e, rng)
+                return 0, labels.astype(jnp.int32)
+
+            _, labels = jax.lax.scan(body, 0, (idxs, vcs, bixs))
+            return jnp.reshape(labels, (-1,))
+
+        return jax.jit(fn, static_argnames=("t_width",))
 
     # ----- public API -----
 
@@ -717,16 +920,46 @@ class SemiMarkovModel(Model):
             )
 
             mesh = make_mesh(model_parallel=getattr(args, "model_parallel", 1))
+            # the sharded steps are wrapped so key fold-in and the stats
+            # fold trace INTO the same program (one dispatch per batch,
+            # identical key derivation to the single-device paths —
+            # dp==single trajectory tests depend on that)
             if dp_accumulate:
                 # --batch_accumulation under dp: sharded grad-only step,
                 # host-accumulated replicated grads, shared update step
-                sharded_grad_step = build_sharded_grad_step(
+                _dp_grads = build_sharded_grad_step(
                     self.module, mesh, use_labels
                 )
+
+                @jax.jit
+                def sharded_grad_step(params, stats, base_rng, epoch, bix, bw,
+                                      features, lengths, s_vc, s_inv,
+                                      gt, cons, end_allowed, weights):
+                    rng = _fold_key(base_rng, epoch, bix)
+                    loss, aux, grads = _dp_grads(
+                        params, features, lengths, s_vc, s_inv,
+                        gt, cons, end_allowed, weights, rng,
+                    )
+                    return _fold_stats(stats, loss, aux, bw), loss, grads
             else:
-                sharded_step = build_sharded_train_step(
+                _dp_train = build_sharded_train_step(
                     self.module, tx, mesh, use_labels
                 )
+
+                @jax.jit
+                def sharded_step(params, opt_state, stats, lr,
+                                 base_rng, epoch, bix, bw,
+                                 features, lengths, s_vc, s_inv,
+                                 gt, cons, end_allowed, weights):
+                    rng = _fold_key(base_rng, epoch, bix)
+                    params, opt_state, loss, aux, gnorm = _dp_train(
+                        params, opt_state, features, lengths, s_vc, s_inv,
+                        gt, cons, end_allowed, weights, lr, rng,
+                    )
+                    return (
+                        params, opt_state,
+                        _fold_stats(stats, loss, aux, bw), loss, gnorm,
+                    )
             self.module.params, opt_state, _ = shard_train_inputs(
                 mesh, self.module.params, opt_state, []
             )
@@ -759,21 +992,6 @@ class SemiMarkovModel(Model):
                 lambda a, c: jax.tree_util.tree_map(lambda g: g * c, a)
             ),
         )
-        # per-batch stats fold (count, loss_sum, nll*B sum, kl*B sum,
-        # log_det*B sum): ONE tiny dispatch per batch replacing the
-        # epoch-end jnp.stack chains (which also retraced per distinct
-        # batch count — a fresh remote compile each, scripts/
-        # epoch_decompose.py). B rides in as a weak-typed scalar, so no
-        # retrace across batch sizes.
-        stats_step = self._get_jitted(
-            "stats_step",
-            lambda: jax.jit(
-                lambda c, loss, nll, kl, ld, bw: (
-                    c[0] + 1.0, c[1] + loss,
-                    c[2] + nll * bw, c[3] + kl * bw, c[4] + ld * bw,
-                )
-            ),
-        )
         log_vec = self._get_jitted(
             "log_vec",
             lambda: jax.jit(
@@ -784,22 +1002,65 @@ class SemiMarkovModel(Model):
                 ])
             ),
         )
-        epoch_summary = self._get_jitted(
-            "epoch_summary",
-            lambda: jax.jit(
-                lambda c, nf, nv: {
+        # ONE epoch-end program: callback stats from the stats carry AND
+        # the plateau-LR controller transition (scheduler semantics:
+        # models/base.py DevicePlateauLR). The host applies the new
+        # scheduler state AFTER the checkpoint save so the saved lr
+        # remains the pre-step rate, exactly as the split
+        # epoch_summary/scheduler.step pair behaved.
+        sched_step = scheduler._step if scheduler is not None else None
+
+        def _build_epoch_finish():
+            @jax.jit
+            def fin(c, nf, nv, sst):
+                stats = {
                     "train_loss": c[1] / jnp.maximum(c[0], 1.0),
                     "train_nll_frame_avg": c[2] / nf,
                     "train_kl_vid_avg": c[3] / nv,
                     "train_recon_bound": (c[2] + c[3]) / nf,
                 }
-            ),
+                new_sst = (
+                    sched_step(sst, stats["train_loss"])
+                    if sched_step is not None
+                    else sst
+                )
+                return stats, new_sst
+
+            return fin
+
+        epoch_finish = self._get_jitted(
+            "epoch_finish_" + ("sched" if sched_step is not None else "plain"),
+            _build_epoch_finish,
         )
         _STATS0 = tuple(jnp.zeros((), jnp.float32) for _ in range(5))
 
         rng = jax.random.PRNGKey(getattr(args, "seed", 1) or 1)
         params = self.module.params
         use_narration = "train" in args.sm_constrain_with_narration
+
+        # resident-corpus epoch scan: single-device no-accumulation fits
+        # over corpora within --sm_device_resident_mb run each epoch as
+        # one lax.scan program per length bucket (gather + fused step
+        # inside; see _build_epoch_scan). dp and accumulation keep the
+        # streaming per-batch loop.
+        resident = None
+        epoch_scan = None
+        if fused_step is not None:
+            resident = self._get_resident(train_data, use_narration)
+            if resident is not None:
+                epoch_scan = self._get_jitted(
+                    "escan_{}_{}_{}".format(
+                        use_labels, resident.with_cons, resident.with_end
+                    ),
+                    lambda: self._build_epoch_scan(
+                        tx, use_labels, resident.with_cons, resident.with_end
+                    ),
+                )
+                logger.debug(
+                    "resident corpus: {} videos, {:.1f} MB on device".format(
+                        len(resident.row_of), resident.nbytes / 2**20
+                    )
+                )
 
         start_epoch = 0
         ckpt_dir = getattr(args, "checkpoint_dir", None)
@@ -856,8 +1117,15 @@ class SemiMarkovModel(Model):
         # backpressure points, checkpoints, and fit end. Callers that
         # force the callback stats (e.g. main.py's per-epoch CSV/decode)
         # pay their own sync, exactly as before.
-        deferred_checks = []  # (epoch, batch_ix, loss) device scalars
-        deferred_logs = []    # (host fmt tuple, (5,) device vector)
+        # deferred_checks entries: (epoch, batch_ix_or_list, dev) where
+        # dev is a 0-d loss scalar (per-batch mode) or an (n,) loss
+        # vector from an epoch-scan group (batch_ix_or_list is then the
+        # list of original batch indices). deferred_logs entries:
+        # (rows, dev_1d) with rows = [(i, ep, bix, nvid, nfrm, thr)]
+        # and dev_1d a flattened (r, 5) snapshot block; row i reads
+        # dev_1d[5*i : 5*i+5].
+        deferred_checks = []
+        deferred_logs = []
         _FLUSH_ZERO = jnp.float32(0.0)          # count-padding fillers
         _FLUSH_ZERO5 = jnp.zeros((5,), jnp.float32)
 
@@ -869,49 +1137,67 @@ class SemiMarkovModel(Model):
             # fresh executable per distinct (n_checks, n_logs) — through
             # the remote-compile path that one-time cost measured ~90 s
             # at fit end (scripts/epoch_decompose.py). Padding the
-            # counts to fixed multiples (32 scalars / 4 log vectors)
+            # counts to fixed multiples (32 scalars / 4 vector entries)
             # bounds the flush to a handful of compiled shapes, all paid
             # in the compile epoch.
-            n = len(deferred_checks)
-            scalars = [l for _, _, l in deferred_checks]
+            scalar_checks = [
+                e for e in deferred_checks if getattr(e[2], "ndim", 0) == 0
+            ]
+            vec_checks = [
+                e for e in deferred_checks if getattr(e[2], "ndim", 0) != 0
+            ]
+            n = len(scalar_checks)
+            scalars = [l for _, _, l in scalar_checks]
             scalars += [_FLUSH_ZERO] * ((-n) % 32)
             parts = [jnp.stack(scalars)] if scalars else []
-            vecs = [vec for _, vec in deferred_logs]
+            vecs = [v for _, _, v in vec_checks]
+            vecs += [vec for _, vec in deferred_logs]
             vecs += [_FLUSH_ZERO5] * ((-len(vecs)) % 4)
             if vecs:
                 parts.append(jnp.concatenate(vecs))
             flat = np.asarray(
                 jnp.concatenate(parts) if len(parts) > 1 else parts[0]
             )  # the single fetch
-            for (ep, bix, _), loss_f in zip(deferred_checks, flat[:n]):
+            for (ep, bix, _), loss_f in zip(scalar_checks, flat[:n]):
                 if not np.isfinite(loss_f):
                     logger.debug(
                         "WARNING: non-finite loss {} at epoch {} batch {}".format(
                             float(loss_f), ep, bix
                         )
                     )
-            off = len(scalars)  # log vectors start after the padded scalars
-            for host_args, _ in deferred_logs:
-                ep, bix, num_vid, num_frm, thr = host_args
-                gnorm_f, lr_f, nll_c, kl_c, ld_c = flat[off:off + 5]
-                off += 5
-                logger.debug(
-                    "Epoch: %02d, Batch: %03d, |GParam|: %.2f, lr: %.2E, "
-                    "loss: %.4f, recon: %.4f, kl: %.4f, log_det: %.4f, "
-                    "Throughput: %.2f vid / sec"
-                    % (
-                        ep, bix, gnorm_f, lr_f,
-                        (nll_c + kl_c + ld_c) / num_vid,
-                        nll_c / num_frm,
-                        kl_c / num_frm,
-                        ld_c / num_vid,
-                        thr,
+            off = len(scalars)  # vector entries start after the scalars
+            for ep, bix_list, dev in vec_checks:
+                seg = flat[off:off + dev.shape[0]]
+                off += dev.shape[0]
+                for j, loss_f in enumerate(seg):
+                    if not np.isfinite(loss_f):
+                        logger.debug(
+                            "WARNING: non-finite loss {} at epoch {} batch {}".format(
+                                float(loss_f), ep, bix_list[j]
+                            )
+                        )
+            for rows, dev in deferred_logs:
+                seg = flat[off:off + dev.shape[0]]
+                off += dev.shape[0]
+                for i, ep, bix, num_vid, num_frm, thr in rows:
+                    gnorm_f, lr_f, nll_c, kl_c, ld_c = seg[5 * i:5 * i + 5]
+                    logger.debug(
+                        "Epoch: %02d, Batch: %03d, |GParam|: %.2f, lr: %.2E, "
+                        "loss: %.4f, recon: %.4f, kl: %.4f, log_det: %.4f, "
+                        "Throughput: %.2f vid / sec"
+                        % (
+                            ep, bix, gnorm_f, lr_f,
+                            (nll_c + kl_c + ld_c) / num_vid,
+                            nll_c / num_frm,
+                            kl_c / num_frm,
+                            ld_c / num_vid,
+                            thr,
+                        )
                     )
-                )
             deferred_checks.clear()
             deferred_logs.clear()
 
-        def _prepare_batch(batch, step_rng):
+        def _prepare_batch(batch):
             """Host side of one training batch: narration/constraint
             assembly, row padding, and the single device_put. Runs on
             a 2-worker prefetch pool so collation and the H2D transfer
@@ -921,9 +1207,10 @@ class SemiMarkovModel(Model):
             i.e. the critical path was host prep, not device work, and
             with one worker the serialized prep chain still bounded the
             epoch. numpy fills and the tunnel transfer release the GIL,
-            so two preps genuinely overlap. The PRNG split stays on the
-            submit side (deterministic key chain regardless of worker
-            interleaving)."""
+            so two preps genuinely overlap. Per-batch PRNG keys derive
+            inside the jitted step (_fold_key), so the pool needs no
+            key plumbing and worker interleaving cannot reorder the
+            chain."""
             vc, inv_map, cons, end_allowed = self._batch_device_args(
                 batch, train_data, use_narration
             )
@@ -948,7 +1235,7 @@ class SemiMarkovModel(Model):
                     ),
                 )
                 s_vc, s_inv = shard_shared_inputs(mesh, vc, inv_map)
-                return B, frames, (placed, s_vc, s_inv), step_rng
+                return B, frames, (placed, s_vc, s_inv)
             feat_p, len_p, gt_p, cons_p, end_p, w = self._pad_batch_rows(
                 batch["features"], batch["lengths"], gt, cons, end_allowed
             )
@@ -957,7 +1244,7 @@ class SemiMarkovModel(Model):
             dev = jax.device_put(
                 (feat_p, len_p, vc, inv_map, gt_p, cons_p, end_p, w)
             )
-            return B, frames, (dev,), step_rng
+            return B, frames, (dev,)
 
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
@@ -975,38 +1262,76 @@ class SemiMarkovModel(Model):
             # epoch stats fold: (count, loss_sum, nll*B, kl*B, ld*B)
             stats_carry = _STATS0
 
-            batch_iter = iter_batches(
-                train_data,
-                batch_size=args.batch_size,
-                batch_by_task=True,
-                shuffle=True,
-                seed=(getattr(args, "seed", 1) or 1) + epoch,
-            )
-            if args.train_limit:
-                import itertools
+            if epoch_scan is not None:
+                # resident-corpus path: the whole epoch runs as one
+                # scan program per length bucket; the streaming loop
+                # below sees an empty iterator and is skipped
+                plan = resident.make_plan(
+                    args.batch_size, shuffle=True,
+                    seed=(getattr(args, "seed", 1) or 1) + epoch,
+                    limit=args.train_limit,
+                )
+                num_videos = plan.videos
+                num_frames = plan.frames
+                scan_pos = 0
+                cum_v = 0
+                cum_f = 0
+                for grp in plan.groups:
+                    params, opt_state, stats_carry, losses, snaps = epoch_scan(
+                        params, opt_state, stats_carry, lr, rng, epoch,
+                        resident.device_args, grp.idxs, grp.vcs, grp.invs,
+                        grp.bixs, grp.bws, t_width=grp.t_width,
+                    )
+                    deferred_checks.append(
+                        (epoch, [int(b) for b in grp.bixs], losses)
+                    )
+                    rows = []
+                    for i in range(grp.n):
+                        cum_v += grp.batch_sizes[i]
+                        cum_f += grp.batch_frames[i]
+                        if args.print_every and (
+                            (scan_pos + i) % args.print_every == 0
+                        ):
+                            # log lines read the stats fold in SCAN
+                            # order (bucket-grouped), so the running
+                            # numbers are self-consistent with the
+                            # printed cumulative counters
+                            rows.append((
+                                i, epoch, int(grp.bixs[i]), cum_v, cum_f,
+                                cum_v / max(time.time() - start_time, 1e-9),
+                            ))
+                    if rows:
+                        deferred_logs.append((rows, snaps))
+                    scan_pos += grp.n
+                if len(deferred_checks) >= 32:
+                    flush_deferred()
+                batch_iter = iter(())
+            else:
+                batch_iter = iter_batches(
+                    train_data,
+                    batch_size=args.batch_size,
+                    batch_by_task=True,
+                    shuffle=True,
+                    seed=(getattr(args, "seed", 1) or 1) + epoch,
+                )
+                if args.train_limit:
+                    import itertools
 
-                batch_iter = itertools.islice(batch_iter, args.train_limit)
-            batch_iter = iter(batch_iter)
+                    batch_iter = itertools.islice(batch_iter, args.train_limit)
+                batch_iter = iter(batch_iter)
             pending_prep = deque()
 
             def _submit_next():
-                nonlocal rng
                 b = next(batch_iter, None)
                 if b is not None:
-                    # split on the submit side, in submit (== batch)
-                    # order, so the key chain is deterministic no matter
-                    # how the two prep workers interleave
-                    rng, step_rng = jax.random.split(rng)
-                    pending_prep.append(
-                        prefetch_pool.submit(_prepare_batch, b, step_rng)
-                    )
+                    pending_prep.append(prefetch_pool.submit(_prepare_batch, b))
 
             _submit_next()
             _submit_next()  # depth-2 pipeline: two preps in flight
             batch_ix = -1
             while pending_prep:
                 batch_ix += 1
-                B, frames, prepped, step_rng = pending_prep.popleft().result()
+                B, frames, prepped = pending_prep.popleft().result()
                 _submit_next()
                 num_frames += frames
                 num_videos += B
@@ -1015,29 +1340,33 @@ class SemiMarkovModel(Model):
                 if use_dp:
                     placed, s_vc, s_inv = prepped
                     if dp_accumulate:
-                        loss, aux, grads = sharded_grad_step(
-                            params,
+                        stats_carry, loss, grads = sharded_grad_step(
+                            params, stats_carry, rng, epoch, batch_ix, float(B),
                             placed[0], placed[1], s_vc, s_inv, placed[2],
-                            placed[3], placed[4], placed[5], step_rng,
+                            placed[3], placed[4], placed[5],
                         )
                     else:
-                        params, opt_state, loss, aux, gnorm = sharded_step(
-                            params, opt_state,
+                        params, opt_state, stats_carry, loss, gnorm = sharded_step(
+                            params, opt_state, stats_carry, lr,
+                            rng, epoch, batch_ix, float(B),
                             placed[0], placed[1], s_vc, s_inv, placed[2],
-                            placed[3], placed[4], placed[5], lr, step_rng,
+                            placed[3], placed[4], placed[5],
                         )
                         grads = None
                         stepped = True
                 elif fused_step is not None:
                     (dev,) = prepped
-                    params, opt_state, loss, aux, gnorm = fused_step(
-                        params, opt_state, lr, *dev, step_rng
+                    params, opt_state, stats_carry, loss, gnorm = fused_step(
+                        params, opt_state, stats_carry, lr,
+                        rng, epoch, batch_ix, float(B), *dev,
                     )
                     grads = None
                     stepped = True
                 else:
                     (dev,) = prepped
-                    loss, aux, grads = grad_step(params, *dev, step_rng)
+                    stats_carry, loss, grads = grad_step(
+                        params, stats_carry, rng, epoch, batch_ix, float(B), *dev
+                    )
                 # defer the scalar fetches: float(loss) here would force a
                 # full device sync every batch, serializing the next
                 # batch's 10s-of-MB host->device transfer behind the step
@@ -1045,11 +1374,8 @@ class SemiMarkovModel(Model):
                 # tunnel vs a ~3 ms step). Scalars queue as device arrays
                 # and flush in one batched device_get at backpressure
                 # points / fit end, so transfers overlap compute via
-                # dispatch pipelining.
-                stats_carry = stats_step(
-                    stats_carry, loss, aux["nll"], aux["kl"], aux["log_det"],
-                    float(B),
-                )
+                # dispatch pipelining. The stats fold rode inside the
+                # step program (_fold_stats) — no side program here.
                 deferred_checks.append((epoch, batch_ix, loss))
                 if len(deferred_checks) >= 32:
                     flush_deferred()  # bound dispatch queue / resident inputs
@@ -1081,10 +1407,10 @@ class SemiMarkovModel(Model):
                     # flush, so the hot loop never blocks
                     vec = log_vec(stats_carry, gnorm, lr)
                     deferred_logs.append((
-                        (
-                            epoch, batch_ix, num_videos, num_frames,
+                        [(
+                            0, epoch, batch_ix, num_videos, num_frames,
                             num_videos / (time.time() - start_time),
-                        ),
+                        )],
                         vec,
                     ))
 
@@ -1099,12 +1425,17 @@ class SemiMarkovModel(Model):
             # per-epoch stats as device scalars (no fetch): consumers
             # that need floats (tests, main.py's CSV) force them and pay
             # one sync; the loop itself stays asynchronous across epochs.
-            # ONE dispatch builds the whole callback dict from the fold.
+            # ONE dispatch builds the callback dict AND the plateau-LR
+            # transition from the fold; the new scheduler state is
+            # applied after the checkpoint save so the persisted lr is
+            # the pre-step rate (resume parity with the split pair).
+            new_sched_state = None
             if num_videos > 0:
-                cb_stats = epoch_summary(
+                cb_stats, new_sched_state = epoch_finish(
                     stats_carry,
                     float(max(num_frames, 1)),
                     float(max(num_videos, 1)),
+                    scheduler.state if scheduler is not None else {},
                 )
             else:
                 cb_stats = {
@@ -1123,9 +1454,14 @@ class SemiMarkovModel(Model):
                     args, epoch, ckpt_dir, lr=float(jnp.asarray(lr)),
                 )
             if scheduler is not None:
-                # on-device plateau step: next epoch's lr is a device
-                # scalar threaded straight into the jitted update
-                lr = scheduler.step(train_loss)
+                # on-device plateau step (fused into epoch_finish): next
+                # epoch's lr is a device scalar threaded straight into
+                # the jitted update
+                if num_videos > 0:
+                    scheduler.state = new_sched_state
+                    lr = new_sched_state["lr"]
+                else:
+                    lr = scheduler.step(train_loss)
             if callback_fn:
                 callback_fn(epoch, cb_stats)
         finally:
@@ -1159,6 +1495,15 @@ class SemiMarkovModel(Model):
         else:
             decode = self._get_jitted("decode", self._build_decode_step)
         use_narration = "test" in self.args.sm_constrain_with_narration
+        if not use_dp:
+            # resident-corpus decode: the whole predict() is one scan
+            # program per length bucket plus ONE label fetch — per-epoch
+            # evaluation re-decodes the same split every epoch, so the
+            # corpus transfers once per fit, not once per batch per
+            # epoch (docs/DESIGN.md §9)
+            resident = self._get_resident(test_data, use_narration)
+            if resident is not None:
+                return self._predict_resident(test_data, resident)
         rng = jax.random.PRNGKey(0)
         # decode outputs stay on device until the very end: every
         # dispatch->fetch round trip through the remote-TPU tunnel costs
@@ -1219,6 +1564,46 @@ class SemiMarkovModel(Model):
                     assert (preds >= 0).all() and (preds < self.n_classes).all()
                     predictions[video] = preds
                 row += B
+        return predictions
+
+    def _predict_resident(self, test_data, resident):
+        """Decode against the resident corpus: one scan program per
+        length bucket (batches length-sorted inside each task, exactly
+        like the streaming path's sort_by_length), one label fetch."""
+        plan = resident.make_plan(
+            self.args.batch_size, shuffle=False, seed=1, sort_by_length=True
+        )
+        decode_scan = self._get_jitted(
+            "dscan_{}_{}".format(resident.with_cons, resident.with_end),
+            lambda: self._build_decode_scan(
+                resident.with_cons, resident.with_end
+            ),
+        )
+        base = jax.random.PRNGKey(0)
+        parts = []
+        for grp in plan.groups:
+            parts.append(decode_scan(
+                self.module.params, base, resident.device_args,
+                grp.idxs, grp.vcs, grp.bixs, t_width=grp.t_width,
+            ))
+        if not parts:
+            return {}
+        all_labels = np.asarray(
+            parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        )  # the single fetch
+        predictions = {}
+        off = 0
+        Bp = self.args.batch_size
+        for grp in plan.groups:
+            block = all_labels[off: off + grp.n * Bp * grp.t_width]
+            block = block.reshape(grp.n, Bp, grp.t_width)
+            off += grp.n * Bp * grp.t_width
+            for i, keys in enumerate(grp.keys):
+                for j, key in enumerate(keys):
+                    L = int(resident.host_len[resident.row_of[key]])
+                    preds = block[i, j, :L]
+                    assert (preds >= 0).all() and (preds < self.n_classes).all()
+                    predictions[key[1]] = preds
         return predictions
 
 

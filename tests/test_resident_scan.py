@@ -1,0 +1,253 @@
+"""Resident-corpus epoch-scan parity tests (round 4).
+
+The device-resident training/decode path (data/resident.py +
+SemiMarkovModel._build_epoch_scan/_build_decode_scan) must reproduce
+the streaming per-batch loop exactly:
+
+  * on a single-bucket corpus, batch order is preserved, so fit
+    trajectories (per-epoch losses, final params) match the streaming
+    path to numerical tolerance;
+  * predictions match per video on ragged corpora too (decoding is
+    order-free and padding-invariant);
+  * per-batch PRNG keys fold from (epoch, original batch index), so
+    checkpoint/resume under scan mode reproduces the uninterrupted run;
+  * corpora over --sm_device_resident_mb fall back to streaming.
+
+Mirrors the reference's synthetic learnability harness
+(src/models/test_semimarkov.py:90-247) for data construction.
+"""
+
+import argparse
+
+import numpy as np
+
+from action_segmentation_tpu.data.synthetic import SyntheticDatasplit
+from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+
+
+def make_args(**overrides):
+    from action_segmentation_tpu.models.base import add_training_args
+
+    parser = argparse.ArgumentParser()
+    SemiMarkovModel.add_args(parser)
+    add_training_args(parser)
+    parser.add_argument("--batch_size", type=int, default=10)
+    parser.add_argument("--annotate_background_with_previous", action="store_true")
+    parser.add_argument("--no_merge_classes", action="store_true")
+    args = parser.parse_args([])
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    return args
+
+
+STAT_KEYS = (
+    "train_loss", "train_nll_frame_avg", "train_kl_vid_avg",
+    "train_recon_bound",
+)
+
+
+def fit_and_collect(args, train, use_labels):
+    model = SemiMarkovModel.from_args(args, train)
+    stats = []
+    model.fit(
+        train, use_labels=use_labels,
+        callback_fn=lambda e, s: stats.append(
+            [float(s[k]) for k in STAT_KEYS] if s else []
+        ),
+    )
+    losses = [s[0] for s in stats if s]
+    return model, losses, [s for s in stats if s]
+
+
+def assert_params_close(pa, pb, atol=2e-4):
+    import jax
+
+    la = jax.tree_util.tree_leaves_with_path(pa)
+    lb = jax.tree_util.tree_leaves_with_path(pb)
+    assert len(la) == len(lb)
+    for (ka, va), (kb, vb) in zip(la, lb):
+        assert ka == kb
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), atol=atol, rtol=1e-4,
+            err_msg=str(ka),
+        )
+
+
+def _cfg(**over):
+    base = dict(
+        sm_max_span_length=8,
+        epochs=3,
+        lr=1e-2,
+        batch_size=10,
+        seed=3,
+    )
+    base.update(over)
+    return base
+
+
+def test_scan_matches_streaming_unsupervised():
+    """Uniform lengths -> one bucket group -> scan order == streaming
+    order: per-epoch stats must match (includes a partial final batch
+    exercising the idx=-1 dummy-row convention).
+
+    Raw params are NOT compared here: at the symmetric unsupervised
+    init, transition/init logit gradients are mathematically zero
+    (~1e-7 float noise), and Adam's first step turns per-program
+    rounding differences into ~lr-scale kicks along loss-invariant
+    (softmax-shift) directions — both trajectories are equally valid
+    and produce bit-identical losses.  Param-trajectory parity is
+    asserted from a symmetry-broken init in
+    test_scan_matches_streaming_closed_then_gradient; decode parity on
+    a SHARED param set in test_scan_predict_matches_streaming_*.
+    """
+    train = SyntheticDatasplit(
+        num_videos=25, n_classes=3, max_len=24, min_len=24, span_k=4, seed=0
+    )
+    m_scan, l_scan, s_scan = fit_and_collect(
+        make_args(**_cfg(training="unsupervised")), train, use_labels=False
+    )
+    assert m_scan._get_resident(train, False) is not None  # scan path ran
+    m_str, l_str, s_str = fit_and_collect(
+        make_args(**_cfg(training="unsupervised", sm_device_resident_mb=0)),
+        train, use_labels=False,
+    )
+    np.testing.assert_allclose(s_scan, s_str, rtol=1e-5, atol=1e-6)
+    # emission means inherit ~1e-3-scale drift through posterior
+    # coupling with the noise-kicked logits; this is a sanity bound,
+    # not the parity statement (the 3-epoch stat trajectory above is)
+    assert_params_close(
+        {"m": m_scan.module.params["gaussian_means"]},
+        {"m": m_str.module.params["gaussian_means"]},
+        atol=5e-3,
+    )
+
+
+def test_scan_matches_streaming_supervised_gradient():
+    train = SyntheticDatasplit(
+        num_videos=20, n_classes=3, max_len=20, min_len=20, span_k=4, seed=1
+    )
+    cfg = _cfg(sm_supervised_method="gradient-based", epochs=2)
+    m_scan, l_scan, _ = fit_and_collect(make_args(**cfg), train, use_labels=True)
+    m_str, l_str, _ = fit_and_collect(
+        make_args(**cfg, sm_device_resident_mb=0), train, use_labels=True
+    )
+    np.testing.assert_allclose(l_scan, l_str, rtol=1e-5)
+    assert_params_close(m_scan.module.params, m_str.module.params)
+
+
+def test_scan_matches_streaming_closed_then_gradient():
+    """closed-then-gradient starts the gradient phase from the
+    asymmetric closed-form fit, so every logit gradient is
+    non-degenerate and the full param trajectories must track."""
+    train = SyntheticDatasplit(
+        num_videos=20, n_classes=3, max_len=20, min_len=20, span_k=4, seed=7
+    )
+    cfg = _cfg(sm_supervised_method="closed-then-gradient", epochs=2)
+    m_scan, l_scan, _ = fit_and_collect(make_args(**cfg), train, use_labels=True)
+    m_str, l_str, _ = fit_and_collect(
+        make_args(**cfg, sm_device_resident_mb=0), train, use_labels=True
+    )
+    np.testing.assert_allclose(l_scan, l_str, rtol=1e-5)
+    assert_params_close(m_scan.module.params, m_str.module.params)
+
+
+def test_scan_predict_matches_streaming_on_ragged_corpus():
+    """Ragged lengths span several buckets; the scanned decode must
+    reproduce the streaming decode per video regardless of grouping or
+    the wider scan padding."""
+    train = SyntheticDatasplit(
+        num_videos=18, n_classes=3, max_len=60, min_len=8, span_k=5, seed=2
+    )
+    args = make_args(**_cfg(sm_supervised_method="closed-form"))
+    model = SemiMarkovModel.from_args(args, train)
+    model.fit(train, use_labels=True)
+    p_scan = model.predict(train)
+    assert model._get_resident(
+        train, False
+    ) is not None  # the resident decode path actually ran
+    model.args.sm_device_resident_mb = 0
+    model._resident_cache = {}
+    p_str = model.predict(train)
+    assert set(p_scan) == set(p_str)
+    for name in p_scan:
+        np.testing.assert_array_equal(p_scan[name], p_str[name])
+
+
+def test_scan_matches_streaming_compound():
+    """Compound (VAE z) model: the per-batch PRNG keys drive z sampling,
+    so matching kl/recon trajectories proves the fold_in key derivation
+    is identical across the two loops.  Raw params are checked only on
+    the decompose projection (non-degenerate grads); logit leaves are
+    subject to the Adam zero-grad noise kick (see
+    test_scan_matches_streaming_unsupervised).  Decode parity on shared
+    params is asserted separately below."""
+    train = SyntheticDatasplit(
+        num_videos=20, n_classes=3, max_len=20, min_len=20, span_k=4,
+        feature_dim=8, seed=4,
+    )
+    cfg = _cfg(
+        training="unsupervised",
+        sm_component_model=True,
+        epochs=2,
+        batch_size=10,
+    )
+    m_scan, l_scan, s_scan = fit_and_collect(
+        make_args(**cfg), train, use_labels=False
+    )
+    m_str, l_str, s_str = fit_and_collect(
+        make_args(**cfg, sm_device_resident_mb=0), train, use_labels=False
+    )
+    np.testing.assert_allclose(s_scan, s_str, rtol=1e-4, atol=1e-6)
+    # same model params, scan decode vs streaming decode must agree
+    p_scan = m_scan.predict(train)
+    assert m_scan._get_resident(train, False) is not None
+    m_scan.args.sm_device_resident_mb = 0
+    m_scan._resident_cache = {}
+    p_str = m_scan.predict(train)
+    assert set(p_scan) == set(p_str)
+    for name in p_scan:
+        np.testing.assert_array_equal(p_scan[name], p_str[name])
+
+
+def test_scan_resume_matches_uninterrupted(tmp_path):
+    """fold_in(epoch, batch) keys are resume-stable: a run killed after
+    epoch 1 and resumed reproduces the uninterrupted run's params."""
+    train = SyntheticDatasplit(
+        num_videos=20, n_classes=3, max_len=20, min_len=20, span_k=4, seed=5
+    )
+    cfg = _cfg(sm_supervised_method="gradient-based", epochs=4)
+
+    m_full, _, _ = fit_and_collect(make_args(**cfg), train, use_labels=True)
+
+    ck = str(tmp_path / "ck")
+    m_part, _, _ = fit_and_collect(
+        make_args(**{**cfg, "epochs": 2, "checkpoint_dir": ck,
+                     "checkpoint_every": 1}),
+        train, use_labels=True,
+    )
+    args_res = make_args(
+        **cfg, checkpoint_dir=ck, checkpoint_every=1, resume=True
+    )
+    m_res = SemiMarkovModel.from_args(args_res, train)
+    epochs_seen = []
+    m_res.fit(
+        train, use_labels=True,
+        callback_fn=lambda e, s: epochs_seen.append(e),
+    )
+    assert epochs_seen == [2, 3], epochs_seen
+    assert_params_close(m_res.module.params, m_full.module.params, atol=5e-4)
+
+
+def test_budget_fallback_streams():
+    train = SyntheticDatasplit(
+        num_videos=12, n_classes=3, max_len=24, min_len=24, span_k=4, seed=6
+    )
+    args = make_args(**_cfg(training="unsupervised", sm_device_resident_mb=0))
+    model = SemiMarkovModel.from_args(args, train)
+    assert model._get_resident(train, False) is None
+    # sub-megabyte budget: corpus over budget -> fallback, fit still runs
+    args2 = make_args(**_cfg(training="unsupervised", epochs=1))
+    args2.sm_device_resident_mb = 0
+    model2 = SemiMarkovModel.from_args(args2, train)
+    model2.fit(train, use_labels=False)
+    assert model2.predict(train)
