@@ -61,6 +61,10 @@ class PlanGroup:
     def n(self):
         return int(self.idxs.shape[0])
 
+    @property
+    def bp(self):
+        return int(self.idxs.shape[1])
+
 
 @dataclass
 class EpochPlan:
@@ -95,14 +99,20 @@ class ResidentCorpus:
         return int(self.host_len[self.row_of[key]])
 
     def make_plan(self, batch_size, shuffle, seed, limit=None,
-                  sort_by_length=False) -> EpochPlan:
+                  sort_by_length=False, pad_rows_to=1) -> EpochPlan:
         """The SAME batch composition as iter_batches (make_batch_keys
         chunking + seeded batch-granularity shuffle), expressed as
         per-bucket index-matrix groups. Grouping by length bucket only
         REORDERS batch execution (stable within a group); batch
         contents, padded widths, and per-batch PRNG keys (folded from
         the original epoch batch index) are identical to the streaming
-        path."""
+        path.
+
+        `pad_rows_to`: round the row width Bp up to this multiple (the
+        mesh's data-axis size under --data_parallel, matching
+        pad_batch_for_mesh's pad_to=batch_size convention so per-row z
+        keys line up with the streaming dp path); pad rows carry
+        idx=-1 / weight 0."""
         keys_batches = make_batch_keys(
             self.videos_by_task, batch_size, batch_by_task=True,
             shuffle=shuffle, seed=seed,
@@ -129,7 +139,7 @@ class ResidentCorpus:
         for t_width in sorted(by_width):
             entries = by_width[t_width]
             n = len(entries)
-            Bp = batch_size
+            Bp = -(-batch_size // max(pad_rows_to, 1)) * max(pad_rows_to, 1)
             idxs = np.full((n, Bp), -1, np.int32)
             vcs = np.zeros((n, self.c_max), np.int32)
             invs = np.zeros((n, self.n_classes), np.int32)
@@ -151,6 +161,51 @@ class ResidentCorpus:
                 batch_frames=g_frames,
             ))
         return EpochPlan(groups=groups, videos=videos, frames=frames)
+
+
+def resident_views(res, with_cons, with_end):
+    """Unpack the resident device tuple (ResidentCorpus.device_args
+    layout: feat, length, gt[, cons][, end]) into named views; absent
+    optional tensors come back as None."""
+    feat, length, gt = res[0], res[1], res[2]
+    k = 3
+    cons_r = None
+    end_r = None
+    if with_cons:
+        cons_r = res[k]
+        k += 1
+    if with_end:
+        end_r = res[k]
+    return feat, length, gt, cons_r, end_r
+
+
+def gather_resident_rows(feat, length, gt, cons_r, end_r, idx, t_width, Cw):
+    """Traceable on-device gather of one batch's rows from the resident
+    corpus (idx = -1 rows become weight-0 length-1 dummies, the same
+    convention as SemiMarkovModel._pad_batch_rows — a 0-length DP would
+    NaN the batch). gt=None (decode) returns g=None. Shared by the
+    single-device scan programs (models/semimarkov.py) and the sharded
+    mesh scans (parallel/mesh.py)."""
+    import jax.numpy as jnp
+
+    valid = idx >= 0
+    ri = jnp.clip(idx, 0)
+    Bl = idx.shape[0]
+    f = feat[ri, :t_width]
+    l = jnp.where(valid, length[ri], 1)
+    g = gt[ri, :t_width] if gt is not None else None
+    w = valid.astype(jnp.float32)
+    c = (
+        cons_r[ri, :t_width]
+        if cons_r is not None
+        else jnp.zeros((Bl, t_width, Cw), jnp.float32)
+    )
+    e = (
+        end_r[ri]
+        if end_r is not None
+        else jnp.zeros((Bl, Cw), jnp.float32)
+    )
+    return f, l, g, w, c, e
 
 
 def _class_width(n_sub, class_bucket, lanes):

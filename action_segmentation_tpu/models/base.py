@@ -175,6 +175,34 @@ def global_norm(tree):
     )
 
 
+def fold_key(base_rng, epoch, bix):
+    """Per-batch PRNG key derived INSIDE the jitted step from the fit's
+    base key and the (epoch, batch) coordinates — no per-batch
+    jax.random.split program on the host (each eagerly dispatched
+    program pays a tunnel round trip at drain time), and resume at
+    epoch E reproduces the uninterrupted run's keys exactly (the old
+    sequential split chain restarted from the fit() call, so a resumed
+    chain was offset by the already-consumed batches). Shared by the
+    single-device steps/scans (models/semimarkov.py) and the sharded
+    mesh steps/scans (parallel/mesh.py) — dp==single trajectory parity
+    depends on every path deriving identical keys."""
+    return jax.random.fold_in(jax.random.fold_in(base_rng, epoch), bix)
+
+
+def fold_stats(stats, loss, aux, bw):
+    """Epoch-stats fold (count, loss_sum, nll*B, kl*B, log_det*B) as a
+    5-scalar device carry threaded through the per-batch step — the
+    epoch summary and the print_every log line read the carry without
+    any separate per-batch bookkeeping program."""
+    return (
+        stats[0] + 1.0,
+        stats[1] + loss,
+        stats[2] + aux["nll"] * bw,
+        stats[3] + aux["kl"] * bw,
+        stats[4] + aux["log_det"] * bw,
+    )
+
+
 class Model:
     """Abstract model interface (reference model.py:80-85)."""
 

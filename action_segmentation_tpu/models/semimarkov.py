@@ -18,6 +18,7 @@ around pure jitted functions:
   exactly mirroring the reference's losses (semimarkov.py:253-272).
 """
 
+import functools
 import pickle
 import time
 
@@ -31,6 +32,8 @@ from action_segmentation_tpu.models import flow as nice_flow
 from action_segmentation_tpu.models.base import (
     Model,
     apply_lr,
+    fold_key as _fold_key,
+    fold_stats as _fold_stats,
     global_norm,
     make_optimizer,
 )
@@ -49,31 +52,6 @@ from action_segmentation_tpu.ops.hsmm import (
 from action_segmentation_tpu.ops.span_codec import labels_to_spans, spans_to_labels
 from action_segmentation_tpu.ops.stats import semimarkov_sufficient_stats
 from action_segmentation_tpu.utils import all_equal, logger
-
-
-def _fold_key(base_rng, epoch, bix):
-    """Per-batch PRNG key derived INSIDE the jitted step from the fit's
-    base key and the (epoch, batch) coordinates — no per-batch
-    jax.random.split program on the host (each eagerly dispatched
-    program pays a tunnel round trip at drain time), and resume at
-    epoch E reproduces the uninterrupted run's keys exactly (the old
-    sequential split chain restarted from the fit() call, so a resumed
-    chain was offset by the already-consumed batches)."""
-    return jax.random.fold_in(jax.random.fold_in(base_rng, epoch), bix)
-
-
-def _fold_stats(stats, loss, aux, bw):
-    """Epoch-stats fold (count, loss_sum, nll*B, kl*B, log_det*B) as a
-    5-scalar device carry threaded through the per-batch step — the
-    epoch summary and the print_every log line read the carry without
-    any separate per-batch bookkeeping program."""
-    return (
-        stats[0] + 1.0,
-        stats[1] + loss,
-        stats[2] + aux["nll"] * bw,
-        stats[3] + aux["kl"] * bw,
-        stats[4] + aux["log_det"] * bw,
-    )
 
 
 def _constraint_buffers(n_classes, allowed_starts, allowed_transitions, allowed_ends):
@@ -734,43 +712,26 @@ class SemiMarkovModel(Model):
         and applying the SAME fused loss/update/stats step as
         _build_train_step. Returns per-batch losses and flattened
         (gnorm, lr, nll, kl, log_det) log snapshots (scan order)."""
+        from action_segmentation_tpu.data.resident import (
+            gather_resident_rows,
+            resident_views,
+        )
+
         loss_fn = self._build_loss_fn(use_labels)
         trainable = self.module.trainable_mask
 
         def fn(params, opt_state, stats, lr, base_rng, epoch, res,
                idxs, vcs, invs, bixs, bws, t_width):
-            feat, length, gt = res[0], res[1], res[2]
-            k = 3
-            cons_r = None
-            end_r = None
-            if with_cons:
-                cons_r = res[k]
-                k += 1
-            if with_end:
-                end_r = res[k]
-            Bp = idxs.shape[1]
+            feat, length, gt, cons_r, end_r = resident_views(
+                res, with_cons, with_end
+            )
             Cw = vcs.shape[1]
 
             def body(carry, xs):
                 params, opt_state, stats = carry
                 idx, vc, inv, bix, bw = xs
-                valid = idx >= 0
-                ri = jnp.clip(idx, 0)
-                f = feat[ri, :t_width]
-                # pad rows: weight 0, length 1 (same convention as
-                # _pad_batch_rows — a 0-length DP would NaN the batch)
-                l = jnp.where(valid, length[ri], 1)
-                g = gt[ri, :t_width]
-                w = valid.astype(jnp.float32)
-                c = (
-                    cons_r[ri, :t_width]
-                    if with_cons
-                    else jnp.zeros((Bp, t_width, Cw), jnp.float32)
-                )
-                e = (
-                    end_r[ri]
-                    if with_end
-                    else jnp.zeros((Bp, Cw), jnp.float32)
+                f, l, g, w, c, e = gather_resident_rows(
+                    feat, length, gt, cons_r, end_r, idx, t_width, Cw
                 )
                 rng = _fold_key(base_rng, epoch, bix)
                 (loss, aux), grads = jax.value_and_grad(
@@ -805,36 +766,23 @@ class SemiMarkovModel(Model):
         """Scan the decode over a bucket group of resident batches;
         returns flattened int32 labels (n * Bp * t_width) so a whole
         predict() is a handful of dispatches plus ONE fetch."""
+        from action_segmentation_tpu.data.resident import (
+            gather_resident_rows,
+            resident_views,
+        )
+
         decode = self._decode_core()
 
         def fn(params, base_rng, res, idxs, vcs, bixs, t_width):
-            feat, length = res[0], res[1]
-            k = 3
-            cons_r = None
-            end_r = None
-            if with_cons:
-                cons_r = res[k]
-                k += 1
-            if with_end:
-                end_r = res[k]
-            Bp = idxs.shape[1]
+            feat, length, _, cons_r, end_r = resident_views(
+                res, with_cons, with_end
+            )
             Cw = vcs.shape[1]
 
             def body(_, xs):
                 idx, vc, bix = xs
-                valid = idx >= 0
-                ri = jnp.clip(idx, 0)
-                f = feat[ri, :t_width]
-                l = jnp.where(valid, length[ri], 1)
-                c = (
-                    cons_r[ri, :t_width]
-                    if with_cons
-                    else jnp.zeros((Bp, t_width, Cw), jnp.float32)
-                )
-                e = (
-                    end_r[ri]
-                    if with_end
-                    else jnp.zeros((Bp, Cw), jnp.float32)
+                f, l, _, _, c, e = gather_resident_rows(
+                    feat, length, None, cons_r, end_r, idx, t_width, Cw
                 )
                 rng = _fold_key(base_rng, 0, bix)
                 labels, _ = decode(params, f, l, vc, c, e, rng)
@@ -911,10 +859,12 @@ class SemiMarkovModel(Model):
         if use_dp:
             from action_segmentation_tpu.parallel.mesh import (
                 batch_sharding,
+                build_sharded_epoch_scan,
                 build_sharded_grad_step,
                 build_sharded_train_step,
                 make_mesh,
                 pad_batch_for_mesh,
+                replicate_resident,
                 shard_shared_inputs,
                 shard_train_inputs,
             )
@@ -1038,24 +988,45 @@ class SemiMarkovModel(Model):
         params = self.module.params
         use_narration = "train" in args.sm_constrain_with_narration
 
-        # resident-corpus epoch scan: single-device no-accumulation fits
-        # over corpora within --sm_device_resident_mb run each epoch as
-        # one lax.scan program per length bucket (gather + fused step
-        # inside; see _build_epoch_scan). dp and accumulation keep the
+        # resident-corpus epoch scan: no-accumulation fits over corpora
+        # within --sm_device_resident_mb run each epoch as one lax.scan
+        # program per length bucket (gather + fused step inside; see
+        # _build_epoch_scan). Under --data_parallel the program is
+        # shard_map'd over the mesh with the corpus replicated and each
+        # device gathering its own row shard (mesh.py
+        # build_sharded_epoch_scan). --batch_accumulation keeps the
         # streaming per-batch loop.
         resident = None
-        epoch_scan = None
-        if fused_step is not None:
+        epoch_scan_for = None
+        scan_row_pad = 1
+        if fused_step is not None or (use_dp and not dp_accumulate):
             resident = self._get_resident(train_data, use_narration)
             if resident is not None:
-                epoch_scan = self._get_jitted(
-                    "escan_{}_{}_{}".format(
-                        use_labels, resident.with_cons, resident.with_end
-                    ),
-                    lambda: self._build_epoch_scan(
-                        tx, use_labels, resident.with_cons, resident.with_end
-                    ),
-                )
+                wc, we = resident.with_cons, resident.with_end
+                if use_dp:
+                    replicate_resident(mesh, resident)
+                    scan_row_pad = mesh.shape["data"]
+
+                    def epoch_scan_for(t_width):
+                        return self._get_jitted(
+                            "escan_dp_{}_{}_{}_{}".format(
+                                use_labels, wc, we, t_width
+                            ),
+                            lambda: build_sharded_epoch_scan(
+                                self.module, tx, mesh, use_labels,
+                                wc, we, t_width,
+                            ),
+                        )
+                else:
+                    _escan = self._get_jitted(
+                        "escan_{}_{}_{}".format(use_labels, wc, we),
+                        lambda: self._build_epoch_scan(
+                            tx, use_labels, wc, we
+                        ),
+                    )
+
+                    def epoch_scan_for(t_width):
+                        return functools.partial(_escan, t_width=t_width)
                 logger.debug(
                     "resident corpus: {} videos, {:.1f} MB on device".format(
                         len(resident.row_of), resident.nbytes / 2**20
@@ -1262,7 +1233,7 @@ class SemiMarkovModel(Model):
             # epoch stats fold: (count, loss_sum, nll*B, kl*B, ld*B)
             stats_carry = _STATS0
 
-            if epoch_scan is not None:
+            if epoch_scan_for is not None:
                 # resident-corpus path: the whole epoch runs as one
                 # scan program per length bucket; the streaming loop
                 # below sees an empty iterator and is skipped
@@ -1270,6 +1241,7 @@ class SemiMarkovModel(Model):
                     args.batch_size, shuffle=True,
                     seed=(getattr(args, "seed", 1) or 1) + epoch,
                     limit=args.train_limit,
+                    pad_rows_to=scan_row_pad,
                 )
                 num_videos = plan.videos
                 num_frames = plan.frames
@@ -1277,10 +1249,12 @@ class SemiMarkovModel(Model):
                 cum_v = 0
                 cum_f = 0
                 for grp in plan.groups:
-                    params, opt_state, stats_carry, losses, snaps = epoch_scan(
-                        params, opt_state, stats_carry, lr, rng, epoch,
-                        resident.device_args, grp.idxs, grp.vcs, grp.invs,
-                        grp.bixs, grp.bws, t_width=grp.t_width,
+                    params, opt_state, stats_carry, losses, snaps = (
+                        epoch_scan_for(grp.t_width)(
+                            params, opt_state, stats_carry, lr, rng, epoch,
+                            resident.device_args, grp.idxs, grp.vcs,
+                            grp.invs, grp.bixs, grp.bws,
+                        )
                     )
                     deferred_checks.append(
                         (epoch, [int(b) for b in grp.bixs], losses)
@@ -1495,15 +1469,17 @@ class SemiMarkovModel(Model):
         else:
             decode = self._get_jitted("decode", self._build_decode_step)
         use_narration = "test" in self.args.sm_constrain_with_narration
-        if not use_dp:
-            # resident-corpus decode: the whole predict() is one scan
-            # program per length bucket plus ONE label fetch — per-epoch
-            # evaluation re-decodes the same split every epoch, so the
-            # corpus transfers once per fit, not once per batch per
-            # epoch (docs/DESIGN.md §9)
-            resident = self._get_resident(test_data, use_narration)
-            if resident is not None:
-                return self._predict_resident(test_data, resident)
+        # resident-corpus decode: the whole predict() is one scan
+        # program per length bucket plus ONE label fetch — per-epoch
+        # evaluation re-decodes the same split every epoch, so the
+        # corpus transfers once per fit, not once per batch per epoch
+        # (docs/DESIGN.md §9); under dp the scan shards rows over the
+        # mesh (mesh.py build_sharded_decode_scan)
+        resident = self._get_resident(test_data, use_narration)
+        if resident is not None:
+            return self._predict_resident(
+                test_data, resident, mesh if use_dp else None
+            )
         rng = jax.random.PRNGKey(0)
         # decode outputs stay on device until the very end: every
         # dispatch->fetch round trip through the remote-TPU tunnel costs
@@ -1566,25 +1542,51 @@ class SemiMarkovModel(Model):
                 row += B
         return predictions
 
-    def _predict_resident(self, test_data, resident):
+    def _predict_resident(self, test_data, resident, mesh=None):
         """Decode against the resident corpus: one scan program per
         length bucket (batches length-sorted inside each task, exactly
-        like the streaming path's sort_by_length), one label fetch."""
+        like the streaming path's sort_by_length), one label fetch.
+        With a mesh, rows shard over the 'data' axis (each device
+        decodes its shard of every batch)."""
+        wc, we = resident.with_cons, resident.with_end
+        if mesh is not None:
+            from action_segmentation_tpu.parallel.mesh import (
+                build_sharded_decode_scan,
+                replicate_resident,
+            )
+
+            replicate_resident(mesh, resident)
+            row_pad = mesh.shape["data"]
+
+            def decode_scan_for(t_width):
+                jitted = self._get_jitted(
+                    "dscan_dp_{}_{}_{}".format(wc, we, t_width),
+                    lambda: build_sharded_decode_scan(
+                        self.module, mesh, wc, we, t_width,
+                        n_classes=self.n_classes,
+                    ),
+                )
+                return jitted
+        else:
+            row_pad = 1
+            _dscan = self._get_jitted(
+                "dscan_{}_{}".format(wc, we),
+                lambda: self._build_decode_scan(wc, we),
+            )
+
+            def decode_scan_for(t_width):
+                return functools.partial(_dscan, t_width=t_width)
+
         plan = resident.make_plan(
-            self.args.batch_size, shuffle=False, seed=1, sort_by_length=True
-        )
-        decode_scan = self._get_jitted(
-            "dscan_{}_{}".format(resident.with_cons, resident.with_end),
-            lambda: self._build_decode_scan(
-                resident.with_cons, resident.with_end
-            ),
+            self.args.batch_size, shuffle=False, seed=1,
+            sort_by_length=True, pad_rows_to=row_pad,
         )
         base = jax.random.PRNGKey(0)
         parts = []
         for grp in plan.groups:
-            parts.append(decode_scan(
+            parts.append(decode_scan_for(grp.t_width)(
                 self.module.params, base, resident.device_args,
-                grp.idxs, grp.vcs, grp.bixs, t_width=grp.t_width,
+                grp.idxs, grp.vcs, grp.bixs,
             ))
         if not parts:
             return {}
@@ -1593,8 +1595,8 @@ class SemiMarkovModel(Model):
         )  # the single fetch
         predictions = {}
         off = 0
-        Bp = self.args.batch_size
         for grp in plan.groups:
+            Bp = grp.bp
             block = all_labels[off: off + grp.n * Bp * grp.t_width]
             block = block.reshape(grp.n, Bp, grp.t_width)
             off += grp.n * Bp * grp.t_width

@@ -28,7 +28,12 @@ import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from action_segmentation_tpu.models.base import apply_lr, global_norm
+from action_segmentation_tpu.models.base import (
+    apply_lr,
+    fold_key,
+    fold_stats,
+    global_norm,
+)
 from action_segmentation_tpu.utils.logger import logger
 from action_segmentation_tpu.ops.hsmm import (
     hsmm_gold_score,
@@ -36,6 +41,10 @@ from action_segmentation_tpu.ops.hsmm import (
     hsmm_viterbi,
 )
 from action_segmentation_tpu.ops.span_codec import labels_to_spans, spans_to_labels
+from action_segmentation_tpu.data.resident import (
+    gather_resident_rows as _gather_rows,
+    resident_views as _resident_views,
+)
 
 
 def make_mesh(n_devices=None, model_parallel=1):
@@ -333,20 +342,12 @@ def pad_batch_for_mesh(mesh, arrays, batch_size, pad_to=None):
     return padded, weights
 
 
-def build_sharded_decode_step(module, mesh, n_classes=None):
-    """Data-parallel Viterbi decode over the mesh's 'data' axis.
-
-    Same contract as SemiMarkovModel._build_decode_step: returns
-    (labels (B, T) int32 global class ids with -1 padding, scores (B,)).
-    Built with shard_map so each device decodes its local batch shard —
-    on TPU the fused Pallas kernels run per shard (pallas_call inside a
-    plainly-sharded jit would see a partitioned batch axis it cannot
-    repack). The caller pads B to a multiple of the data axis
-    (pad_batch_for_mesh) and drops the padded rows; padded lengths of 0
-    are clamped to 1 locally so the traceback stays well-defined.
-    """
-    shard_map, check_kwargs = _shard_map_fn()
-
+def _make_decode_local(module, n_classes=None):
+    """Per-shard Viterbi decode body shared by the per-batch sharded
+    decode step and the resident-corpus sharded decode scan. Returns
+    (labels (B_local, T) int32 global class ids with -1 padding,
+    scores (B_local,)); padded lengths of 0 are clamped to 1 locally
+    so the traceback stays well-defined."""
     from action_segmentation_tpu.ops.hsmm_pallas import (
         hsmm_viterbi_labels_pallas,
         pallas_supported,
@@ -375,6 +376,23 @@ def build_sharded_decode_step(module, mesh, n_classes=None):
         labels = jnp.where(labels_sub >= 0, vc[jnp.clip(labels_sub, 0)], -1)
         return labels, scores
 
+    return decode_local
+
+
+def build_sharded_decode_step(module, mesh, n_classes=None):
+    """Data-parallel Viterbi decode over the mesh's 'data' axis.
+
+    Same contract as SemiMarkovModel._build_decode_step: returns
+    (labels (B, T) int32 global class ids with -1 padding, scores (B,)).
+    Built with shard_map so each device decodes its local batch shard —
+    on TPU the fused Pallas kernels run per shard (pallas_call inside a
+    plainly-sharded jit would see a partitioned batch axis it cannot
+    repack). The caller pads B to a multiple of the data axis
+    (pad_batch_for_mesh) and drops the padded rows.
+    """
+    shard_map, check_kwargs = _shard_map_fn()
+    decode_local = _make_decode_local(module, n_classes)
+
     sharded = shard_map(
         decode_local,
         mesh=mesh,
@@ -391,6 +409,142 @@ def build_sharded_decode_step(module, mesh, n_classes=None):
         **check_kwargs,
     )
     return jax.jit(sharded)
+
+
+def build_sharded_epoch_scan(module, tx, mesh, use_labels, with_cons,
+                             with_end, t_width):
+    """Resident-corpus epoch scan over the mesh: one jitted program per
+    length bucket scans the bucket's batches with each device gathering
+    its OWN row shard from the (replicated) corpus, differentiating the
+    local loss share, psum'ing grads over 'data', and applying the
+    replicated Adam update — the sharded analogue of
+    SemiMarkovModel._build_epoch_scan, with the same per-batch fold_key
+    derivation and the same z-key offsets as the per-batch streaming dp
+    step (dp==single and dp-scan==dp-streaming trajectory parity).
+
+    Signature: (params, opt_state, stats, lr, base_rng, epoch, res,
+    idxs (n, Bp), vcs (n, Cw), invs (n, C), bixs (n,), bws (n,)) ->
+    (params, opt_state, stats, losses (n,), snaps (n*5,)); idxs is
+    sharded over its ROW axis ('data'), everything else replicated.
+    Bp must be a multiple of the data axis (make_plan pad_rows_to).
+    """
+    assert mesh.shape.get("model", 1) == 1, "tp retired; see make_mesh"
+    local_loss = _make_local_loss(module, use_labels)
+
+    def local_epoch(params, opt_state, stats, lr, base_rng, epoch, res,
+                    idxs, vcs, invs, bixs, bws):
+        feat, length, gt, cons_r, end_r = _resident_views(
+            res, with_cons, with_end
+        )
+        Cw = vcs.shape[1]
+
+        def body(carry, xs):
+            params, opt_state, stats = carry
+            idx, vc, inv, bix, bw = xs
+            f, l, g, w, c, e = _gather_rows(
+                feat, length, gt, cons_r, end_r, idx, t_width, Cw
+            )
+            rng = fold_key(base_rng, epoch, bix)
+            (_, terms), grads = jax.value_and_grad(
+                local_loss, has_aux=True
+            )(params, f, l, vc, inv, g, c, e, w, rng)
+            grads = jax.lax.psum(grads, "data")
+            loss, aux = _reduce_terms(terms, use_labels)
+            gnorm = global_norm(grads)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u, params, apply_lr(updates, lr)
+            )
+            stats = fold_stats(stats, loss, aux, bw)
+            snap = jnp.stack([
+                gnorm, jnp.asarray(lr, jnp.float32),
+                stats[2], stats[3], stats[4],
+            ])
+            return (params, opt_state, stats), (loss, snap)
+
+        (params, opt_state, stats), (losses, snaps) = jax.lax.scan(
+            body, (params, opt_state, stats),
+            (idxs, vcs, invs, bixs, bws),
+        )
+        return params, opt_state, stats, losses, jnp.reshape(snaps, (-1,))
+
+    shard_map, check_kwargs = _shard_map_fn()
+    sharded = shard_map(
+        local_epoch,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(), P(), P(),  # params, opt, stats, lr, rng, epoch
+            P(),                           # resident corpus (replicated)
+            P(None, "data"),               # idxs: rows sharded over 'data'
+            P(), P(), P(), P(),            # vcs, invs, bixs, bws
+        ),
+        out_specs=(P(), P(), P(), P(), P()),
+        **check_kwargs,
+    )
+    return jax.jit(sharded)
+
+
+def build_sharded_decode_scan(module, mesh, with_cons, with_end, t_width,
+                              n_classes=None):
+    """Resident-corpus decode scan over the mesh: scans a bucket group
+    with each device decoding its row shard; labels come back
+    row-sharded and flattened so a whole sharded predict() is a handful
+    of dispatches plus ONE fetch (the sharded analogue of
+    SemiMarkovModel._build_decode_scan).
+
+    Signature: (params, base_rng, res, idxs (n, Bp), vcs, bixs) ->
+    labels (n * Bp * t_width,) int32 global class ids, -1 padding.
+    """
+    assert mesh.shape.get("model", 1) == 1, "tp retired; see make_mesh"
+    decode_local = _make_decode_local(module, n_classes)
+
+    def local_scan(params, base_rng, res, idxs, vcs, bixs):
+        feat, length, _, cons_r, end_r = _resident_views(
+            res, with_cons, with_end
+        )
+        Cw = vcs.shape[1]
+
+        def body(_, xs):
+            idx, vc, bix = xs
+            f, l, _, _, c, e = _gather_rows(
+                feat, length, None, cons_r, end_r, idx, t_width, Cw
+            )
+            rng = fold_key(base_rng, 0, bix)
+            labels, _ = decode_local(params, f, l, vc, c, e, rng)
+            return 0, labels.astype(jnp.int32)
+
+        _, labels = jax.lax.scan(body, 0, (idxs, vcs, bixs))
+        return labels  # (n, B_local, t_width); flattened by the caller
+
+    shard_map, check_kwargs = _shard_map_fn()
+    sharded = shard_map(
+        local_scan,
+        mesh=mesh,
+        in_specs=(
+            P(), P(),            # params, rng
+            P(),                 # resident corpus (replicated)
+            P(None, "data"),     # idxs
+            P(), P(),            # vcs, bixs
+        ),
+        out_specs=P(None, "data"),
+        **check_kwargs,
+    )
+
+    def fn(params, base_rng, res, idxs, vcs, bixs):
+        return jnp.reshape(sharded(params, base_rng, res, idxs, vcs, bixs), (-1,))
+
+    return jax.jit(fn)
+
+
+def replicate_resident(mesh, resident):
+    """Place a ResidentCorpus's device tuple replicated over the mesh
+    (one broadcast; cached by mutating device_args in place)."""
+    if getattr(resident, "_mesh_placed", None) is not mesh:
+        resident.device_args = tuple(
+            jax.device_put(a, replicated(mesh)) for a in resident.device_args
+        )
+        resident._mesh_placed = mesh
+    return resident
 
 
 def shard_train_inputs(mesh, params, opt_state, batch_args):

@@ -238,6 +238,72 @@ def test_scan_resume_matches_uninterrupted(tmp_path):
     assert_params_close(m_res.module.params, m_full.module.params, atol=5e-4)
 
 
+def test_dp_scan_matches_single_scan():
+    """--data_parallel resident epoch scan (shard_map'd per-bucket
+    program, mesh.py build_sharded_epoch_scan) reproduces the
+    single-device scan: symmetry-broken closed-then-gradient
+    trajectories track and predictions match exactly (the sharded
+    decode scan shards rows over the mesh)."""
+    train = SyntheticDatasplit(
+        num_videos=24, n_classes=3, max_len=20, min_len=20, span_k=4, seed=7
+    )
+    cfg = _cfg(
+        sm_supervised_method="closed-then-gradient", epochs=2, batch_size=8
+    )
+    m_dp, l_dp, _ = fit_and_collect(
+        make_args(**cfg, data_parallel=True), train, use_labels=True
+    )
+    assert m_dp._get_resident(train, False) is not None  # scan path ran
+    m_sg, l_sg, _ = fit_and_collect(make_args(**cfg), train, use_labels=True)
+    np.testing.assert_allclose(l_dp, l_sg, rtol=1e-5)
+    assert_params_close(m_dp.module.params, m_sg.module.params, atol=5e-4)
+    p_dp = m_dp.predict(train)
+    p_sg = m_sg.predict(train)
+    assert set(p_dp) == set(p_sg)
+    for name in p_dp:
+        np.testing.assert_array_equal(p_dp[name], p_sg[name])
+
+
+def test_dp_scan_matches_dp_streaming():
+    """dp resident scan vs dp per-batch streaming (the over-budget
+    fallback): identical shard_map loss/psum semantics, so the loss
+    trajectories must match tightly; includes a partial final batch
+    (20 videos over batch 8) exercising pad_rows_to row padding."""
+    train = SyntheticDatasplit(
+        num_videos=20, n_classes=3, max_len=20, min_len=20, span_k=4, seed=8
+    )
+    cfg = _cfg(
+        sm_supervised_method="closed-then-gradient", epochs=2, batch_size=8
+    )
+    _, l_scan, s_scan = fit_and_collect(
+        make_args(**cfg, data_parallel=True), train, use_labels=True
+    )
+    _, l_str, s_str = fit_and_collect(
+        make_args(**cfg, data_parallel=True, sm_device_resident_mb=0),
+        train, use_labels=True,
+    )
+    np.testing.assert_allclose(s_scan, s_str, rtol=1e-5, atol=1e-6)
+
+
+def test_dp_scan_compound_z_keys():
+    """Compound (VAE z) under the dp scan: per-row z keys derive from
+    axis_index * local_B offsets, so kl/recon trajectories must match
+    the single-device scan (which indexes rows globally)."""
+    train = SyntheticDatasplit(
+        num_videos=16, n_classes=3, max_len=20, min_len=20, span_k=4,
+        feature_dim=8, seed=9,
+    )
+    cfg = _cfg(
+        training="unsupervised", sm_component_model=True, epochs=2,
+        batch_size=8,
+    )
+    _, _, s_dp = fit_and_collect(
+        make_args(**cfg, data_parallel=True), train, use_labels=False
+    )
+    _, _, s_sg = fit_and_collect(make_args(**cfg), train, use_labels=False)
+    np.testing.assert_allclose(s_dp, s_sg, rtol=1e-4, atol=1e-6)
+
+
 def test_budget_fallback_streams():
     train = SyntheticDatasplit(
         num_videos=12, n_classes=3, max_len=24, min_len=24, span_k=4, seed=6
