@@ -419,6 +419,52 @@ def test_shape_bucketing_bounds_compiles(mini_crosstask):
     assert traces <= len(buckets), (traces, buckets)
 
 
+def test_constrained_scan_matches_streaming(mini_crosstask):
+    """U7-style constrained training (canonical-ordering masks +
+    train-time narration penalties + allowed-end masks) through the
+    resident epoch scan vs the streaming loop: the per-epoch stat
+    trajectories must match, proving the resident constraint rows
+    (incl. the zero-pad expansion beyond each video's length,
+    data/resident.py build_resident_corpus) are bit-compatible with
+    the streaming collation."""
+    from action_segmentation_tpu import main as main_mod
+    from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+
+    root, _ = mini_crosstask
+    argv = _base_argv(root, "semimarkov") + [
+        "--training", "unsupervised",
+        "--annotate_background_with_previous",
+        "--sm_constrain_transitions",
+        "--sm_constrain_with_narration", "train",
+        "--sm_max_span_length", "10",
+        "--lr", "1e-2",
+    ]
+    parser = main_mod.build_parser()
+    KEYS = (
+        "train_loss", "train_nll_frame_avg", "train_kl_vid_avg",
+        "train_recon_bound",
+    )
+
+    def run(extra):
+        args = parser.parse_args(argv + extra)
+        train_data, _, _ = next(iter(main_mod.make_data_splits(args).values()))
+        model = SemiMarkovModel.from_args(args, train_data)
+        stats = []
+        model.fit(
+            train_data, use_labels=False,
+            callback_fn=lambda e, s: stats.append(
+                [float(s[k]) for k in KEYS] if s else []
+            ),
+        )
+        return model, [s for s in stats if s]
+
+    m_scan, s_scan = run([])
+    res = [r for r in m_scan._resident_cache.values() if r is not None]
+    assert res and res[0].with_cons and res[0].with_end  # constrained scan ran
+    _, s_str = run(["--sm_device_resident_mb", "0"])
+    np.testing.assert_allclose(s_scan, s_str, rtol=1e-5, atol=1e-6)
+
+
 def test_semimarkov_data_parallel_cli_pipeline(mini_crosstask):
     """--data_parallel through the REAL driver: main() wires the mesh
     train step (psum'd aux stats), the sharded decode inside predict,
