@@ -96,7 +96,10 @@ class ResidentCorpus:
     datasplit: Any = field(repr=False, default=None)  # keeps id() stable
 
     def _length_of(self, key):
-        return int(self.host_len[self.row_of[key]])
+        # missing (unloadable) videos sort as 0, the same convention as
+        # iter_batches' exact-length fallback (data/batching.py)
+        row = self.row_of.get(key)
+        return int(self.host_len[row]) if row is not None else 0
 
     def make_plan(self, batch_size, shuffle, seed, limit=None,
                   sort_by_length=False, pad_rows_to=1) -> EpochPlan:
@@ -113,26 +116,41 @@ class ResidentCorpus:
         pad_batch_for_mesh's pad_to=batch_size convention so per-row z
         keys line up with the streaming dp path); pad rows carry
         idx=-1 / weight 0."""
+        # sort-key parity with iter_batches: prefer the datasplit's
+        # annotation-based approx_length (what the streaming decode
+        # sorts by) over the exact post-subsample host_len, so batch
+        # COMPOSITION is identical between the two paths
+        length_of = None
+        if sort_by_length:
+            length_of = getattr(self.datasplit, "approx_length", None)
+            if length_of is None:
+                length_of = self._length_of
         keys_batches = make_batch_keys(
             self.videos_by_task, batch_size, batch_by_task=True,
-            shuffle=shuffle, seed=seed,
-            length_of=(self._length_of if sort_by_length else None),
+            shuffle=shuffle, seed=seed, length_of=length_of,
         )
-        if limit:
-            keys_batches = keys_batches[:limit]
         by_width: "OrderedDict[int, list]" = OrderedDict()
         videos = 0
         frames = 0
-        for bix, keys in enumerate(keys_batches):
+        all_keys = []
+        bix = -1
+        for keys in keys_batches:
             rows = [self.row_of[k] for k in keys if k in self.row_of]
             if not rows:
+                # iter_batches yields nothing for an all-missing batch,
+                # so the streaming loop's batch_ix (and hence fold_key
+                # rng and --train_limit counting) skips it too
                 continue
+            bix += 1
+            if limit and bix >= limit:
+                break
             lens = self.host_len[rows]
             t_width = pad_length_to_bucket(int(lens.max()))
             task = keys[0][0]
             by_width.setdefault(t_width, []).append(
                 (bix, task, rows, int(lens.sum()))
             )
+            all_keys.append([k for k in keys if k in self.row_of])
             videos += len(rows)
             frames += int(lens.sum())
         groups = []
@@ -152,7 +170,7 @@ class ResidentCorpus:
                 invs[i] = self.task_inv[task]
                 bixs[i] = bix
                 bws[i] = float(len(rows))
-                g_keys.append([k for k in keys_batches[bix] if k in self.row_of])
+                g_keys.append(all_keys[bix])
                 g_sizes.append(len(rows))
                 g_frames.append(fsum)
             groups.append(PlanGroup(
@@ -261,10 +279,20 @@ def build_resident_corpus(model, datasplit, use_narration, budget_mb):
     N = len(rows)
     D = rows[0][2]["features"].shape[1]
 
-    with_cons = bool(
-        use_narration
-        and all(s.get("constraints") is not None for _, _, s in rows)
-    )
+    have_cons = [s.get("constraints") is not None for _, _, s in rows]
+    with_cons = bool(use_narration and all(have_cons))
+    if use_narration and any(have_cons) and not all(have_cons):
+        # mixed corpus: the streaming path applies penalties batch by
+        # batch; a resident build would silently drop them for every
+        # video, so stream instead (parity over speed)
+        from action_segmentation_tpu.utils import logger
+
+        logger.debug(
+            "resident corpus: %d/%d videos lack narration constraints; "
+            "falling back to per-batch streaming",
+            len(have_cons) - sum(have_cons), len(have_cons),
+        )
+        return None
     with_end = model.module.allowed_ends is not None
 
     nbytes = N * t_max * (D + 1) * 4 + N * 4

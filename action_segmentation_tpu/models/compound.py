@@ -178,7 +178,7 @@ class ComponentHsmm(GaussianHsmm):
     # ----- latent ------------------------------------------------------
 
     def _get_z_and_kl(self, params, features, lengths, rng, use_mean,
-                      key_offset=0):
+                      key_offset=0, axis_name=None):
         B = features.shape[0]
         if self.z_dim == 0:
             return (
@@ -197,9 +197,14 @@ class ComponentHsmm(GaussianHsmm):
             # shorter videos' pooled activations at >= 0. Our buffer is
             # bucket-padded wider than the batch max, so the window is
             # cut at max(lengths) to match the reference batch exactly.
+            # Under shard_map the local max is NOT the batch max —
+            # pmax over the data axis so dp pooling windows match the
+            # single-device / reference batch (dp==single parity).
+            batch_max = jnp.max(lengths)
+            if axis_name is not None:
+                batch_max = jax.lax.pmax(batch_max, axis_name)
             window = (
-                jnp.arange(features.shape[1])[None, :, None]
-                < jnp.max(lengths)
+                jnp.arange(features.shape[1])[None, :, None] < batch_max
             )
             enc0 = jnp.where(frame_mask, encoded, 0.0)
             pooled = jnp.max(jnp.where(window, enc0, -jnp.inf), axis=1)
@@ -236,7 +241,7 @@ class ComponentHsmm(GaussianHsmm):
 
     def compute_potentials(
         self, params, features, lengths, vc, constraints_add, end_allowed, rng,
-        use_mean_z, key_offset=0,
+        use_mean_z, key_offset=0, axis_name=None,
     ):
         B = features.shape[0]
         C_sub = vc.shape[0]
@@ -252,7 +257,8 @@ class ComponentHsmm(GaussianHsmm):
         # caught by test_export_to_reference_decode, which pairs the
         # compound model with a flow for the first time
         z, kl = self._get_z_and_kl(
-            params, features, lengths, rng, use_mean_z, key_offset=key_offset
+            params, features, lengths, rng, use_mean_z,
+            key_offset=key_offset, axis_name=axis_name,
         )
 
         # initial: w . embed(class) (+ class bias), masked log-softmax

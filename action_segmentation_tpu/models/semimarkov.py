@@ -162,7 +162,7 @@ class GaussianHsmm:
 
     def compute_potentials(
         self, params, features, lengths, vc, constraints_add, end_allowed, rng,
-        use_mean_z, key_offset=0,
+        use_mean_z, key_offset=0, axis_name=None,
     ):
         """Build batched HsmmPotentials for valid classes `vc` (C_sub,).
 
@@ -688,23 +688,32 @@ class SemiMarkovModel(Model):
 
     def _get_resident(self, datasplit, use_narration):
         """Resident tensors for `datasplit` (cached; None when disabled
-        by --sm_device_resident_mb=0 or over budget). The cache holds a
-        reference to the datasplit so id() stays valid."""
+        by --sm_device_resident_mb=0, over budget, or heterogeneous
+        constraints). Entries store (datasplit, resident) so the
+        datasplit stays alive while its id() keys the cache (a stale
+        None for a freed datasplit's reused address would silently
+        disable the scan path); the cache is FIFO-capped at 4 splits so
+        long-lived models do not pin unbounded HBM."""
         budget = getattr(self.args, "sm_device_resident_mb", 0) or 0
         if budget <= 0:
             return None
         if not hasattr(self, "_resident_cache"):
-            self._resident_cache = {}
+            from collections import OrderedDict
+
+            self._resident_cache = OrderedDict()
         key = (id(datasplit), bool(use_narration))
         if key not in self._resident_cache:
             from action_segmentation_tpu.data.resident import (
                 build_resident_corpus,
             )
 
-            self._resident_cache[key] = build_resident_corpus(
-                self, datasplit, use_narration, budget
+            self._resident_cache[key] = (
+                datasplit,
+                build_resident_corpus(self, datasplit, use_narration, budget),
             )
-        return self._resident_cache[key]
+            while len(self._resident_cache) > 4:
+                self._resident_cache.pop(next(iter(self._resident_cache)))
+        return self._resident_cache[key][1]
 
     def _build_epoch_scan(self, tx, use_labels, with_cons, with_end):
         """One jitted program per (length bucket, class width): scans
@@ -1452,6 +1461,23 @@ class SemiMarkovModel(Model):
         use_dp = (
             getattr(self.args, "data_parallel", False) and len(jax.devices()) > 1
         )
+        use_narration = "test" in self.args.sm_constrain_with_narration
+        # resident-corpus decode: the whole predict() is one scan
+        # program per length bucket plus ONE label fetch — per-epoch
+        # evaluation re-decodes the same split every epoch, so the
+        # corpus transfers once per fit, not once per batch per epoch
+        # (docs/DESIGN.md §9); under dp the scan shards rows over the
+        # mesh (mesh.py build_sharded_decode_scan). Checked FIRST so
+        # the streaming decode machinery (and its mesh) is never built
+        # on the resident path.
+        resident = self._get_resident(test_data, use_narration)
+        if resident is not None:
+            mesh = None
+            if use_dp:
+                from action_segmentation_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh(model_parallel=1)
+            return self._predict_resident(test_data, resident, mesh)
         if use_dp:
             from action_segmentation_tpu.parallel.mesh import (
                 build_sharded_decode_step,
@@ -1468,18 +1494,6 @@ class SemiMarkovModel(Model):
             )
         else:
             decode = self._get_jitted("decode", self._build_decode_step)
-        use_narration = "test" in self.args.sm_constrain_with_narration
-        # resident-corpus decode: the whole predict() is one scan
-        # program per length bucket plus ONE label fetch — per-epoch
-        # evaluation re-decodes the same split every epoch, so the
-        # corpus transfers once per fit, not once per batch per epoch
-        # (docs/DESIGN.md §9); under dp the scan shards rows over the
-        # mesh (mesh.py build_sharded_decode_scan)
-        resident = self._get_resident(test_data, use_narration)
-        if resident is not None:
-            return self._predict_resident(
-                test_data, resident, mesh if use_dp else None
-            )
         rng = jax.random.PRNGKey(0)
         # decode outputs stay on device until the very end: every
         # dispatch->fetch round trip through the remote-TPU tunnel costs

@@ -112,7 +112,7 @@ def _local_loss_terms(module, use_labels, discriminative, partition_fn,
     lengths = jnp.maximum(lengths, 1)
     pots, log_det, kl = module.compute_potentials(
         params, features, lengths, vc, cons, end_allowed, rng,
-        use_mean_z=use_labels, key_offset=key_offset,
+        use_mean_z=use_labels, key_offset=key_offset, axis_name="data",
     )
     if use_labels:
         labels_sub = inv_map[gt]
@@ -362,7 +362,7 @@ def _make_decode_local(module, n_classes=None):
         key_offset = jax.lax.axis_index("data") * features.shape[0]
         pots, _, _ = module.compute_potentials(
             params, features, lengths, vc, cons, end_allowed, rng,
-            use_mean_z=True, key_offset=key_offset,
+            use_mean_z=True, key_offset=key_offset, axis_name="data",
         )
         if use_pallas:
             labels_sub, scores = hsmm_viterbi_labels_pallas(pots, lengths)

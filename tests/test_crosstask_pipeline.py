@@ -397,7 +397,10 @@ def test_shape_bucketing_bounds_compiles(mini_crosstask):
     parser = main_mod.build_parser()
     args = parser.parse_args(
         _base_argv(root, "semimarkov")
-        + ["--training", "supervised", "--sm_supervised_method", "closed-form"]
+        + ["--training", "supervised", "--sm_supervised_method", "closed-form",
+           # force the per-batch STREAMING decode — this test bounds its
+           # jit traces; the resident scan path has its own cache
+           "--sm_device_resident_mb", "0"]
     )
     (train_data, _, test_data) = main_mod.make_data_splits(args)["all"]
     model = SemiMarkovModel.from_args(args, train_data)
@@ -459,10 +462,50 @@ def test_constrained_scan_matches_streaming(mini_crosstask):
         return model, [s for s in stats if s]
 
     m_scan, s_scan = run([])
-    res = [r for r in m_scan._resident_cache.values() if r is not None]
+    res = [r for _, r in m_scan._resident_cache.values() if r is not None]
     assert res and res[0].with_cons and res[0].with_end  # constrained scan ran
     _, s_str = run(["--sm_device_resident_mb", "0"])
     np.testing.assert_allclose(s_scan, s_str, rtol=1e-5, atol=1e-6)
+
+
+def test_mixed_constraints_fall_back_to_streaming(tmp_path):
+    """A corpus where one video lacks its narration-constraints file
+    must NOT take the resident scan (which would silently drop the
+    penalties for every video); it falls back to the per-batch
+    streaming loop, which applies constraints batch by batch (round-4
+    review finding)."""
+    from action_segmentation_tpu import main as main_mod
+    from action_segmentation_tpu.data.minigen import write_mini_crosstask
+    from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+
+    root = str(tmp_path)
+    write_mini_crosstask(root, np.random.RandomState(0))
+    argv = _base_argv(root, "semimarkov") + [
+        "--training", "unsupervised",
+        "--annotate_background_with_previous",
+        "--sm_constrain_transitions",
+        "--sm_constrain_with_narration", "train",
+        "--sm_max_span_length", "10",
+        "--epochs", "1",
+        "--lr", "1e-2",
+    ]
+    args = main_mod.build_parser().parse_args(argv)
+    # pick a victim actually IN the train split (constraints are globbed
+    # from disk at GroundTruth construction, so remove before rebuild)
+    train_data, _, _ = next(iter(main_mod.make_data_splits(args).values()))
+    task, video = sorted(
+        (t, v) for t, vids in train_data.videos_by_task.items() for v in vids
+    )[0]
+    victim = os.path.join(
+        root, "crosstask", "crosstask_constraints", f"{task}_{video}.csv"
+    )
+    assert os.path.exists(victim)
+    os.remove(victim)
+    train_data, _, _ = next(iter(main_mod.make_data_splits(args).values()))
+    model = SemiMarkovModel.from_args(args, train_data)
+    assert model._get_resident(train_data, True) is None  # streams
+    model.fit(train_data, use_labels=False)  # still trains fine
+    assert model.predict(train_data)
 
 
 def test_semimarkov_data_parallel_cli_pipeline(mini_crosstask):

@@ -304,6 +304,67 @@ def test_dp_scan_compound_z_keys():
     np.testing.assert_allclose(s_dp, s_sg, rtol=1e-4, atol=1e-6)
 
 
+def test_unloadable_video_resident_predict():
+    """A video whose sample fails to load (Datasplit.__getitem__ ->
+    None) must not crash the resident path: it is skipped from the
+    resident rows, length-sorted decode plans sort it as 0 (the
+    streaming iter_batches convention), and predictions match the
+    streaming path on the remaining videos (round-4 review finding)."""
+    base = SyntheticDatasplit(
+        num_videos=12, n_classes=3, max_len=40, min_len=8, span_k=4, seed=11
+    )
+    bad = sorted(
+        (t, n) for t, vids in base.videos_by_task.items() for n in vids
+    )[3]
+
+    class _Flaky:
+        videos_by_task = base.videos_by_task
+
+        def __getitem__(self, key):
+            return None if key == bad else base[key]
+
+        def __len__(self):
+            return len(base) - 1
+
+    flaky = _Flaky()
+    args = make_args(**_cfg(sm_supervised_method="closed-form"))
+    model = SemiMarkovModel.from_args(args, base)
+    model.fit(base, use_labels=True)
+    p_scan = model.predict(flaky)
+    assert model._get_resident(flaky, False) is not None  # resident ran
+    assert bad[1] not in p_scan
+    model.args.sm_device_resident_mb = 0
+    model._resident_cache = {}
+    p_str = model.predict(flaky)
+    assert set(p_scan) == set(p_str)
+    for name in p_scan:
+        np.testing.assert_array_equal(p_scan[name], p_str[name])
+
+
+def test_dp_reference_pooling_matches_single():
+    """--sm_reference_pooling windows pool to the BATCH max length; under
+    shard_map the local max is not the batch max, so the window pmaxes
+    over 'data' (round-4 review finding). Ragged batches decoded under
+    dp must match the single-device decode exactly."""
+    train = SyntheticDatasplit(
+        num_videos=16, n_classes=3, max_len=40, min_len=8, span_k=4,
+        feature_dim=8, seed=12,
+    )
+    cfg = _cfg(
+        training="unsupervised", sm_component_model=True,
+        sm_reference_pooling=True, epochs=1, batch_size=8,
+    )
+    m_sg, _, _ = fit_and_collect(make_args(**cfg), train, use_labels=False)
+    p_sg = m_sg.predict(train)
+    m_sg.args.data_parallel = True
+    m_sg._jit_cache = {}
+    m_sg._resident_cache = {}
+    p_dp = m_sg.predict(train)
+    assert set(p_dp) == set(p_sg)
+    for name in p_dp:
+        np.testing.assert_array_equal(p_dp[name], p_sg[name])
+
+
 def test_budget_fallback_streams():
     train = SyntheticDatasplit(
         num_videos=12, n_classes=3, max_len=24, min_len=24, span_k=4, seed=6
