@@ -14,9 +14,10 @@ an on-device gather:
   * batch composition stays a host decision (the same seeded
     shuffle/bucketing as `iter_batches`) but travels as a tiny int32
     index matrix riding the dispatch;
-  * a whole epoch executes as a handful of `lax.scan` programs (one
-    per length bucket present), so per-epoch tunnel requests drop from
-    O(batches x programs) to O(buckets).
+  * a whole training epoch executes as ONE `lax.scan` program over
+    all batches in the exact streaming order (decode groups batches
+    per length bucket instead — order-free), so per-epoch tunnel
+    requests drop from O(batches x programs) to O(1)/O(buckets).
 
 Size is gated by ``--sm_device_resident_mb``: corpora whose resident
 tensors exceed the budget fall back to the per-batch streaming path
@@ -102,14 +103,26 @@ class ResidentCorpus:
         return int(self.host_len[row]) if row is not None else 0
 
     def make_plan(self, batch_size, shuffle, seed, limit=None,
-                  sort_by_length=False, pad_rows_to=1) -> EpochPlan:
+                  sort_by_length=False, pad_rows_to=1,
+                  global_order=False) -> EpochPlan:
         """The SAME batch composition as iter_batches (make_batch_keys
         chunking + seeded batch-granularity shuffle), expressed as
-        per-bucket index-matrix groups. Grouping by length bucket only
-        REORDERS batch execution (stable within a group); batch
-        contents, padded widths, and per-batch PRNG keys (folded from
-        the original epoch batch index) are identical to the streaming
-        path.
+        index-matrix groups.
+
+        `global_order=True` (training): ONE group containing every
+        batch in the original shuffled epoch order, padded to the
+        widest batch's length bucket — the sequential Adam chain then
+        applies updates in exactly the streaming loop's order. The
+        padding waste is device compute, which is ~50x below the epoch
+        wall clock (docs/DESIGN.md §9), so order parity costs nothing
+        observable.
+
+        `global_order=False` (decode): one group per length bucket —
+        batch execution is REORDERED (stable within a group), which is
+        only safe when results are position-keyed and order-independent.
+        Batch contents, padded widths, and per-batch PRNG keys (folded
+        from the original epoch batch index) are identical to the
+        streaming path either way.
 
         `pad_rows_to`: round the row width Bp up to this multiple (the
         mesh's data-axis size under --data_parallel, matching
@@ -129,7 +142,7 @@ class ResidentCorpus:
             self.videos_by_task, batch_size, batch_by_task=True,
             shuffle=shuffle, seed=seed, length_of=length_of,
         )
-        by_width: "OrderedDict[int, list]" = OrderedDict()
+        entries = []  # (bix, task, rows, fsum, t_width) in epoch order
         videos = 0
         frames = 0
         all_keys = []
@@ -147,16 +160,13 @@ class ResidentCorpus:
             lens = self.host_len[rows]
             t_width = pad_length_to_bucket(int(lens.max()))
             task = keys[0][0]
-            by_width.setdefault(t_width, []).append(
-                (bix, task, rows, int(lens.sum()))
-            )
+            entries.append((bix, task, rows, int(lens.sum()), t_width))
             all_keys.append([k for k in keys if k in self.row_of])
             videos += len(rows)
             frames += int(lens.sum())
-        groups = []
-        for t_width in sorted(by_width):
-            entries = by_width[t_width]
-            n = len(entries)
+
+        def _make_group(t_width, grp_entries):
+            n = len(grp_entries)
             Bp = -(-batch_size // max(pad_rows_to, 1)) * max(pad_rows_to, 1)
             idxs = np.full((n, Bp), -1, np.int32)
             vcs = np.zeros((n, self.c_max), np.int32)
@@ -164,7 +174,7 @@ class ResidentCorpus:
             bixs = np.zeros(n, np.int32)
             bws = np.zeros(n, np.float32)
             g_keys, g_sizes, g_frames = [], [], []
-            for i, (bix, task, rows, fsum) in enumerate(entries):
+            for i, (bix, task, rows, fsum, _) in enumerate(grp_entries):
                 idxs[i, : len(rows)] = rows
                 vcs[i] = self.task_vc[task]
                 invs[i] = self.task_inv[task]
@@ -173,11 +183,24 @@ class ResidentCorpus:
                 g_keys.append(all_keys[bix])
                 g_sizes.append(len(rows))
                 g_frames.append(fsum)
-            groups.append(PlanGroup(
+            return PlanGroup(
                 t_width=t_width, idxs=idxs, vcs=vcs, invs=invs, bixs=bixs,
                 bws=bws, keys=g_keys, batch_sizes=g_sizes,
                 batch_frames=g_frames,
-            ))
+            )
+
+        if global_order:
+            groups = (
+                [_make_group(max(e[4] for e in entries), entries)]
+                if entries else []
+            )
+        else:
+            by_width: "OrderedDict[int, list]" = OrderedDict()
+            for e in entries:
+                by_width.setdefault(e[4], []).append(e)
+            groups = [
+                _make_group(w, by_width[w]) for w in sorted(by_width)
+            ]
         return EpochPlan(groups=groups, videos=videos, frames=frames)
 
 
@@ -226,10 +249,112 @@ def gather_resident_rows(feat, length, gt, cons_r, end_r, idx, t_width, Cw):
     return f, l, g, w, c, e
 
 
-def _class_width(n_sub, class_bucket, lanes):
-    """Mirror of SemiMarkovModel._batch_device_args' class-count
-    bucketing (pad to a multiple of --sm_class_shape_bucket, never past
-    the Pallas lane width when the true count fits in it)."""
+def build_epoch_scan_fn(step_terms, tx, with_cons, with_end):
+    """Shared body of the resident epoch scan — the ONE definition of
+    "scan the plan's batches: gather, fold the PRNG, take a step, fold
+    stats, snapshot the log vector". The single-device program
+    (models/semimarkov.py _build_epoch_scan) and the mesh program
+    (parallel/mesh.py build_sharded_epoch_scan) differ ONLY in how a
+    batch's loss/grads are produced, so that is the injection point:
+
+      step_terms(params, f, l, vc, inv, g, c, e, w, rng)
+        -> (loss, aux, grads)
+
+    (single-device: value_and_grad + trainable mask; sharded:
+    local-share value_and_grad + psum over 'data' + term reduction).
+    Returns fn(params, opt_state, stats, lr, base_rng, epoch, res,
+    idxs, vcs, invs, bixs, bws, t_width) -> (params, opt_state, stats,
+    losses (n,), snaps (n*5,)); `t_width` must be static at jit time.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from action_segmentation_tpu.models.base import (
+        apply_lr,
+        fold_key,
+        fold_stats,
+        global_norm,
+    )
+
+    def fn(params, opt_state, stats, lr, base_rng, epoch, res,
+           idxs, vcs, invs, bixs, bws, t_width):
+        feat, length, gt, cons_r, end_r = resident_views(
+            res, with_cons, with_end
+        )
+        Cw = vcs.shape[1]
+
+        def body(carry, xs):
+            params, opt_state, stats = carry
+            idx, vc, inv, bix, bw = xs
+            f, l, g, w, c, e = gather_resident_rows(
+                feat, length, gt, cons_r, end_r, idx, t_width, Cw
+            )
+            rng = fold_key(base_rng, epoch, bix)
+            loss, aux, grads = step_terms(
+                params, f, l, vc, inv, g, c, e, w, rng
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u, params, apply_lr(updates, lr)
+            )
+            stats = fold_stats(stats, loss, aux, bw)
+            snap = jnp.stack([
+                global_norm(grads),
+                jnp.asarray(lr, jnp.float32),
+                stats[2], stats[3], stats[4],
+            ])
+            return (params, opt_state, stats), (loss, snap)
+
+        (params, opt_state, stats), (losses, snaps) = jax.lax.scan(
+            body, (params, opt_state, stats),
+            (idxs, vcs, invs, bixs, bws),
+        )
+        return params, opt_state, stats, losses, jnp.reshape(snaps, (-1,))
+
+    return fn
+
+
+def build_decode_scan_fn(decode, with_cons, with_end):
+    """Shared body of the resident decode scan (see build_epoch_scan_fn
+    — the injection point here is the per-batch `decode(params, f, l,
+    vc, c, e, rng) -> (labels, scores)` closure). Returns
+    fn(params, base_rng, res, idxs, vcs, bixs, t_width) -> labels
+    (n, Bp, t_width) int32; callers flatten/shard as they need."""
+    import jax
+    import jax.numpy as jnp
+
+    from action_segmentation_tpu.models.base import fold_key
+
+    def fn(params, base_rng, res, idxs, vcs, bixs, t_width):
+        feat, length, _, cons_r, end_r = resident_views(
+            res, with_cons, with_end
+        )
+        Cw = vcs.shape[1]
+
+        def body(_, xs):
+            idx, vc, bix = xs
+            f, l, _, _, c, e = gather_resident_rows(
+                feat, length, None, cons_r, end_r, idx, t_width, Cw
+            )
+            rng = fold_key(base_rng, 0, bix)
+            labels, _ = decode(params, f, l, vc, c, e, rng)
+            return 0, labels.astype(jnp.int32)
+
+        _, labels = jax.lax.scan(body, 0, (idxs, vcs, bixs))
+        return labels
+
+    return fn
+
+
+def pad_class_width(n_sub, class_bucket, lanes):
+    """THE class-count bucketing rule (shared by the streaming
+    collation SemiMarkovModel._batch_device_args and the resident
+    build below — one definition so the two paths cannot drift): pad
+    to a multiple of --sm_class_shape_bucket so tasks with different
+    step counts reuse one compiled program, but never past the Pallas
+    lane width when the true count fits in it (pallas_supported()
+    checks the unpadded count; a padded C above the lane width would
+    crash the kernels' lane packing at trace time)."""
     bucket = max(1, class_bucket or 1)
     cp = -(-n_sub // bucket) * bucket
     if n_sub <= lanes:
@@ -271,7 +396,7 @@ def build_resident_corpus(model, datasplit, use_narration, budget_mb):
         return None
 
     c_max = max(
-        _class_width(len(vc), getattr(args, "sm_class_shape_bucket", 1), LANES)
+        pad_class_width(len(vc), getattr(args, "sm_class_shape_bucket", 1), LANES)
         for vc in per_task_vc.values()
     )
     lengths = np.array([s["features"].shape[0] for _, _, s in rows], np.int32)
@@ -344,11 +469,7 @@ def build_resident_corpus(model, datasplit, use_narration, budget_mb):
                 pad_row * args.sm_constrain_narration_weight
             )
         if with_end:
-            addl = model._make_additional_allowed_ends([task], [L])[0]
-            allowed = set(model.module.allowed_ends) | set(addl)
-            mask = np.array([ix in allowed for ix in vc])
-            assert mask.any(), "no allowed end classes for instance"
-            end[i, : len(vc)] = np.where(mask, 0.0, BIG_NEG)
+            end[i, : len(vc)] = model._end_mask_row(vc, task, L)
 
     dev = [feat, lengths, gt]
     if with_cons:

@@ -444,27 +444,23 @@ class SemiMarkovModel(Model):
 
         end_allowed = np.zeros((B, C_sub), np.float32)
         if self.module.allowed_ends is not None:
-            addl = self._make_additional_allowed_ends(tasks, batch["lengths"])
             for i in range(B):
-                allowed = set(self.module.allowed_ends) | set(addl[i])
-                mask = np.array([ix in allowed for ix in vc])
-                assert mask.any(), "no allowed end classes for instance"
-                end_allowed[i] = np.where(mask, 0.0, BIG_NEG)
+                end_allowed[i] = self._end_mask_row(
+                    vc, tasks[i], batch["lengths"][i]
+                )
 
-        # class-count bucketing: pad the valid-class set to a multiple of
-        # --sm_class_shape_bucket with -1 sentinels (masked to BIG_NEG in
-        # compute_potentials) so tasks with different step counts reuse
-        # one compiled program per length bucket — jit compiles are
-        # minutes each through the remote-TPU tunnel
+        # class-count bucketing: pad the valid-class set with -1
+        # sentinels (masked to BIG_NEG in compute_potentials) so tasks
+        # with different step counts reuse one compiled program per
+        # length bucket — jit compiles are minutes each through the
+        # remote-TPU tunnel. The width rule is shared with the
+        # resident-corpus build (resident.pad_class_width).
+        from action_segmentation_tpu.data.resident import pad_class_width
         from action_segmentation_tpu.ops.hsmm_pallas import LANES
 
-        bucket = max(1, getattr(self.args, "sm_class_shape_bucket", 1) or 1)
-        Cp = -(-C_sub // bucket) * bucket
-        if C_sub <= LANES:
-            # never pad past the Pallas lane width: pallas_supported()
-            # checks the unpadded count, and a padded C above it would
-            # crash the kernels' lane packing at trace time
-            Cp = min(Cp, LANES)
+        Cp = pad_class_width(
+            C_sub, getattr(self.args, "sm_class_shape_bucket", 1), LANES
+        )
         if Cp > C_sub:
             extra = Cp - C_sub
             vc = np.concatenate([vc, np.full(extra, -1, np.int32)])
@@ -508,6 +504,18 @@ class SemiMarkovModel(Model):
         for index, label in enumerate(step_indices):
             expanded[:, :, vc_list.index(label)] = 1.0 - constraints[:, :, index]
         return expanded
+
+    def _end_mask_row(self, vc, task, length):
+        """THE 0/BIG_NEG end-mask row for one video over valid classes
+        `vc` — shared by the streaming collation above and the
+        resident-corpus build (data/resident.py) so the two paths
+        cannot drift: allowed ends plus the mid-canonical-order
+        exception for short videos."""
+        addl = self._make_additional_allowed_ends([task], [length])[0]
+        allowed = set(self.module.allowed_ends) | set(addl)
+        mask = np.array([ix in allowed for ix in vc])
+        assert mask.any(), "no allowed end classes for instance"
+        return np.where(mask, 0.0, BIG_NEG).astype(np.float32)
 
     def _make_additional_allowed_ends(self, tasks, lengths):
         """Allow ending mid-canonical-order for videos shorter than the
@@ -692,8 +700,9 @@ class SemiMarkovModel(Model):
         constraints). Entries store (datasplit, resident) so the
         datasplit stays alive while its id() keys the cache (a stale
         None for a freed datasplit's reused address would silently
-        disable the scan path); the cache is FIFO-capped at 4 splits so
-        long-lived models do not pin unbounded HBM."""
+        disable the scan path); the cache is LRU-capped at 4 splits so
+        long-lived models do not pin unbounded HBM without evicting the
+        splits a fit's per-epoch eval touches every epoch."""
         budget = getattr(self.args, "sm_device_resident_mb", 0) or 0
         if budget <= 0:
             return None
@@ -702,7 +711,12 @@ class SemiMarkovModel(Model):
 
             self._resident_cache = OrderedDict()
         key = (id(datasplit), bool(use_narration))
-        if key not in self._resident_cache:
+        if key in self._resident_cache:
+            self._resident_cache.move_to_end(key)  # LRU, not FIFO: a
+            # fit's per-epoch eval touches train/train_sub/dev splits
+            # every epoch; evicting the hot split would re-upload the
+            # corpus each epoch
+        else:
             from action_segmentation_tpu.data.resident import (
                 build_resident_corpus,
             )
@@ -716,89 +730,45 @@ class SemiMarkovModel(Model):
         return self._resident_cache[key][1]
 
     def _build_epoch_scan(self, tx, use_labels, with_cons, with_end):
-        """One jitted program per (length bucket, class width): scans
-        the bucket's batches, gathering each from the resident corpus
-        and applying the SAME fused loss/update/stats step as
-        _build_train_step. Returns per-batch losses and flattened
-        (gnorm, lr, nll, kl, log_det) log snapshots (scan order)."""
-        from action_segmentation_tpu.data.resident import (
-            gather_resident_rows,
-            resident_views,
-        )
+        """One jitted program per plan-group width: scans the group's
+        batches IN ORDER (training plans are a single exact-order group
+        — make_plan global_order), gathering each batch from the
+        resident corpus and applying the SAME fused loss/update/stats
+        step as _build_train_step. The scan body is shared with the
+        mesh program (resident.build_epoch_scan_fn); only the
+        loss/grad production differs. Returns per-batch losses and
+        flattened (gnorm, lr, nll, kl, log_det) log snapshots."""
+        from action_segmentation_tpu.data.resident import build_epoch_scan_fn
 
         loss_fn = self._build_loss_fn(use_labels)
         trainable = self.module.trainable_mask
 
-        def fn(params, opt_state, stats, lr, base_rng, epoch, res,
-               idxs, vcs, invs, bixs, bws, t_width):
-            feat, length, gt, cons_r, end_r = resident_views(
-                res, with_cons, with_end
+        def step_terms(params, f, l, vc, inv, g, c, e, w, rng):
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, f, l, vc, inv, g, c, e, w, rng)
+            grads = jax.tree_util.tree_map(
+                lambda gr, t: gr if t else jnp.zeros_like(gr),
+                grads, trainable,
             )
-            Cw = vcs.shape[1]
+            return loss, aux, grads
 
-            def body(carry, xs):
-                params, opt_state, stats = carry
-                idx, vc, inv, bix, bw = xs
-                f, l, g, w, c, e = gather_resident_rows(
-                    feat, length, gt, cons_r, end_r, idx, t_width, Cw
-                )
-                rng = _fold_key(base_rng, epoch, bix)
-                (loss, aux), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(params, f, l, vc, inv, g, c, e, w, rng)
-                grads = jax.tree_util.tree_map(
-                    lambda gr, t: gr if t else jnp.zeros_like(gr),
-                    grads, trainable,
-                )
-                updates, opt_state = tx.update(grads, opt_state, params)
-                updates = apply_lr(updates, lr)
-                params = jax.tree_util.tree_map(
-                    lambda p, u: p + u, params, updates
-                )
-                stats = _fold_stats(stats, loss, aux, bw)
-                snap = jnp.stack([
-                    global_norm(grads),
-                    jnp.asarray(lr, jnp.float32),
-                    stats[2], stats[3], stats[4],
-                ])
-                return (params, opt_state, stats), (loss, snap)
-
-            (params, opt_state, stats), (losses, snaps) = jax.lax.scan(
-                body, (params, opt_state, stats),
-                (idxs, vcs, invs, bixs, bws),
-            )
-            return params, opt_state, stats, losses, jnp.reshape(snaps, (-1,))
-
+        fn = build_epoch_scan_fn(step_terms, tx, with_cons, with_end)
         return jax.jit(fn, static_argnames=("t_width",))
 
     def _build_decode_scan(self, with_cons, with_end):
-        """Scan the decode over a bucket group of resident batches;
-        returns flattened int32 labels (n * Bp * t_width) so a whole
-        predict() is a handful of dispatches plus ONE fetch."""
-        from action_segmentation_tpu.data.resident import (
-            gather_resident_rows,
-            resident_views,
-        )
+        """Scan the decode over a bucket group of resident batches
+        (shared body: resident.build_decode_scan_fn); returns flattened
+        int32 labels (n * Bp * t_width) so a whole predict() is a
+        handful of dispatches plus ONE fetch."""
+        from action_segmentation_tpu.data.resident import build_decode_scan_fn
 
-        decode = self._decode_core()
+        scan = build_decode_scan_fn(self._decode_core(), with_cons, with_end)
 
         def fn(params, base_rng, res, idxs, vcs, bixs, t_width):
-            feat, length, _, cons_r, end_r = resident_views(
-                res, with_cons, with_end
+            return jnp.reshape(
+                scan(params, base_rng, res, idxs, vcs, bixs, t_width), (-1,)
             )
-            Cw = vcs.shape[1]
-
-            def body(_, xs):
-                idx, vc, bix = xs
-                f, l, _, _, c, e = gather_resident_rows(
-                    feat, length, None, cons_r, end_r, idx, t_width, Cw
-                )
-                rng = _fold_key(base_rng, 0, bix)
-                labels, _ = decode(params, f, l, vc, c, e, rng)
-                return 0, labels.astype(jnp.int32)
-
-            _, labels = jax.lax.scan(body, 0, (idxs, vcs, bixs))
-            return jnp.reshape(labels, (-1,))
 
         return jax.jit(fn, static_argnames=("t_width",))
 
@@ -1101,9 +1071,13 @@ class SemiMarkovModel(Model):
         # dev is a 0-d loss scalar (per-batch mode) or an (n,) loss
         # vector from an epoch-scan group (batch_ix_or_list is then the
         # list of original batch indices). deferred_logs entries:
-        # (rows, dev_1d) with rows = [(i, ep, bix, nvid, nfrm, thr)]
+        # (rows, dev_1d) with rows = [(i, ep, bix, nvid, nfrm, t0)]
         # and dev_1d a flattened (r, 5) snapshot block; row i reads
-        # dev_1d[5*i : 5*i+5].
+        # dev_1d[5*i : 5*i+5]. t0 is the row's epoch start time; the
+        # throughput prints as nvid / (flush_time - t0), measured AFTER
+        # the blocking fetch so it reflects completed device work (a
+        # lower bound when the flush is deferred past later epochs —
+        # an eager time.time() at dispatch measured ~80x inflated).
         deferred_checks = []
         deferred_logs = []
         _FLUSH_ZERO = jnp.float32(0.0)          # count-padding fillers
@@ -1138,6 +1112,7 @@ class SemiMarkovModel(Model):
             flat = np.asarray(
                 jnp.concatenate(parts) if len(parts) > 1 else parts[0]
             )  # the single fetch
+            now = time.time()  # post-fetch: dispatched work is done
             for (ep, bix, _), loss_f in zip(scalar_checks, flat[:n]):
                 if not np.isfinite(loss_f):
                     logger.debug(
@@ -1159,7 +1134,8 @@ class SemiMarkovModel(Model):
             for rows, dev in deferred_logs:
                 seg = flat[off:off + dev.shape[0]]
                 off += dev.shape[0]
-                for i, ep, bix, num_vid, num_frm, thr in rows:
+                for i, ep, bix, num_vid, num_frm, t0 in rows:
+                    thr = num_vid / max(now - t0, 1e-9)
                     gnorm_f, lr_f, nll_c, kl_c, ld_c = seg[5 * i:5 * i + 5]
                     logger.debug(
                         "Epoch: %02d, Batch: %03d, |GParam|: %.2f, lr: %.2E, "
@@ -1243,14 +1219,20 @@ class SemiMarkovModel(Model):
             stats_carry = _STATS0
 
             if epoch_scan_for is not None:
-                # resident-corpus path: the whole epoch runs as one
-                # scan program per length bucket; the streaming loop
-                # below sees an empty iterator and is skipped
+                # resident-corpus path: the whole epoch runs as ONE
+                # scan program over all batches in the exact streaming
+                # order (global_order — sequential Adam updates must
+                # apply in the same shuffled order as the reference
+                # loop; bucket-grouped execution would impose a
+                # short-before-long curriculum every epoch). The
+                # streaming loop below sees an empty iterator and is
+                # skipped.
                 plan = resident.make_plan(
                     args.batch_size, shuffle=True,
                     seed=(getattr(args, "seed", 1) or 1) + epoch,
                     limit=args.train_limit,
                     pad_rows_to=scan_row_pad,
+                    global_order=True,
                 )
                 num_videos = plan.videos
                 num_frames = plan.frames
@@ -1281,12 +1263,19 @@ class SemiMarkovModel(Model):
                             # printed cumulative counters
                             rows.append((
                                 i, epoch, int(grp.bixs[i]), cum_v, cum_f,
-                                cum_v / max(time.time() - start_time, 1e-9),
+                                start_time,
                             ))
                     if rows:
                         deferred_logs.append((rows, snaps))
                     scan_pos += grp.n
-                if len(deferred_checks) >= 32:
+                if len(deferred_checks) >= 32 or (
+                    deferred_checks and epoch - deferred_checks[0][0] >= 8
+                ):
+                    # entry-count backpressure alone would defer the
+                    # non-finite-loss warning ~32 epochs at one scan
+                    # entry per epoch; also flush when the oldest
+                    # deferred entry is 8 epochs stale (one ~0.5 s
+                    # round trip per 8 epochs bounds warning latency)
                     flush_deferred()
                 batch_iter = iter(())
             else:
@@ -1360,8 +1349,12 @@ class SemiMarkovModel(Model):
                 # dispatch pipelining. The stats fold rode inside the
                 # step program (_fold_stats) — no side program here.
                 deferred_checks.append((epoch, batch_ix, loss))
-                if len(deferred_checks) >= 32:
-                    flush_deferred()  # bound dispatch queue / resident inputs
+                if len(deferred_checks) >= 32 or (
+                    epoch - deferred_checks[0][0] >= 8
+                ):
+                    # bound dispatch queue AND warning latency (tiny
+                    # epochs accumulate entries slowly; see scan branch)
+                    flush_deferred()
 
                 if not stepped:
                     # NOTE a partial accumulation window left at epoch end
@@ -1392,7 +1385,7 @@ class SemiMarkovModel(Model):
                     deferred_logs.append((
                         [(
                             0, epoch, batch_ix, num_videos, num_frames,
-                            num_videos / (time.time() - start_time),
+                            start_time,
                         )],
                         vec,
                     ))

@@ -30,8 +30,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from action_segmentation_tpu.models.base import (
     apply_lr,
-    fold_key,
-    fold_stats,
     global_norm,
 )
 from action_segmentation_tpu.utils.logger import logger
@@ -42,8 +40,8 @@ from action_segmentation_tpu.ops.hsmm import (
 )
 from action_segmentation_tpu.ops.span_codec import labels_to_spans, spans_to_labels
 from action_segmentation_tpu.data.resident import (
-    gather_resident_rows as _gather_rows,
-    resident_views as _resident_views,
+    build_decode_scan_fn as _build_decode_scan_fn,
+    build_epoch_scan_fn as _build_epoch_scan_fn,
 )
 
 
@@ -431,42 +429,23 @@ def build_sharded_epoch_scan(module, tx, mesh, use_labels, with_cons,
     assert mesh.shape.get("model", 1) == 1, "tp retired; see make_mesh"
     local_loss = _make_local_loss(module, use_labels)
 
+    def step_terms(params, f, l, vc, inv, g, c, e, w, rng):
+        (_, terms), grads = jax.value_and_grad(
+            local_loss, has_aux=True
+        )(params, f, l, vc, inv, g, c, e, w, rng)
+        grads = jax.lax.psum(grads, "data")
+        loss, aux = _reduce_terms(terms, use_labels)
+        return loss, aux, grads
+
+    # the gather/fold/update/stats/snap scan body is the single shared
+    # definition in data/resident.py — only loss/grad production (the
+    # psum'd local share above) is mesh-specific
+    scan_fn = _build_epoch_scan_fn(step_terms, tx, with_cons, with_end)
+
     def local_epoch(params, opt_state, stats, lr, base_rng, epoch, res,
                     idxs, vcs, invs, bixs, bws):
-        feat, length, gt, cons_r, end_r = _resident_views(
-            res, with_cons, with_end
-        )
-        Cw = vcs.shape[1]
-
-        def body(carry, xs):
-            params, opt_state, stats = carry
-            idx, vc, inv, bix, bw = xs
-            f, l, g, w, c, e = _gather_rows(
-                feat, length, gt, cons_r, end_r, idx, t_width, Cw
-            )
-            rng = fold_key(base_rng, epoch, bix)
-            (_, terms), grads = jax.value_and_grad(
-                local_loss, has_aux=True
-            )(params, f, l, vc, inv, g, c, e, w, rng)
-            grads = jax.lax.psum(grads, "data")
-            loss, aux = _reduce_terms(terms, use_labels)
-            gnorm = global_norm(grads)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(
-                lambda p, u: p + u, params, apply_lr(updates, lr)
-            )
-            stats = fold_stats(stats, loss, aux, bw)
-            snap = jnp.stack([
-                gnorm, jnp.asarray(lr, jnp.float32),
-                stats[2], stats[3], stats[4],
-            ])
-            return (params, opt_state, stats), (loss, snap)
-
-        (params, opt_state, stats), (losses, snaps) = jax.lax.scan(
-            body, (params, opt_state, stats),
-            (idxs, vcs, invs, bixs, bws),
-        )
-        return params, opt_state, stats, losses, jnp.reshape(snaps, (-1,))
+        return scan_fn(params, opt_state, stats, lr, base_rng, epoch,
+                       res, idxs, vcs, invs, bixs, bws, t_width)
 
     shard_map, check_kwargs = _shard_map_fn()
     sharded = shard_map(
@@ -496,25 +475,15 @@ def build_sharded_decode_scan(module, mesh, with_cons, with_end, t_width,
     labels (n * Bp * t_width,) int32 global class ids, -1 padding.
     """
     assert mesh.shape.get("model", 1) == 1, "tp retired; see make_mesh"
-    decode_local = _make_decode_local(module, n_classes)
+    # shared scan body (data/resident.py); the injected decode closure
+    # is the shard-local one (per-device z-key offsets inside)
+    scan_fn = _build_decode_scan_fn(
+        _make_decode_local(module, n_classes), with_cons, with_end
+    )
 
     def local_scan(params, base_rng, res, idxs, vcs, bixs):
-        feat, length, _, cons_r, end_r = _resident_views(
-            res, with_cons, with_end
-        )
-        Cw = vcs.shape[1]
-
-        def body(_, xs):
-            idx, vc, bix = xs
-            f, l, _, _, c, e = _gather_rows(
-                feat, length, None, cons_r, end_r, idx, t_width, Cw
-            )
-            rng = fold_key(base_rng, 0, bix)
-            labels, _ = decode_local(params, f, l, vc, c, e, rng)
-            return 0, labels.astype(jnp.int32)
-
-        _, labels = jax.lax.scan(body, 0, (idxs, vcs, bixs))
-        return labels  # (n, B_local, t_width); flattened by the caller
+        # (n, B_local, t_width); flattened by the caller
+        return scan_fn(params, base_rng, res, idxs, vcs, bixs, t_width)
 
     shard_map, check_kwargs = _shard_map_fn()
     sharded = shard_map(

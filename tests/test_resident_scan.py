@@ -4,9 +4,10 @@ The device-resident training/decode path (data/resident.py +
 SemiMarkovModel._build_epoch_scan/_build_decode_scan) must reproduce
 the streaming per-batch loop exactly:
 
-  * on a single-bucket corpus, batch order is preserved, so fit
-    trajectories (per-epoch losses, final params) match the streaming
-    path to numerical tolerance;
+  * training plans are a single exact-order scan group (make_plan
+    global_order), so fit trajectories (per-epoch losses, final
+    params) match the streaming path to numerical tolerance on ragged
+    multi-bucket corpora too, not just uniform-length ones;
   * predictions match per video on ragged corpora too (decoding is
     order-free and padding-invariant);
   * per-batch PRNG keys fold from (epoch, original batch index), so
@@ -144,6 +145,35 @@ def test_scan_matches_streaming_closed_then_gradient():
     )
     cfg = _cfg(sm_supervised_method="closed-then-gradient", epochs=2)
     m_scan, l_scan, _ = fit_and_collect(make_args(**cfg), train, use_labels=True)
+    m_str, l_str, _ = fit_and_collect(
+        make_args(**cfg, sm_device_resident_mb=0), train, use_labels=True
+    )
+    np.testing.assert_allclose(l_scan, l_str, rtol=1e-5)
+    assert_params_close(m_scan.module.params, m_str.module.params)
+
+
+def test_scan_matches_streaming_ragged_trajectory():
+    """Multi-bucket corpus: the training scan must apply Adam updates
+    in the exact shuffled epoch order (make_plan global_order), not
+    bucket-grouped — grouping would impose a short-before-long
+    curriculum absent from the streaming/reference loop (round-4
+    review finding). From the asymmetric closed-form init the full
+    loss AND param trajectories must track the streaming path, even
+    though the scan computes every batch at the widest batch's padded
+    length (the DP is padding-invariant under the end fold)."""
+    train = SyntheticDatasplit(
+        num_videos=20, n_classes=3, max_len=150, min_len=8, span_k=5, seed=9
+    )
+    cfg = _cfg(
+        sm_supervised_method="closed-then-gradient", epochs=2, batch_size=4
+    )
+    m_scan, l_scan, _ = fit_and_collect(make_args(**cfg), train, use_labels=True)
+    res = m_scan._get_resident(train, False)
+    assert res is not None
+    plan = res.make_plan(4, shuffle=True, seed=4, global_order=True)
+    assert len(plan.groups) == 1  # exact-order: a single scan group
+    assert list(plan.groups[0].bixs) == sorted(plan.groups[0].bixs)
+    assert len(res.make_plan(4, shuffle=True, seed=4).groups) > 1  # ragged
     m_str, l_str, _ = fit_and_collect(
         make_args(**cfg, sm_device_resident_mb=0), train, use_labels=True
     )
