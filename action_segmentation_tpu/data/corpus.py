@@ -392,16 +392,11 @@ class Datasplit:
         f1_score = F1Score(
             K=self._K_by_task[task], n_videos=len(videos), verbose=verbose
         )
-        long_gt = []
-        long_pr = []
-
         if prediction_function is not None:
             for video_name, video in videos.items():
                 gt, pred = self._model_gt_and_pred(video, prediction_function)
                 accuracy.add_gt_labels(gt)
                 accuracy.add_predicted_labels(pred)
-                long_gt += gt
-                long_pr += pred
 
         compare_accuracy = None
         if comparison is not None:
@@ -446,8 +441,11 @@ class Datasplit:
         self.return_stat = accuracy_to_return.stat()
 
         if prediction_function is not None:
-            f1_score.set_gt(long_gt)
-            f1_score.set_pr(long_pr)
+            # the accumulator's cached flats ARE long_gt's first labels /
+            # long_pr in the same per-video order (reference
+            # corpus.py:528-541 rebuilt both as Python lists)
+            f1_score.set_gt_single(accuracy.gt_labels)
+            f1_score.set_pr(accuracy.predicted_labels)
             f1_score.set_gt2pr(self._gt2label)
             f1_score.f1()
             for key, val in f1_score.stat().items():

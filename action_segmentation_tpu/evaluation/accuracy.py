@@ -28,16 +28,13 @@ def singleton_lookup(dictionary, label):
 
 def run_length_encode(labels):
     """[(label, count), ...] over a flat label sequence (accuracy.py:21-37)."""
-    labels = list(labels)
-    rle = []
-    if not labels:
-        return rle
     arr = np.asarray(labels)
+    if arr.size == 0:
+        return []
     change = np.flatnonzero(arr[1:] != arr[:-1]) + 1
     bounds = np.concatenate([[0], change, [len(arr)]])
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        rle.append((labels[s], int(e - s)))
-    return rle
+    starts = bounds[:-1]
+    return list(zip(arr[starts].tolist(), np.diff(bounds).tolist()))
 
 
 class Accuracy:
@@ -57,8 +54,16 @@ class Accuracy:
         self._predicted_labels_per_video = []
         self._predicted_rle_per_video = []
         self._gt_labels_per_video = []
-        self._gt_labels_multi_per_video = []
+        # ragged multi-label gt as (counts, flat) per video: one Python
+        # pass over the list-of-lists at add time; every later consumer
+        # works on concatenated arrays (the reference re-flattens
+        # per-frame Python lists inside each metric — at per-epoch
+        # evaluation scale those repeated O(frames) Python passes were
+        # most of the mof cost, scripts/metric_scale_check.py)
+        self._gt_counts_per_video = []
+        self._gt_flat_per_video = []
         self._gt_rle_per_video = []
+        self._flat_cache = {}
 
         self._frames_true_pr = 0.0
         self._frames_overall = 0
@@ -70,27 +75,39 @@ class Accuracy:
 
     def add_gt_labels(self, labels):
         assert isinstance(labels, list) and isinstance(labels[0], list)
-        labels_single = [lab_t[0] for lab_t in labels]
-        self._gt_labels_per_video.append(labels_single)
-        self._gt_labels_multi_per_video.append(labels)
-        self._gt_rle_per_video.append(run_length_encode(labels_single))
+        n = len(labels)
+        counts = np.fromiter((len(l) for l in labels), np.int64, n)
+        flat = np.fromiter(
+            (g for l in labels for g in l), np.int64, int(counts.sum())
+        )
+        starts = np.cumsum(counts) - counts
+        singles = flat[starts]
+        self._gt_labels_per_video.append(singles)
+        self._gt_counts_per_video.append(counts)
+        self._gt_flat_per_video.append(flat)
+        self._gt_rle_per_video.append(run_length_encode(singles))
+        self._flat_cache.clear()
 
     def add_predicted_labels(self, labels):
-        labels = list(labels)
+        labels = np.asarray(labels, np.int64)
         self._predicted_labels_per_video.append(labels)
         self._predicted_rle_per_video.append(run_length_encode(labels))
+        self._flat_cache.clear()
+
+    def _concat(self, key, parts):
+        if key not in self._flat_cache:
+            self._flat_cache[key] = (
+                np.concatenate(parts) if parts else np.array([], np.int64)
+            )
+        return self._flat_cache[key]
 
     @property
     def gt_labels(self):
-        return np.array([x for xs in self._gt_labels_per_video for x in xs])
-
-    @property
-    def gt_labels_multi(self):
-        return [x for xs in self._gt_labels_multi_per_video for x in xs]
+        return self._concat("gt", self._gt_labels_per_video)
 
     @property
     def predicted_labels(self):
-        return np.array([x for xs in self._predicted_labels_per_video for x in xs])
+        return self._concat("pr", self._predicted_labels_per_video)
 
     # ----- correspondence -----
 
@@ -170,7 +187,6 @@ class Accuracy:
         (accuracy.py:475-579)."""
         self.compute_assignment(optimal_assignment, possible_gt_labels)
         gt_labels = self.gt_labels
-        gt_labels_multi = self.gt_labels_multi
         pred = self.predicted_labels
 
         background_clusters = set(
@@ -194,8 +210,6 @@ class Accuracy:
             self._classes_IoU[gt_label] = [true_defined, union]
             self._frames_true_pr += true_defined
 
-        assert len(gt_labels_multi) == len(pred)
-
         self._precision = np.zeros(2)
         self._recall = np.zeros(2)
         self._precision_without_bg = np.zeros(2)
@@ -209,17 +223,17 @@ class Accuracy:
         # corpus frame-by-frame in Python (accuracy.py:475-579) — ~10 s
         # per 1e6 frames, which would dwarf the device decode at
         # per-epoch evaluation scale (scripts/metric_scale_check.py).
-        # Semantics are bit-identical: the ragged multi-label lists pad
-        # into an (N, Lmax) matrix and every membership test becomes an
-        # array lookup.
+        # Semantics are bit-identical: the ragged multi-label lists
+        # (stored as (counts, flat) arrays at add time) pad into an
+        # (N, Lmax) matrix and every membership test becomes an array
+        # lookup.
         bkg_set = set(self._corpus._background_indices)
         N = len(pred)
         pred = np.asarray(pred)
-        counts = np.fromiter((len(g) for g in gt_labels_multi), np.int64, N)
+        counts = np.concatenate(self._gt_counts_per_video)
+        flat = np.concatenate(self._gt_flat_per_video)
+        assert counts.size == N
         total_labels = int(counts.sum())
-        flat = np.fromiter(
-            (g for gs in gt_labels_multi for g in gs), np.int64, total_labels
-        )
         Lmax = int(counts.max()) if N else 1
         mat = np.full((N, Lmax), -1, np.int64)
         rows = np.repeat(np.arange(N), counts)
@@ -410,19 +424,36 @@ class Accuracy:
                 for g in uniq.tolist()
             ]
             gt_remapped = np.asarray(uniq_remapped)[inv]
-            for label in np.unique(pred_labels):
+            # group predicted frame indices per label with ONE stable
+            # argsort (equal keys keep their original order, so each
+            # group is already ascending) instead of a full-array
+            # `pred == label` scan per label
+            order = np.argsort(pred_labels, kind="stable")
+            sorted_pred = pred_labels[order]
+            uniq_p, starts_p = np.unique(sorted_pred, return_index=True)
+            ends_p = np.append(starts_p[1:], len(sorted_pred))
+            groups = {
+                lab: order[s:e]
+                for lab, s, e in zip(uniq_p.tolist(), starts_p, ends_p)
+            }
+            for label in uniq_p:
                 predicted_label_types += 1
                 if label not in background_remapped:
                     predicted_label_types_non_bg += 1
+            _EMPTY = np.empty(0, np.int64)
             for label in np.unique(gt_remapped):
                 step_total += 1
                 non_bg = label not in background_remapped
                 if non_bg:
                     nb_step_total += 1
-                pred_indices = (pred_labels == label).nonzero()[0]
+                pred_indices = groups.get(label, _EMPTY)
                 if len(pred_indices) == 0:
                     continue
-                pred_index = np.random.choice(pred_indices)
+                # same stream as the reference's np.random.choice:
+                # legacy choice(a) draws exactly one randint(0, len(a))
+                # (verified bit-identical); the direct call skips
+                # choice's per-call argument validation
+                pred_index = pred_indices[np.random.randint(0, len(pred_indices))]
                 # argmin == the reference's min(key=|x - center|): both
                 # take the first index on ties
                 center = (pred_indices[0] + pred_indices[-1]) / 2

@@ -31,6 +31,13 @@ class F1Score:
         assert isinstance(gt, list) and isinstance(gt[0], list)
         self.gt = np.asarray([gt_t[0] for gt_t in gt])
 
+    def set_gt_single(self, gt):
+        """Array path for callers that already hold the flattened
+        first-label-per-frame array (Accuracy.gt_labels caches exactly
+        this in accumulation order, so corpus.accuracy_corpus need not
+        rebuild a million-element Python list just to flatten it again)."""
+        self.gt = np.asarray(gt)
+
     def set_pr(self, pr):
         self.pr = np.asarray(pr)
 
@@ -75,6 +82,10 @@ class F1Score:
         self.bound_masks = list(zip(lows.tolist(), highs.tolist()))
         self._lows = lows
         self._highs = highs
+        # gt/pr agreement per frame, computed ONCE: each of the 50
+        # sampling experiments then does a single boolean gather
+        # instead of two label gathers + a compare
+        self._eq = np.asarray(self.gt) == np.asarray(self.pr)
 
     def _sampling(self):
         # one broadcast randint call draws the SAME variates in the SAME
@@ -86,7 +97,7 @@ class F1Score:
             self._highs[:, None] + 1,
             size=(len(self._lows), self.sampling_ratio),
         )
-        n_corr = (self.gt[sampled] == self.pr[sampled]).sum(axis=1)
+        n_corr = self._eq[sampled].sum(axis=1)
         n_correct_segments = float(np.sum(n_corr / self.sampling_ratio))
         precision = n_correct_segments / (self._K * self._n_videos)
         recall = n_correct_segments / len(self.bound_masks)

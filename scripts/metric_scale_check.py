@@ -19,6 +19,17 @@ loop 10.5 s, single_step_recall remap 2.1 s). After vectorization
 mof 853 ms, f1 975 ms (dominated by the 50x per-segment bounded randint
 draws the parity contract fixes), single_step_recall 474 ms,
 add_labels 457 ms, levenshtein 145 ms.
+
+Round 4 (store ragged gt as (counts, flat) arrays at add time, cache
+the concatenated flats, argsort-group single_step_recall, precompute
+the F1 frame-agreement mask, choice->randint with an identical
+stream): ~1,850-2,300 ms per 1e6 frames (+-20% host variance) — mof
+290-350 ms, ssr ~330 ms, f1 850-1070 ms of which ~670 ms is the
+bounded randint draws the stream-parity contract makes irreducible.
+NOTE this script still feeds F1 through the Python-list set_gt path;
+corpus.accuracy_corpus itself reuses the accumulator's cached arrays
+(f1.set_gt_single) and skips the million-element long_gt/long_pr list
+builds entirely.
 """
 
 import sys
