@@ -302,7 +302,38 @@ class Datasplit:
             else None
         )
 
+        if constraints is not None:
+            # align the constraint rows to the reconciled feature frames
+            # BEFORE any subsampling: CrossTask narration matrices are
+            # built at the annotation length (crosstask.py get_T /
+            # read_assignment), which may overhang or undershoot the
+            # feature count within the 50-frame mismatch tolerance. The
+            # reference neither cut nor subsampled constraints
+            # (corpus.py:333-355 + model.py:54-61 pad_sequence), so a
+            # mismatched video crashes its log_likelihood on shape
+            # grounds; truncating/zero-padding to the frame plan (zero
+            # rows = no narration penalty) is the fix-forward that keeps
+            # every row aligned with its frame.
+            constraints = np.asarray(constraints, np.float32)
+            n_feat = features.shape[0]
+            if constraints.shape[0] > n_feat:
+                constraints = constraints[:n_feat]
+            elif constraints.shape[0] < n_feat:
+                constraints = np.concatenate(
+                    [
+                        constraints,
+                        np.zeros(
+                            (n_feat - constraints.shape[0], constraints.shape[1]),
+                            np.float32,
+                        ),
+                    ]
+                )
+
         if self.subsample != 1:
+            # ONE index set derived from the feature count subsamples
+            # features, labels, and constraints (reference
+            # corpus.py:335-341 — arange(T // s) * s off
+            # features.shape[0]) so the streams stay frame-aligned
             features = _subsample_every(features, self.subsample)
             gt_sampled = (
                 _subsample_every(gt_single, self.subsample)
@@ -310,9 +341,7 @@ class Datasplit:
                 else None
             )
             if constraints is not None:
-                constraints = _subsample_every(
-                    np.asarray(constraints), self.subsample
-                )
+                constraints = _subsample_every(constraints, self.subsample)
         else:
             gt_sampled = gt_single
 

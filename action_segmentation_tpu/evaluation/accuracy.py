@@ -230,8 +230,8 @@ class Accuracy:
         bkg_set = set(self._corpus._background_indices)
         N = len(pred)
         pred = np.asarray(pred)
-        counts = np.concatenate(self._gt_counts_per_video)
-        flat = np.concatenate(self._gt_flat_per_video)
+        counts = self._concat("gt_counts", self._gt_counts_per_video)
+        flat = self._concat("gt_flat", self._gt_flat_per_video)
         assert counts.size == N
         total_labels = int(counts.sum())
         Lmax = int(counts.max()) if N else 1

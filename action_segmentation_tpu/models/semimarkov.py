@@ -721,9 +721,22 @@ class SemiMarkovModel(Model):
                 build_resident_corpus,
             )
 
+            # the budget bounds TOTAL pinned HBM across live cache
+            # entries, not each corpus alone: a U7-style fit pins the
+            # train split twice ((id, True) for training, (id, False)
+            # for per-epoch eval) plus train_subset/dev, so charging
+            # each build the full budget could pin ~4x it
+            pinned = sum(
+                res.nbytes
+                for _, res in self._resident_cache.values()
+                if res is not None
+            )
+            remaining_mb = budget - pinned / float(1 << 20)
             self._resident_cache[key] = (
                 datasplit,
-                build_resident_corpus(self, datasplit, use_narration, budget),
+                build_resident_corpus(
+                    self, datasplit, use_narration, remaining_mb
+                ),
             )
             while len(self._resident_cache) > 4:
                 self._resident_cache.pop(next(iter(self._resident_cache)))

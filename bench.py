@@ -27,6 +27,7 @@ the train numbers and the FLOP accounting — see docs/DESIGN.md "MFU").
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -502,13 +503,43 @@ def bench_torch_reference_style():
     return b * t / elapsed
 
 
+def _init_backend_with_watchdog(timeout_s):
+    """Initialize the JAX backend, failing loudly if the TPU claim
+    wedges. The axon plugin's device claim can block indefinitely when
+    a previous holder died without releasing its grant (observed: a
+    SIGTERM'd process left `jax.devices()` hanging >1 h for every
+    subsequent process); a silent infinite hang here would eat the
+    whole bench window with no diagnostic, so the probe runs in a
+    daemon thread and a timeout raises with the explanation instead."""
+    import threading
+
+    out = {}
+
+    def probe():
+        import jax
+
+        out["kind"] = jax.devices()[0].device_kind
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "kind" not in out:
+        raise RuntimeError(
+            "TPU backend init did not complete within {}s — the chip's "
+            "grant is likely held by a dead client (axon claim wedge); "
+            "retry after the remote grant times out".format(timeout_s)
+        )
+    return out["kind"]
+
+
 def main():
     from action_segmentation_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+    device_kind = _init_backend_with_watchdog(
+        float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", "900"))
+    )
     import jax
-
-    device_kind = jax.devices()[0].device_kind
     tpu_fps = bench_tpu_decode()
     train_fps = bench_tpu_train()
     try:

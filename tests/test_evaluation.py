@@ -117,3 +117,14 @@ def test_f1_broadcast_sampling_stream():
         lows[:, None], highs[:, None] + 1, size=(len(lows), 15)
     )
     assert (scalar == broadcast).all()
+
+
+def test_empty_accumulator_mof_runs():
+    """A task with zero scored videos (e.g. a CV split whose test half
+    is empty, or comparison-only scoring) must not crash the metric
+    pass — the reference's frame loop degenerates to zero iterations."""
+    acc = make_acc([], [])
+    acc.mof(optimal_assignment=False, possible_gt_labels=[0, 1, 2])
+    acc.mof_classes()
+    s = acc.stat()
+    assert s["mof"][1] == 0

@@ -408,3 +408,30 @@ def test_budget_fallback_streams():
     model2 = SemiMarkovModel.from_args(args2, train)
     model2.fit(train, use_labels=False)
     assert model2.predict(train)
+
+
+def test_resident_budget_is_shared_across_cache_entries():
+    """--sm_device_resident_mb bounds TOTAL pinned HBM across live
+    cache entries, not each corpus alone: a U7-style fit pins the
+    train split twice ((id, True)/(id, False)) plus subset/dev splits,
+    so per-corpus charging could pin ~4x the stated budget."""
+    train = SyntheticDatasplit(
+        num_videos=12, n_classes=3, max_len=64, span_k=8, seed=0
+    )
+    dev = SyntheticDatasplit(
+        num_videos=12, n_classes=3, max_len=64, span_k=8, seed=1
+    )
+    args = make_args(sm_max_span_length=8, epochs=1, batch_size=6)
+    model = SemiMarkovModel.from_args(args, train)
+
+    r_train = model._get_resident(train, False)
+    assert r_train is not None
+    # shrink the budget so the SECOND corpus alone would fit, but not
+    # alongside the already-pinned first
+    each_mb = r_train.nbytes / float(1 << 20)
+    model.args.sm_device_resident_mb = each_mb * 1.5
+    r_dev = model._get_resident(dev, False)
+    assert r_dev is None  # remaining budget after train is 0.5x < 1x
+    # with the first entry evicted the same split fits again
+    model._resident_cache.clear()
+    assert model._get_resident(dev, False) is not None
