@@ -142,26 +142,25 @@ class ResidentCorpus:
             self.videos_by_task, batch_size, batch_by_task=True,
             shuffle=shuffle, seed=seed, length_of=length_of,
         )
-        entries = []  # (bix, task, rows, fsum, t_width) in epoch order
+        entries = []  # (bix, task, rows, fsum, t_width, keys) in epoch order
         videos = 0
         frames = 0
-        all_keys = []
         bix = -1
         for keys in keys_batches:
-            rows = [self.row_of[k] for k in keys if k in self.row_of]
-            if not rows:
+            present = [k for k in keys if k in self.row_of]
+            if not present:
                 # iter_batches yields nothing for an all-missing batch,
                 # so the streaming loop's batch_ix (and hence fold_key
                 # rng and --train_limit counting) skips it too
                 continue
+            rows = [self.row_of[k] for k in present]
             bix += 1
             if limit and bix >= limit:
                 break
             lens = self.host_len[rows]
             t_width = pad_length_to_bucket(int(lens.max()))
             task = keys[0][0]
-            entries.append((bix, task, rows, int(lens.sum()), t_width))
-            all_keys.append([k for k in keys if k in self.row_of])
+            entries.append((bix, task, rows, int(lens.sum()), t_width, present))
             videos += len(rows)
             frames += int(lens.sum())
 
@@ -174,13 +173,13 @@ class ResidentCorpus:
             bixs = np.zeros(n, np.int32)
             bws = np.zeros(n, np.float32)
             g_keys, g_sizes, g_frames = [], [], []
-            for i, (bix, task, rows, fsum, _) in enumerate(grp_entries):
+            for i, (bix, task, rows, fsum, _, keys_b) in enumerate(grp_entries):
                 idxs[i, : len(rows)] = rows
                 vcs[i] = self.task_vc[task]
                 invs[i] = self.task_inv[task]
                 bixs[i] = bix
                 bws[i] = float(len(rows))
-                g_keys.append(all_keys[bix])
+                g_keys.append(keys_b)
                 g_sizes.append(len(rows))
                 g_frames.append(fsum)
             return PlanGroup(
@@ -362,7 +361,9 @@ def pad_class_width(n_sub, class_bucket, lanes):
     return cp
 
 
-def build_resident_corpus(model, datasplit, use_narration, budget_mb):
+def build_resident_corpus(
+    model, datasplit, use_narration, budget_mb, reason_out=None, mesh=None
+):
     """Build the resident tensors for `datasplit`, or return None when
     they exceed `budget_mb` (callers fall back to per-batch streaming).
 
@@ -372,10 +373,29 @@ def build_resident_corpus(model, datasplit, use_narration, budget_mb):
     --sm_constrain_narration_weight (models/semimarkov.py
     _batch_device_args), end masks 0/BIG_NEG over the padded class
     width with BIG_NEG beyond each task's true class count.
+
+    `reason_out` (a dict, optional) receives why a build returned None:
+    'budget' (could succeed once pinned entries free up) vs 'inherent'
+    (empty split / mixed narration coverage — no budget would help).
+    `mesh` (optional) places the tensors replicated over the mesh AT
+    BUILD TIME — one transfer — instead of committing to device 0 and
+    re-placing in replicate_resident (a second full-corpus transfer
+    through the ~1.5 GB/s tunnel).
     """
     import jax
 
     from action_segmentation_tpu.ops.hsmm_pallas import LANES
+
+    def _why(why):
+        if reason_out is not None:
+            reason_out["why"] = why
+
+    if budget_mb <= 0:
+        # bail BEFORE the corpus read below: a budget-exhausted build
+        # would otherwise pay a full feature-set disk read (~hundreds
+        # of MB for CrossTask PCA) just to return None
+        _why("budget")
+        return None
 
     args = model.args
     C = model.n_classes
@@ -393,6 +413,7 @@ def build_resident_corpus(model, datasplit, use_narration, budget_mb):
                 per_task_vc[task] = np.asarray(sample["task_indices"], np.int32)
             rows.append((task, name, sample))
     if not rows:
+        _why("inherent")
         return None
 
     c_max = max(
@@ -417,6 +438,7 @@ def build_resident_corpus(model, datasplit, use_narration, budget_mb):
             "falling back to per-batch streaming",
             len(have_cons) - sum(have_cons), len(have_cons),
         )
+        _why("inherent")
         return None
     with_end = model.module.allowed_ends is not None
 
@@ -426,6 +448,7 @@ def build_resident_corpus(model, datasplit, use_narration, budget_mb):
     if with_end:
         nbytes += N * c_max * 4
     if nbytes > budget_mb * (1 << 20):
+        _why("budget")
         return None
 
     feat = np.zeros((N, t_max, D), np.float32)
@@ -476,9 +499,15 @@ def build_resident_corpus(model, datasplit, use_narration, budget_mb):
         dev.append(cons)
     if with_end:
         dev.append(end)
-    device_args = jax.device_put(tuple(dev))  # ONE transfer
+    if mesh is not None:
+        from action_segmentation_tpu.parallel.mesh import replicated
 
-    return ResidentCorpus(
+        sharding = replicated(mesh)
+        device_args = tuple(jax.device_put(a, sharding) for a in dev)
+    else:
+        device_args = jax.device_put(tuple(dev))  # ONE transfer
+
+    out = ResidentCorpus(
         device_args=device_args,
         with_cons=with_cons,
         with_end=with_end,
@@ -493,3 +522,7 @@ def build_resident_corpus(model, datasplit, use_narration, budget_mb):
         videos_by_task=datasplit.videos_by_task,
         datasplit=datasplit,
     )
+    if mesh is not None:
+        # replicate_resident sees the placement and skips its re-put
+        out._mesh_placed = mesh
+    return out

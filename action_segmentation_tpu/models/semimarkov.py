@@ -410,11 +410,20 @@ class SemiMarkovModel(Model):
     # pickling: drop compiled closures and device-resident corpora
     # (rebuilt lazily on demand), keep numpy params
     def __getstate__(self):
+        import copy
+
         state = dict(self.__dict__)
         state["_jit_cache"] = {}
         state.pop("_resident_cache", None)
-        mod = state["module"]
+        state.pop("_resident_pins", None)
+        state.pop("_resident_failed", None)
+        # shallow-copy the module so converting params to numpy for the
+        # pickle never mutates the LIVE object: a driver that saves and
+        # keeps decoding with the same model would otherwise re-upload
+        # every param leaf per dispatch (and drop dp shardings)
+        mod = copy.copy(state["module"])
         mod.params = jax.tree_util.tree_map(np.asarray, mod.params)
+        state["module"] = mod
         return state
 
     def __setstate__(self, state):
@@ -694,7 +703,7 @@ class SemiMarkovModel(Model):
     # measured dominator of the realistic-epoch wall clock once the
     # per-batch loop was fully asynchronous (docs/DESIGN.md §9).
 
-    def _get_resident(self, datasplit, use_narration):
+    def _get_resident(self, datasplit, use_narration, pin=False, mesh=None):
         """Resident tensors for `datasplit` (cached; None when disabled
         by --sm_device_resident_mb=0, over budget, or heterogeneous
         constraints). Entries store (datasplit, resident) so the
@@ -702,7 +711,24 @@ class SemiMarkovModel(Model):
         None for a freed datasplit's reused address would silently
         disable the scan path); the cache is LRU-capped at 4 splits so
         long-lived models do not pin unbounded HBM without evicting the
-        splits a fit's per-epoch eval touches every epoch."""
+        splits a fit's per-epoch eval touches every epoch.
+
+        --sm_device_resident_mb bounds TOTAL live-entry HBM, not each
+        corpus alone (a U7-style fit pins the train split twice —
+        (id, True) for training, (id, False) for eval — plus
+        train_subset/dev). Eviction runs BEFORE the budget is computed
+        so a new entry never counts HBM the cap is about to free, and a
+        build that fails only because OTHER entries hold the budget is
+        NOT cached (it may succeed after they cycle out; inherent
+        failures — mixed narration coverage, empty split — are cached
+        to avoid re-paying the corpus read every epoch).
+
+        `pin=True` marks the key un-evictable until `_unpin_resident`
+        (fit pins its training corpus: the fit loop holds the tensors
+        for the whole epoch loop, so evicting the entry would let new
+        builds count that very-much-still-pinned HBM as free).
+        `mesh` routes the one-time upload straight to a replicated
+        mesh placement (dp paths) instead of device 0 + re-place."""
         budget = getattr(self.args, "sm_device_resident_mb", 0) or 0
         if budget <= 0:
             return None
@@ -710,6 +736,7 @@ class SemiMarkovModel(Model):
             from collections import OrderedDict
 
             self._resident_cache = OrderedDict()
+            self._resident_pins = set()
         key = (id(datasplit), bool(use_narration))
         if key in self._resident_cache:
             self._resident_cache.move_to_end(key)  # LRU, not FIFO: a
@@ -721,26 +748,47 @@ class SemiMarkovModel(Model):
                 build_resident_corpus,
             )
 
-            # the budget bounds TOTAL pinned HBM across live cache
-            # entries, not each corpus alone: a U7-style fit pins the
-            # train split twice ((id, True) for training, (id, False)
-            # for per-epoch eval) plus train_subset/dev, so charging
-            # each build the full budget could pin ~4x it
+            for old in list(self._resident_cache):
+                if len(self._resident_cache) < 4:
+                    break
+                if old not in self._resident_pins:
+                    self._resident_cache.pop(old)
             pinned = sum(
                 res.nbytes
                 for _, res in self._resident_cache.values()
                 if res is not None
             )
             remaining_mb = budget - pinned / float(1 << 20)
-            self._resident_cache[key] = (
-                datasplit,
-                build_resident_corpus(
-                    self, datasplit, use_narration, remaining_mb
-                ),
+            if not hasattr(self, "_resident_failed"):
+                self._resident_failed = {}
+            failed_at = self._resident_failed.get(key)
+            if failed_at is not None and remaining_mb <= failed_at:
+                # already failed at this (or a larger) remaining budget;
+                # skip re-paying the corpus read until entries free up
+                return None
+            reason = {}
+            built = build_resident_corpus(
+                self, datasplit, use_narration, remaining_mb,
+                reason_out=reason, mesh=mesh,
             )
-            while len(self._resident_cache) > 4:
-                self._resident_cache.pop(next(iter(self._resident_cache)))
+            if (
+                built is None
+                and reason.get("why") == "budget"
+                and remaining_mb < budget
+            ):
+                # uncached (may succeed once other entries cycle out);
+                # the watermark bounds retries to budget improvements
+                self._resident_failed[key] = remaining_mb
+                return None
+            self._resident_failed.pop(key, None)
+            self._resident_cache[key] = (datasplit, built)
+        if pin:
+            self._resident_pins.add(key)
         return self._resident_cache[key][1]
+
+    def _unpin_resident(self, datasplit, use_narration):
+        if hasattr(self, "_resident_pins"):
+            self._resident_pins.discard((id(datasplit), bool(use_narration)))
 
     def _build_epoch_scan(self, tx, use_labels, with_cons, with_end):
         """One jitted program per plan-group width: scans the group's
@@ -831,6 +879,21 @@ class SemiMarkovModel(Model):
         # per-epoch drain was the realistic-epoch wall clock — measured
         # in docs/DESIGN.md §9)
         tx, scheduler = make_optimizer(args, device_scheduler=True)
+        # cached jitted programs ('update', 'escan_*', 'epoch_finish_*')
+        # close over tx/scheduler; if the optimizer hyperparameters
+        # changed since they were built (a second fit after mutating
+        # args), drop them rather than silently training with stale
+        # clip/plateau settings
+        hp = (
+            args.max_grad_norm,
+            args.no_reduce_plateau,
+            args.reduce_plateau_factor,
+            args.reduce_plateau_patience,
+            args.reduce_plateau_min_lr,
+        )
+        if getattr(self, "_jit_hparams", hp) != hp:
+            self._jit_cache.clear()
+        self._jit_hparams = hp
         lr = args.lr
 
         if initialize:
@@ -992,11 +1055,18 @@ class SemiMarkovModel(Model):
         epoch_scan_for = None
         scan_row_pad = 1
         if fused_step is not None or (use_dp and not dp_accumulate):
-            resident = self._get_resident(train_data, use_narration)
+            # pin: the epoch loop holds these tensors for the whole fit,
+            # so an LRU eviction would let new builds count this
+            # still-live HBM as free (unpinned in fit's finally)
+            resident = self._get_resident(
+                train_data, use_narration, pin=True,
+                mesh=mesh if use_dp else None,
+            )
             if resident is not None:
                 wc, we = resident.with_cons, resident.with_end
                 if use_dp:
-                    replicate_resident(mesh, resident)
+                    replicate_resident(mesh, resident)  # no-op if built
+                    # with mesh; re-places a cached device-0 build
                     scan_row_pad = mesh.shape["data"]
 
                     def epoch_scan_for(t_width):
@@ -1455,6 +1525,7 @@ class SemiMarkovModel(Model):
                 callback_fn(epoch, cb_stats)
         finally:
             prefetch_pool.shutdown(wait=True)
+            self._unpin_resident(train_data, use_narration)
         flush_deferred()
         self.module.params = params
 
@@ -1476,22 +1547,20 @@ class SemiMarkovModel(Model):
         # mesh (mesh.py build_sharded_decode_scan). Checked FIRST so
         # the streaming decode machinery (and its mesh) is never built
         # on the resident path.
-        resident = self._get_resident(test_data, use_narration)
-        if resident is not None:
-            mesh = None
-            if use_dp:
-                from action_segmentation_tpu.parallel.mesh import make_mesh
+        mesh = None
+        if use_dp:
+            from action_segmentation_tpu.parallel.mesh import make_mesh
 
-                mesh = make_mesh(model_parallel=1)
+            mesh = make_mesh(model_parallel=1)
+        resident = self._get_resident(test_data, use_narration, mesh=mesh)
+        if resident is not None:
             return self._predict_resident(test_data, resident, mesh)
         if use_dp:
             from action_segmentation_tpu.parallel.mesh import (
                 build_sharded_decode_step,
-                make_mesh,
                 pad_batch_for_mesh,
             )
 
-            mesh = make_mesh(model_parallel=1)
             decode = self._get_jitted(
                 "decode_dp",
                 lambda: build_sharded_decode_step(

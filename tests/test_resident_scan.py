@@ -435,3 +435,60 @@ def test_resident_budget_is_shared_across_cache_entries():
     # with the first entry evicted the same split fits again
     model._resident_cache.clear()
     assert model._get_resident(dev, False) is not None
+
+
+def test_resident_eviction_frees_budget_before_new_build():
+    """The LRU cap evicts BEFORE the shared-budget check, so a 5th
+    split can use the HBM the eviction is about to free instead of
+    spuriously falling back to streaming."""
+    splits = [
+        SyntheticDatasplit(
+            num_videos=10, n_classes=3, max_len=64, span_k=8, seed=i
+        )
+        for i in range(5)
+    ]
+    args = make_args(sm_max_span_length=8, epochs=1, batch_size=5)
+    model = SemiMarkovModel.from_args(args, splits[0])
+    first = model._get_resident(splits[0], False)
+    assert first is not None
+    each_mb = first.nbytes / float(1 << 20)
+    # budget fits exactly 4 corpora (equal-size splits)
+    model.args.sm_device_resident_mb = each_mb * 4.2
+    for s in splits[1:4]:
+        assert model._get_resident(s, False) is not None
+    assert len(model._resident_cache) == 4
+    # 5th: without evict-first, pinned=4x and the build would fail
+    assert model._get_resident(splits[4], False) is not None
+    assert len(model._resident_cache) == 4
+    assert (id(splits[0]), False) not in model._resident_cache
+
+
+def test_resident_pin_survives_cache_pressure():
+    """A pinned entry (fit's training corpus) is never evicted — and
+    keeps counting toward the shared budget — while unpinned entries
+    cycle."""
+    splits = [
+        SyntheticDatasplit(
+            num_videos=10, n_classes=3, max_len=64, span_k=8, seed=i
+        )
+        for i in range(6)
+    ]
+    args = make_args(sm_max_span_length=8, epochs=1, batch_size=5)
+    model = SemiMarkovModel.from_args(args, splits[0])
+    pinned = model._get_resident(splits[0], False, pin=True)
+    assert pinned is not None
+    for s in splits[1:]:
+        model._get_resident(s, False)
+    key = (id(splits[0]), False)
+    assert key in model._resident_cache  # survived 5 later entries
+    model._unpin_resident(splits[0], False)
+    for s in splits[1:]:
+        k = (id(s), False)
+        if k in model._resident_cache:  # survivors of the LRU churn
+            model._resident_cache.move_to_end(k)
+    model._get_resident(
+        SyntheticDatasplit(num_videos=10, n_classes=3, max_len=64,
+                           span_k=8, seed=99),
+        False,
+    )
+    assert key not in model._resident_cache  # unpinned -> evictable
