@@ -102,6 +102,60 @@ def test_pickle_roundtrip(toy_data):
     assert abs(acc1 - acc2) < 1e-9
 
 
+def test_pickle_does_not_mutate_live_module(toy_data):
+    """__getstate__ converts params to numpy FOR THE PICKLE ONLY: a
+    driver that saves and keeps decoding with the same model must not
+    have its device-resident param leaves swapped for host numpy (that
+    would re-upload every leaf per dispatch and drop dp shardings)."""
+    import pickle
+
+    import jax
+
+    train, _ = toy_data
+    args = make_args(sm_max_span_length=20)
+    model = SemiMarkovModel.from_args(args, train)
+    model.fit(train, use_labels=True)
+    leaves_before = jax.tree_util.tree_leaves(model.module.params)
+    ids_before = [id(leaf) for leaf in leaves_before]
+    types_before = [type(leaf) for leaf in leaves_before]
+    pickle.dumps(model)
+    leaves_after = jax.tree_util.tree_leaves(model.module.params)
+    assert [id(leaf) for leaf in leaves_after] == ids_before
+    assert [type(leaf) for leaf in leaves_after] == types_before
+
+
+def test_refit_invalidates_stale_optimizer_programs(toy_data):
+    """Cached jitted programs close over the optimizer; a second fit
+    after mutating clip/plateau hyperparameters must rebuild them (and
+    an unchanged second fit must NOT, or every fit would re-pay the
+    compile)."""
+    train, _ = toy_data
+    args = make_args(
+        sm_max_span_length=20,
+        sm_supervised_method="gradient-based",
+        epochs=1,
+        lr=5e-2,
+        batch_size=10,
+    )
+    model = SemiMarkovModel.from_args(args, train)
+    model.fit(train, use_labels=True)
+    cached = dict(model._jit_cache)
+    assert cached  # fit populated the program cache
+
+    model.fit(train, use_labels=True)
+    reused = set(cached) & set(model._jit_cache)
+    assert reused
+    for key in reused:
+        assert model._jit_cache[key] is cached[key], key
+
+    model.args.max_grad_norm = 0.5
+    model.fit(train, use_labels=True)
+    rebuilt = set(cached) & set(model._jit_cache)
+    assert rebuilt
+    for key in rebuilt:
+        assert model._jit_cache[key] is not cached[key], key
+
+
 def test_class_shape_bucket_parity():
     """Padding the valid-class set with -1 sentinels (shape bucketing,
     --sm_class_shape_bucket) must not change predictions or training
