@@ -206,12 +206,6 @@ class Video:
 # ----- sample assembly (Datasplit.__getitem__ pipeline) -----------------
 
 
-def _subsample_every(arr, stride):
-    """Every stride-th frame, length floor(T/stride) (reference
-    corpus.py:335-340: arange(T // s) * s, NOT arange(0, T, s))."""
-    return arr[np.arange(arr.shape[0] // stride) * stride]
-
-
 def _task_index_list(corpus, task_name, remove_background):
     indices = corpus.indices_by_task(task_name)
     if remove_background:
@@ -333,15 +327,20 @@ class Datasplit:
             # ONE index set derived from the feature count subsamples
             # features, labels, and constraints (reference
             # corpus.py:335-341 — arange(T // s) * s off
-            # features.shape[0]) so the streams stay frame-aligned
-            features = _subsample_every(features, self.subsample)
-            gt_sampled = (
-                _subsample_every(gt_single, self.subsample)
-                if gt_single is not None
-                else None
+            # features.shape[0]) so the streams stay frame-aligned even
+            # when their pre-subsample lengths differ (PCA exports with
+            # features_contain_background=False leave gt at the
+            # label-derived length while features keep the export
+            # count; subsampling gt by ITS OWN length would then yield
+            # a different frame count and crash collate)
+            idx = (
+                np.arange(features.shape[0] // self.subsample)
+                * self.subsample
             )
+            features = features[idx]
+            gt_sampled = gt_single[idx] if gt_single is not None else None
             if constraints is not None:
-                constraints = _subsample_every(constraints, self.subsample)
+                constraints = constraints[idx]
         else:
             gt_sampled = gt_single
 

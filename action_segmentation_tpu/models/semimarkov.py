@@ -703,6 +703,26 @@ class SemiMarkovModel(Model):
     # measured dominator of the realistic-epoch wall clock once the
     # per-batch loop was fully asynchronous (docs/DESIGN.md §9).
 
+    def _resident_key(self, datasplit, use_narration):
+        """Cache key: datasplit identity + every arg/module attribute
+        the built tensors bake in — narration penalty scaling, class
+        shape bucketing, the allowed-ends mask content. A second fit
+        after mutating any of these must rebuild the tensors, not
+        silently reuse constraints scaled by the OLD weight (the
+        streaming fallback recomputes per batch and would diverge)."""
+        ends = self.module.allowed_ends
+        return (
+            id(datasplit),
+            bool(use_narration),
+            (
+                float(getattr(self.args, "sm_constrain_narration_weight", 1.0))
+                if use_narration
+                else None
+            ),
+            int(getattr(self.args, "sm_class_shape_bucket", 1) or 1),
+            None if ends is None else tuple(sorted(ends)),
+        )
+
     def _get_resident(self, datasplit, use_narration, pin=False, mesh=None):
         """Resident tensors for `datasplit` (cached; None when disabled
         by --sm_device_resident_mb=0, over budget, or heterogeneous
@@ -737,7 +757,7 @@ class SemiMarkovModel(Model):
 
             self._resident_cache = OrderedDict()
             self._resident_pins = set()
-        key = (id(datasplit), bool(use_narration))
+        key = self._resident_key(datasplit, use_narration)
         if key in self._resident_cache:
             self._resident_cache.move_to_end(key)  # LRU, not FIFO: a
             # fit's per-epoch eval touches train/train_sub/dev splits
@@ -761,11 +781,20 @@ class SemiMarkovModel(Model):
             remaining_mb = budget - pinned / float(1 << 20)
             if not hasattr(self, "_resident_failed"):
                 self._resident_failed = {}
-            failed_at = self._resident_failed.get(key)
-            if failed_at is not None and remaining_mb <= failed_at:
-                # already failed at this (or a larger) remaining budget;
-                # skip re-paying the corpus read until entries free up
-                return None
+            failed = self._resident_failed.get(key)
+            if failed is not None:
+                ref, failed_at = failed
+                if ref() is not datasplit:
+                    # unlike cache entries (which retain their datasplit)
+                    # the watermark holds only a weakref, so a recycled
+                    # id() can collide — a dead or different referent
+                    # means the entry is about someone else's split
+                    self._resident_failed.pop(key, None)
+                elif remaining_mb <= failed_at:
+                    # already failed at this (or a larger) remaining
+                    # budget; skip re-paying the corpus read until
+                    # entries free up
+                    return None
             reason = {}
             built = build_resident_corpus(
                 self, datasplit, use_narration, remaining_mb,
@@ -778,7 +807,11 @@ class SemiMarkovModel(Model):
             ):
                 # uncached (may succeed once other entries cycle out);
                 # the watermark bounds retries to budget improvements
-                self._resident_failed[key] = remaining_mb
+                import weakref
+
+                self._resident_failed[key] = (
+                    weakref.ref(datasplit), remaining_mb,
+                )
                 return None
             self._resident_failed.pop(key, None)
             self._resident_cache[key] = (datasplit, built)
@@ -788,7 +821,9 @@ class SemiMarkovModel(Model):
 
     def _unpin_resident(self, datasplit, use_narration):
         if hasattr(self, "_resident_pins"):
-            self._resident_pins.discard((id(datasplit), bool(use_narration)))
+            self._resident_pins.discard(
+                self._resident_key(datasplit, use_narration)
+            )
 
     def _build_epoch_scan(self, tx, use_labels, with_cons, with_end):
         """One jitted program per plan-group width: scans the group's

@@ -109,3 +109,32 @@ def test_mixed_mismatch_batch_collates():
     np.testing.assert_array_equal(
         batch["lengths"], [100 // 3, 90 // 3]
     )
+
+
+def test_gt_subsample_uses_feature_indices_no_background_export():
+    """With features exported without background frames
+    (features_contain_background=False) the label stream defines the
+    frame plan and features are NOT cut, so gt can overhang the export
+    count (within the 50-frame tolerance). Subsampling must index gt by
+    the FEATURE-derived index set (reference corpus.py:335-341), not by
+    gt's own length, or the two streams collate at different lengths."""
+    rng = np.random.RandomState(3)
+    n_feat, n_gt = 96, 120
+    gt = [[1]] * n_gt
+    v = _ArrayVideo(
+        rng.randn(n_feat, 4).astype(np.float32),
+        gt=gt,
+        gt_with_background=[g[0] for g in gt],
+        name="nobkg",
+        features_contain_background=False,
+    )
+    split = _OneTaskSplit([v], subsample=5)
+    s = split[("t", "nobkg")]
+    idx = np.arange(n_feat // 5) * 5
+    assert s["features"].shape[0] == len(idx)
+    assert s["gt_single"].shape[0] == len(idx)
+    np.testing.assert_array_equal(
+        s["gt_single"], np.asarray([g[0] for g in gt], np.int64)[idx]
+    )
+    batch = collate([s])
+    assert batch["gt_single"].shape[1] == batch["features"].shape[1]

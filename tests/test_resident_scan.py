@@ -460,7 +460,7 @@ def test_resident_eviction_frees_budget_before_new_build():
     # 5th: without evict-first, pinned=4x and the build would fail
     assert model._get_resident(splits[4], False) is not None
     assert len(model._resident_cache) == 4
-    assert (id(splits[0]), False) not in model._resident_cache
+    assert model._resident_key(splits[0], False) not in model._resident_cache
 
 
 def test_resident_pin_survives_cache_pressure():
@@ -479,7 +479,7 @@ def test_resident_pin_survives_cache_pressure():
     assert pinned is not None
     for s in splits[1:]:
         model._get_resident(s, False)
-    key = (id(splits[0]), False)
+    key = model._resident_key(splits[0], False)
     assert key in model._resident_cache  # survived 5 later entries
     model._unpin_resident(splits[0], False)
     for s in splits[1:]:
@@ -492,3 +492,55 @@ def test_resident_pin_survives_cache_pressure():
         False,
     )
     assert key not in model._resident_cache  # unpinned -> evictable
+
+
+def test_resident_key_reflects_baked_args():
+    """The resident tensors bake in the narration penalty scaling and
+    class-width bucketing; mutating those args between fits must miss
+    the cache (reusing W1-scaled constraints for a W2 fit would train
+    with the old penalty while the streaming fallback uses W2)."""
+    split = SyntheticDatasplit(
+        num_videos=10, n_classes=3, max_len=64, span_k=8, seed=0
+    )
+    args = make_args(sm_max_span_length=8, epochs=1, batch_size=5)
+    model = SemiMarkovModel.from_args(args, split)
+    r1 = model._get_resident(split, False)
+    assert r1 is not None
+    k1 = model._resident_key(split, False)
+    # the narration weight only keys narration-scaled builds
+    model.args.sm_constrain_narration_weight = 2.5
+    assert model._resident_key(split, False) == k1
+    assert model._get_resident(split, False) is r1
+    ka = model._resident_key(split, True)
+    model.args.sm_constrain_narration_weight = 5.0
+    assert model._resident_key(split, True) != ka
+    # class bucketing changes the padded class width c_max
+    model.args.sm_class_shape_bucket = 7
+    k2 = model._resident_key(split, False)
+    assert k2 != k1
+    r2 = model._get_resident(split, False)
+    assert r2 is not None and r2 is not r1
+
+
+def test_resident_failure_watermark_validates_referent():
+    """The budget-failure watermark holds only a weakref to its
+    datasplit; an entry whose keyed id() was recycled by a DIFFERENT
+    split must be purged, not silently suppress that split's build
+    (which would lock it to per-batch streaming forever)."""
+    import weakref
+
+    split_a = SyntheticDatasplit(
+        num_videos=10, n_classes=3, max_len=64, span_k=8, seed=0
+    )
+    split_b = SyntheticDatasplit(
+        num_videos=10, n_classes=3, max_len=64, span_k=8, seed=1
+    )
+    args = make_args(sm_max_span_length=8, epochs=1, batch_size=5)
+    model = SemiMarkovModel.from_args(args, split_a)
+    key_b = model._resident_key(split_b, False)
+    # simulate id() recycling: a watermark keyed like split_b but whose
+    # referent is (a dead or different) split_a, set so high that a
+    # genuine match would always suppress the build
+    model._resident_failed = {key_b: (weakref.ref(split_a), 1e9)}
+    assert model._get_resident(split_b, False) is not None
+    assert key_b not in model._resident_failed
