@@ -291,10 +291,11 @@ class SemiMarkovModel(Model):
             type=int,
             default=1024,
             help="HBM budget (MB) for keeping a datasplit's tensors "
-            "device-resident: epochs/decodes then run as per-bucket "
-            "scan programs with on-device batch gathers instead of "
-            "per-batch host transfers (data/resident.py). Corpora over "
-            "budget, --data_parallel, and --batch_accumulation stream "
+            "device-resident: epochs/decodes then run as scan "
+            "programs with on-device batch gathers instead of "
+            "per-batch host transfers (data/resident.py; under "
+            "--data_parallel the scans are shard_map'd over the mesh). "
+            "Corpora over budget and --batch_accumulation stream "
             "per batch. 0 disables",
         )
         parser.add_argument("--sm_supervised_state_smoothing", type=float, default=1e-2)
