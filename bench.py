@@ -511,6 +511,7 @@ def _init_backend_with_watchdog(timeout_s):
     subsequent process); a silent infinite hang here would eat the
     whole bench window with no diagnostic, so the probe runs in a
     daemon thread and a timeout raises with the explanation instead."""
+    import sys
     import threading
 
     out = {}
@@ -522,7 +523,23 @@ def _init_backend_with_watchdog(timeout_s):
 
     th = threading.Thread(target=probe, daemon=True)
     th.start()
-    th.join(timeout_s)
+    # join in slices: if a wedged grant frees mid-wait (they time out
+    # remotely after ~1-2 h), the blocked jax.devices() returns and the
+    # bench proceeds — so within the budget, waiting IS the retry.
+    # Healthy init takes ~20-40 s and never sees a slice boundary.
+    waited = 0.0
+    while waited < timeout_s and "kind" not in out:
+        step = min(60.0, timeout_s - waited)
+        th.join(step)
+        waited += step
+        if "kind" not in out and waited % 300 < 60:
+            print(
+                "bench: TPU backend init still blocked after {:.0f}s "
+                "(axon claim wedge?) — waiting up to {:.0f}s".format(
+                    waited, timeout_s
+                ),
+                file=sys.stderr,
+            )
     if "kind" not in out:
         raise RuntimeError(
             "TPU backend init did not complete within {}s — the chip's "
@@ -537,7 +554,7 @@ def main():
 
     enable_compilation_cache()
     device_kind = _init_backend_with_watchdog(
-        float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", "900"))
+        float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", "3600"))
     )
     import jax
     tpu_fps = bench_tpu_decode()
