@@ -1091,11 +1091,8 @@ class SemiMarkovModel(Model):
         epoch_scan_for = None
         scan_row_pad = 1
         if fused_step is not None or (use_dp and not dp_accumulate):
-            # pin: the epoch loop holds these tensors for the whole fit,
-            # so an LRU eviction would let new builds count this
-            # still-live HBM as free (unpinned in fit's finally)
             resident = self._get_resident(
-                train_data, use_narration, pin=True,
+                train_data, use_narration,
                 mesh=mesh if use_dp else None,
             )
             if resident is not None:
@@ -1324,6 +1321,15 @@ class SemiMarkovModel(Model):
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
+        if resident is not None:
+            # pin: the epoch loop holds these tensors for the whole fit,
+            # so an LRU eviction would let new builds count this
+            # still-live HBM as free. Pinned HERE (not at build) so the
+            # scan compiles / resume restore above cannot raise between
+            # pin and the finally's unpin and leak an un-evictable entry
+            self._resident_pins.add(
+                self._resident_key(train_data, use_narration)
+            )
         prefetch_pool = ThreadPoolExecutor(max_workers=2)
         try:
           for epoch in range(start_epoch, args.epochs):
