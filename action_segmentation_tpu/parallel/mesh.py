@@ -32,7 +32,6 @@ from action_segmentation_tpu.models.base import (
     apply_lr,
     global_norm,
 )
-from action_segmentation_tpu.utils.logger import logger
 from action_segmentation_tpu.ops.hsmm import (
     hsmm_gold_score,
     hsmm_partition,
