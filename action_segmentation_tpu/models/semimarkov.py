@@ -744,10 +744,12 @@ class SemiMarkovModel(Model):
         failures — mixed narration coverage, empty split — are cached
         to avoid re-paying the corpus read every epoch).
 
-        `pin=True` marks the key un-evictable until `_unpin_resident`
-        (fit pins its training corpus: the fit loop holds the tensors
-        for the whole epoch loop, so evicting the entry would let new
-        builds count that very-much-still-pinned HBM as free).
+        `pin=True` marks the key un-evictable until `_unpin_resident`.
+        fit pins its training corpus directly at epoch-loop entry (the
+        loop holds the tensors for the whole fit, so evicting the entry
+        would let new builds count that very-much-still-live HBM as
+        free; pinning at loop entry rather than here keeps an exception
+        during scan compiles from leaking the pin).
         `mesh` routes the one-time upload straight to a replicated
         mesh placement (dp paths) instead of device 0 + re-place."""
         budget = getattr(self.args, "sm_device_resident_mb", 0) or 0
