@@ -502,10 +502,10 @@ def build_resident_corpus(
     if mesh is not None:
         from action_segmentation_tpu.parallel.mesh import replicated
 
-        sharding = replicated(mesh)
-        device_args = tuple(jax.device_put(a, sharding) for a in dev)
+        device_args = jax.device_put(tuple(dev), replicated(mesh))
     else:
-        device_args = jax.device_put(tuple(dev))  # ONE transfer
+        device_args = jax.device_put(tuple(dev))
+    # either way ONE batched transfer (device_put takes a pytree)
 
     out = ResidentCorpus(
         device_args=device_args,

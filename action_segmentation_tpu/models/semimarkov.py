@@ -724,7 +724,7 @@ class SemiMarkovModel(Model):
             None if ends is None else tuple(sorted(ends)),
         )
 
-    def _get_resident(self, datasplit, use_narration, pin=False, mesh=None):
+    def _get_resident(self, datasplit, use_narration, mesh=None):
         """Resident tensors for `datasplit` (cached; None when disabled
         by --sm_device_resident_mb=0, over budget, or heterogeneous
         constraints). Entries store (datasplit, resident) so the
@@ -744,12 +744,13 @@ class SemiMarkovModel(Model):
         failures — mixed narration coverage, empty split — are cached
         to avoid re-paying the corpus read every epoch).
 
-        `pin=True` marks the key un-evictable until `_unpin_resident`.
-        fit pins its training corpus directly at epoch-loop entry (the
-        loop holds the tensors for the whole fit, so evicting the entry
-        would let new builds count that very-much-still-live HBM as
-        free; pinning at loop entry rather than here keeps an exception
-        during scan compiles from leaking the pin).
+        `_pin_resident` marks a key un-evictable until
+        `_unpin_resident`. fit pins its training corpus at epoch-loop
+        entry (the loop holds the tensors for the whole fit, so
+        evicting the entry would let new builds count that
+        very-much-still-live HBM as free; pinning at loop entry rather
+        than at build keeps an exception during scan compiles from
+        leaking the pin).
         `mesh` routes the one-time upload straight to a replicated
         mesh placement (dp paths) instead of device 0 + re-place."""
         budget = getattr(self.args, "sm_device_resident_mb", 0) or 0
@@ -760,6 +761,7 @@ class SemiMarkovModel(Model):
 
             self._resident_cache = OrderedDict()
             self._resident_pins = set()
+            self._resident_failed = {}
         key = self._resident_key(datasplit, use_narration)
         if key in self._resident_cache:
             self._resident_cache.move_to_end(key)  # LRU, not FIFO: a
@@ -782,8 +784,6 @@ class SemiMarkovModel(Model):
                 if res is not None
             )
             remaining_mb = budget - pinned / float(1 << 20)
-            if not hasattr(self, "_resident_failed"):
-                self._resident_failed = {}
             failed = self._resident_failed.get(key)
             if failed is not None:
                 ref, failed_at = failed
@@ -818,9 +818,13 @@ class SemiMarkovModel(Model):
                 return None
             self._resident_failed.pop(key, None)
             self._resident_cache[key] = (datasplit, built)
-        if pin:
-            self._resident_pins.add(key)
         return self._resident_cache[key][1]
+
+    def _pin_resident(self, datasplit, use_narration):
+        if hasattr(self, "_resident_pins"):
+            self._resident_pins.add(
+                self._resident_key(datasplit, use_narration)
+            )
 
     def _unpin_resident(self, datasplit, use_narration):
         if hasattr(self, "_resident_pins"):
@@ -1329,9 +1333,7 @@ class SemiMarkovModel(Model):
             # still-live HBM as free. Pinned HERE (not at build) so the
             # scan compiles / resume restore above cannot raise between
             # pin and the finally's unpin and leak an un-evictable entry
-            self._resident_pins.add(
-                self._resident_key(train_data, use_narration)
-            )
+            self._pin_resident(train_data, use_narration)
         prefetch_pool = ThreadPoolExecutor(max_workers=2)
         try:
           for epoch in range(start_epoch, args.epochs):

@@ -475,7 +475,8 @@ def test_resident_pin_survives_cache_pressure():
     ]
     args = make_args(sm_max_span_length=8, epochs=1, batch_size=5)
     model = SemiMarkovModel.from_args(args, splits[0])
-    pinned = model._get_resident(splits[0], False, pin=True)
+    pinned = model._get_resident(splits[0], False)
+    model._pin_resident(splits[0], False)
     assert pinned is not None
     for s in splits[1:]:
         model._get_resident(s, False)
