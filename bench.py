@@ -553,9 +553,24 @@ def main():
     from action_segmentation_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    device_kind = _init_backend_with_watchdog(
-        float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", "3600"))
-    )
+    try:
+        device_kind = _init_backend_with_watchdog(
+            float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", "3600"))
+        )
+    except RuntimeError as exc:
+        # leave an explanatory artifact (a parseable last line) instead
+        # of a bare traceback, then still fail the run: an environment
+        # wedge is not a zero-throughput measurement
+        import sys
+
+        print(json.dumps({
+            "metric": "semimarkov_viterbi_decode_throughput",
+            "value": None,
+            "unit": "frames/sec/chip",
+            "vs_baseline": None,
+            "error": str(exc),
+        }))
+        sys.exit(2)
     import jax
     tpu_fps = bench_tpu_decode()
     train_fps = bench_tpu_train()
