@@ -59,11 +59,24 @@ class Segmenter:
         docs/DESIGN.md §7): device decode runs 2.5M frames/s at B=1 but
         15.6-16.3M from B=12 (36x the frames for 5.5x the time), so
         callers with many videos should keep batch_size >= 12.
+
+        Pipelined like Model.predict (the deferred-drain discipline from
+        CLAUDE.md's round-trip rule): every batch is DISPATCHED
+        asynchronously with its labels left on device — batch i+1's
+        host-side padding and transfer overlap batch i's execution — and
+        all labels come back in ONE stacked fetch at the end, plus a
+        tiny backpressure scalar every 16 batches to bound queued input
+        buffers. Round-4 measured the per-batch-fetch version at
+        19-29k frames/s end-to-end vs ~16M on device
+        (docs/serving_batch_scan_r4.json); the per-CALL round trip is
+        now the only constant left.
         """
-        out = []
         rng = jax.random.PRNGKey(0)
         order = np.argsort([f.shape[0] for f in feature_list])
         results = {}
+        C = len(self.valid_classes)
+        vc_dev = jnp.asarray(self.valid_classes)
+        in_flight = []  # (idxs, lengths, labels_dev) per dispatched batch
         for start in range(0, len(order), batch_size):
             idxs = order[start : start + batch_size]
             lengths = np.array([feature_list[i].shape[0] for i in idxs], np.int32)
@@ -72,7 +85,6 @@ class Segmenter:
             feats = np.zeros((len(idxs), Tpad, D), np.float32)
             for row, i in enumerate(idxs):
                 feats[row, : lengths[row]] = feature_list[i]
-            C = len(self.valid_classes)
             cons = np.zeros((len(idxs), Tpad, C), np.float32)
             end_allowed = np.broadcast_to(self._end_row, (len(idxs), C)).copy()
             rng, step_rng = jax.random.split(rng)
@@ -80,14 +92,30 @@ class Segmenter:
                 self.model.module.params,
                 jnp.asarray(feats),
                 jnp.asarray(lengths),
-                jnp.asarray(self.valid_classes),
+                vc_dev,
                 jnp.asarray(cons),
                 jnp.asarray(end_allowed),
                 step_rng,
             )
-            labels = np.asarray(labels)
-            for row, i in enumerate(idxs):
-                results[i] = labels[row, : lengths[row]]
+            in_flight.append((idxs, lengths, labels))
+            if len(in_flight) % 16 == 0:
+                np.asarray(in_flight[-16][2][0, 0])  # backpressure only
+
+        if in_flight:
+            t_max = max(lab.shape[1] for _, _, lab in in_flight)
+            stacked = jnp.concatenate(
+                [
+                    jnp.pad(lab, ((0, 0), (0, t_max - lab.shape[1])))
+                    for _, _, lab in in_flight
+                ],
+                axis=0,
+            )
+            all_labels = np.asarray(stacked)  # the single fetch
+            row = 0
+            for idxs, lengths, _ in in_flight:
+                for r, i in enumerate(idxs):
+                    results[i] = all_labels[row + r, : lengths[r]]
+                row += len(idxs)
         return [results[i] for i in range(len(feature_list))]
 
     def segment(self, features):

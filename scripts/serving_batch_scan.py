@@ -97,7 +97,14 @@ def main(argv=None):
         )
         device_fps = B * T / per_iter
 
-        # end-to-end serving wall: list of numpy arrays in, labels out
+        # end-to-end serving wall: list of numpy arrays in, labels out.
+        # Two call shapes: (a) ONE batch per call — the per-call
+        # dispatch->fetch round trip (~0.5 s on this tunnel, CLAUDE.md)
+        # dominates and caps e2e regardless of pipelining; (b) MANY
+        # batches per call (8*B videos at batch_size=B) — the round-5
+        # pipelined segment_many dispatches all batches asynchronously
+        # and fetches once, so the per-call constant amortizes over 8
+        # batches instead of being paid per batch.
         feature_list = [feats[i] for i in range(B)]
         seg.segment_many(feature_list, batch_size=max(B, 1))  # warm/compile
         e2e = []
@@ -108,16 +115,29 @@ def main(argv=None):
         assert len(out) == B and all(len(o) == T for o in out)
         e2e_fps = B * T / min(e2e)
 
+        n_multi = 8 * B
+        multi_list = [feats[i % B] for i in range(n_multi)]
+        seg.segment_many(multi_list, batch_size=max(B, 1))  # warm
+        e2e_m = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = seg.segment_many(multi_list, batch_size=max(B, 1))
+            e2e_m.append(time.perf_counter() - t0)
+        assert len(out) == n_multi and all(len(o) == T for o in out)
+        e2e_multi_fps = n_multi * T / min(e2e_m)
+
         rows.append({
             "B": B,
             "device_fps": round(device_fps, 1),
             "e2e_fps": round(e2e_fps, 1),
+            "e2e_multi_fps": round(e2e_multi_fps, 1),
+            "multi_batches_per_call": 8,
             "device_ms_per_batch": round(1e3 * per_iter, 3),
         })
         print(
             "B={:3d}  device {:12.0f} frames/s  ({:7.3f} ms/batch)   "
-            "e2e {:12.0f} frames/s".format(
-                B, device_fps, 1e3 * per_iter, e2e_fps
+            "e2e {:12.0f} frames/s   e2e x8 batches {:12.0f} frames/s".format(
+                B, device_fps, 1e3 * per_iter, e2e_fps, e2e_multi_fps
             )
         )
 

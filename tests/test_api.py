@@ -38,6 +38,35 @@ def test_segmenter_roundtrip(tmp_path):
     np.testing.assert_array_equal(single, preds[0])
 
 
+def test_segment_many_pipelined_matches_per_video():
+    """The pipelined segment_many (async dispatch, labels on device,
+    one stacked fetch — round-5 serving fix) returns exactly what
+    per-video calls return, across mixed length buckets, partial final
+    batches, and >16 in-flight batches (the backpressure point)."""
+    train = SyntheticDatasplit(num_videos=40, n_classes=3, max_len=40, span_k=5, seed=0)
+    args = make_args(sm_max_span_length=20, sm_supervised_method="closed-form")
+    model = SemiMarkovModel.from_args(args, train)
+    model.fit(train, use_labels=True)
+    seg = Segmenter(model)
+
+    rng = np.random.RandomState(3)
+    test = SyntheticDatasplit(num_videos=37, n_classes=3, max_len=40, span_k=5, seed=1)
+    feats = []
+    for name in sorted(test._samples):
+        f = test._samples[name]["features"]
+        # mixed lengths spanning several pad buckets
+        lo = min(8, f.shape[0])
+        feats.append(f[: rng.randint(lo, f.shape[0] + 1)])
+
+    # batch_size=2 over 37 videos -> 19 batches: crosses the 16-batch
+    # backpressure fetch and ends on a partial batch
+    preds = seg.segment_many(feats, batch_size=2)
+    assert len(preds) == len(feats)
+    for f, p in zip(feats, preds):
+        assert p.shape == (f.shape[0],)
+        np.testing.assert_array_equal(p, seg.segment(f))
+
+
 def test_segment_with_marginals():
     train = SyntheticDatasplit(num_videos=40, n_classes=3, max_len=40, span_k=5, seed=0)
     args = make_args(sm_max_span_length=20, sm_supervised_method="closed-form")
