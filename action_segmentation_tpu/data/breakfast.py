@@ -318,12 +318,17 @@ def pca_and_serialize_features(
 
 
 if __name__ == "__main__":
-    _mapping_file = "data/breakfast/mapping.txt"
-    _feature_root = "data/breakfast/reduced_fv_64"
-    _label_root = "data/breakfast/BreakfastII_15fps_qvga_sync"
+    # DATA_ROOT env overrides the reference's hardcoded ./data layout
+    # (reference breakfast.py:362-377); see crosstask.py __main__
+    _root = os.environ.get("DATA_ROOT", "data")
+    _mapping_file = os.path.join(_root, "breakfast/mapping.txt")
+    _feature_root = os.path.join(_root, "breakfast/reduced_fv_64")
+    _label_root = os.path.join(_root, "breakfast/BreakfastII_15fps_qvga_sync")
     _components = 64
     for _remove_background in [False, True]:
-        _output_feature_root = "data/breakfast/breakfast_processed/breakfast_pca-{}_{}_{}".format(
+        _output_feature_root = os.path.join(
+            _root, "breakfast/breakfast_processed/breakfast_pca-{}_{}_{}"
+        ).format(
             _components,
             "no-bkg" if _remove_background else "with-bkg",
             "by-task",

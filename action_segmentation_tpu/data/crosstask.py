@@ -670,14 +670,18 @@ def pca_and_serialize_features(
 
 
 if __name__ == "__main__":
-    _release_root = "data/crosstask/crosstask_release"
-    _raw_feature_root = "data/crosstask/crosstask_features"
-    _constraints_root = "data/crosstask/crosstask_constraints"
+    # DATA_ROOT env overrides the reference's hardcoded ./data layout
+    # (reference crosstask.py:652-693) so the readiness kit can point
+    # the whole pipeline at a mounted corpus root
+    _root = os.environ.get("DATA_ROOT", "data")
+    _release_root = os.path.join(_root, "crosstask/crosstask_release")
+    _raw_feature_root = os.path.join(_root, "crosstask/crosstask_features")
+    _constraints_root = os.path.join(_root, "crosstask/crosstask_constraints")
     _components = 200
     _task_sets = ["primary"]
     for _remove_background in [False]:
         _output_feature_root = (
-            "data/crosstask/crosstask_processed/crosstask_{}_pca-{}_{}_{}".format(
+            os.path.join(_root, "crosstask/crosstask_processed/crosstask_{}_pca-{}_{}_{}").format(
                 "+".join(_task_sets),
                 _components,
                 "no-bkg" if _remove_background else "with-bkg",

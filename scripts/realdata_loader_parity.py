@@ -132,11 +132,18 @@ def main(argv=None):
     p.add_argument("--pca_components", type=int, default=200)
     p.add_argument("--n_videos", type=int, default=3,
                    help="videos sampled per task per split")
-    p.add_argument("--splits", nargs="*", default=["train", "val"])
+    p.add_argument("--splits", nargs="*", default=None,
+                   help="default: train val (crosstask) / s1..s4 (breakfast)")
     p.add_argument("--task_specific_steps", action="store_true")
     p.add_argument("--annotate_bkg", action="store_true",
                    help="--annotate_background_with_previous (U7 config)")
     cli = p.parse_args(argv)
+    if cli.splits is None:
+        cli.splits = (
+            ["train", "val"]
+            if cli.dataset == "crosstask"
+            else ["s1", "s2", "s3", "s4"]
+        )
 
     ours, ref = _build_pair(cli)
     failures = []
@@ -206,9 +213,13 @@ def main(argv=None):
                         "shapes {} vs {}".format(fa.shape, fb.shape),
                     )
                     continue
-                ok = np.array_equal(
-                    np.asarray(a["gt_single"]), _to_np(b["gt_single"])
-                ) if "gt_single" in b else ("gt_single" not in a or len(a["gt_single"]) == 0)
+                # presence must agree BEFORE comparing (an asymmetric
+                # payload is itself the parity failure to report)
+                ok = ("gt_single" in a) == ("gt_single" in b)
+                if ok and "gt_single" in a:
+                    ok = np.array_equal(
+                        np.asarray(a["gt_single"]), _to_np(b["gt_single"])
+                    )
                 ok &= np.array_equal(
                     np.asarray(a["task_indices"]), _to_np(b["task_indices"])
                 )

@@ -26,7 +26,7 @@
 #   * stage 3/4: losses finite and decreasing; decode produces labels
 #     for every video; STAT_KEYS within tolerance of expectations once
 #     recorded, and of the paper's Table 2 on full-epoch runs.
-set -u
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 
 DATA_ROOT="${DATA_ROOT:-data}"
@@ -52,7 +52,7 @@ python scripts/realdata_loader_parity.py --dataset crosstask \
 PCA_DIR="$DATA_ROOT/crosstask/crosstask_processed/crosstask_primary_pca-200_with-bkg_by-task"
 if [ ! -d "$PCA_DIR" ]; then
     echo "== stage 2: PCA-200 preprocessing (reference README.md:43-49) =="
-    bash scripts/preprocess_crosstask_pca.sh || exit 1
+    DATA_ROOT="$DATA_ROOT" bash scripts/preprocess_crosstask_pca.sh || exit 1
 else
     echo "== stage 2: PCA output already present, skipping preprocess =="
 fi

@@ -17,8 +17,8 @@ the paper (arXiv 2005.03684) are in PARITY.md "Real-data readiness".
 
 import argparse
 import json
+import math
 import os
-import re
 import sys
 
 
@@ -59,6 +59,16 @@ def main(argv=None):
         if stats is None:
             print("realdata_stats_check: no stat lines in {}".format(path))
             return 1
+        nans = [k for k, v in stats.items() if math.isnan(v)]
+        if nans:
+            # non-finite stats are the failure this kit exists to catch;
+            # never record them as expectations or match them silently
+            print(
+                "realdata_stats_check: {} has non-finite stats: {}".format(
+                    name, nans
+                )
+            )
+            return 1
         got[name] = stats
         print("{}: {}".format(name, json.dumps(stats)))
 
@@ -88,7 +98,12 @@ def main(argv=None):
     for name, stats in expected.items():
         for key, want in stats.items():
             have = got.get(name, {}).get(key)
-            if have is None or abs(have - want) > cli.atol:
+            if (
+                have is None
+                or math.isnan(have)
+                or math.isnan(want)
+                or abs(have - want) > cli.atol
+            ):
                 bad.append((name, key, want, have))
     if bad:
         for name, key, want, have in bad:

@@ -76,6 +76,23 @@ def test_extract_last_stats_takes_final_pair(tmp_path):
     assert got["mof"] == 0.61  # the LAST pair, i.e. the final test() dump
 
 
+def test_stats_check_rejects_nan_stats(tmp_path):
+    """A run whose losses blew up prints 'nan' stat values; the check
+    must fail loudly — never record NaN expectations (bootstrap) nor
+    match them (abs(nan-x) > atol is False, the silent-green trap)."""
+    s6 = tmp_path / "s6.txt"
+    _write_log(str(s6), dict(STATS, mof=float("nan")))
+    expected = tmp_path / "expected.json"
+    argv = ["--s6_log", str(s6), "--expected", str(expected)]
+    assert stats_main(argv) == 1  # bootstrap mode refuses
+    assert not expected.exists()
+
+    _write_log(str(s6), STATS)
+    assert stats_main(argv) == 0  # records clean expectations
+    _write_log(str(s6), dict(STATS, mof=float("nan")))
+    assert stats_main(argv) == 1  # check mode refuses too
+
+
 def test_stats_check_bootstrap_then_match_then_regress(tmp_path):
     s6 = tmp_path / "s6.txt"
     u7 = tmp_path / "u7.txt"

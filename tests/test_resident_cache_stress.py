@@ -68,7 +68,12 @@ def _check_invariants(model, budget_mb, during_fit_key=None):
     for key, (ds, _r) in cache.items():
         assert key[0] == id(ds), "cache key detached from its datasplit"
     for key, (ref, mark) in getattr(model, "_resident_failed", {}).items():
-        assert ref is not None and np.isfinite(mark)
+        # a live referent must be the datasplit the key was minted for;
+        # a dead one is fine (the weakref-validation path purges it on
+        # the next lookup — test_resident_failure_watermark_validates_referent)
+        obj = ref()
+        assert obj is None or id(obj) == key[0], key
+        assert np.isfinite(mark)
     if during_fit_key is None:
         assert not model._resident_pins, model._resident_pins
     elif during_fit_key in model._resident_pins:
