@@ -110,7 +110,11 @@ def _build_pair(cli):
     mapping = os.path.join(root, "breakfast", "mapping.txt")
     feature_root = os.path.join(root, "breakfast", "reduced_fv_64")
     label_root = os.path.join(root, "breakfast", "BreakfastII_15fps_qvga_sync")
-    if not (os.path.exists(mapping) and os.path.isdir(feature_root)):
+    if not (
+        os.path.exists(mapping)
+        and os.path.isdir(feature_root)
+        and os.path.isdir(label_root)
+    ):
         print(
             "realdata_loader_parity: breakfast files not mounted under "
             "{}/breakfast".format(root)
@@ -226,7 +230,39 @@ def main(argv=None):
                 ca, cb = a.get("constraints"), b.get("constraints")
                 ok &= (ca is None) == (cb is None)
                 if ca is not None and cb is not None:
-                    ok &= np.array_equal(np.asarray(ca), _to_np(cb))
+                    # our loader deliberately truncates/zero-pads narration
+                    # matrices to the feature count (corpus.py __getitem__,
+                    # the documented fix-forward for the <=50-frame
+                    # annotation/feature length mismatch the reference
+                    # crashes on); apply the same alignment to the
+                    # reference matrix before requiring bit-equality, and
+                    # flag a non-zero trimmed overhang separately (that
+                    # would mean the truncation discards real narration
+                    # signal, not just padding).
+                    ca, cb = np.asarray(ca), _to_np(cb)
+                    n_feat = fa.shape[0]
+                    if cb.shape[0] > n_feat:
+                        if np.any(cb[n_feat:]):
+                            check(
+                                "{}/{}/{}: constraint overhang rows are "
+                                "zero".format(split, task, name),
+                                False,
+                                "({} trimmed rows carry signal)".format(
+                                    cb.shape[0] - n_feat
+                                ),
+                            )
+                        cb = cb[:n_feat]
+                    elif cb.shape[0] < n_feat:
+                        cb = np.concatenate(
+                            [
+                                cb,
+                                np.zeros(
+                                    (n_feat - cb.shape[0], cb.shape[1]),
+                                    cb.dtype,
+                                ),
+                            ]
+                        )
+                    ok &= np.array_equal(ca, cb)
                 if not ok:
                     check(
                         "{}/{}/{}: payload".format(split, task, name), False

@@ -59,7 +59,7 @@ def main(argv=None):
         if stats is None:
             print("realdata_stats_check: no stat lines in {}".format(path))
             return 1
-        nans = [k for k, v in stats.items() if math.isnan(v)]
+        nans = [k for k, v in stats.items() if not math.isfinite(v)]
         if nans:
             # non-finite stats are the failure this kit exists to catch;
             # never record them as expectations or match them silently
@@ -100,11 +100,21 @@ def main(argv=None):
             have = got.get(name, {}).get(key)
             if (
                 have is None
-                or math.isnan(have)
-                or math.isnan(want)
+                or not math.isfinite(have)
+                or not math.isfinite(want)
                 or abs(have - want) > cli.atol
             ):
                 bad.append((name, key, want, have))
+    # a run/key present now but missing from the recorded expectations is
+    # also a failure: a bootstrap that only saw --s6_log must not let every
+    # later u7 leg pass unvalidated
+    for name, stats in got.items():
+        if name not in expected:
+            bad.append((name, "<run>", "<no expectation recorded>", "present"))
+            continue
+        for key in stats:
+            if key not in expected[name]:
+                bad.append((name, key, "<no expectation recorded>", stats[key]))
     if bad:
         for name, key, want, have in bad:
             print(

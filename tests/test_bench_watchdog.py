@@ -77,6 +77,31 @@ def test_budget_env_caps_backend_timeout(monkeypatch):
     assert bench._backend_timeout_s() == 30.0
 
 
+def test_entry_claim_delegates_to_bench_watchdog(monkeypatch):
+    """__graft_entry__._claim_backend_or_die must delegate to THIS
+    watchdog (one implementation, one test surface) and wrap its
+    failures with the recovery pointer — a second hand-rolled copy is
+    exactly what drifted in round 4."""
+    import __graft_entry__ as ge
+
+    seen = {}
+
+    def fake(timeout_s, probe_fn=None, slice_s=60.0):
+        seen["timeout_s"] = timeout_s
+        return "FakeTPU"
+
+    monkeypatch.setattr(bench, "_init_backend_with_watchdog", fake)
+    assert ge._claim_backend_or_die(123.0) == "FakeTPU"
+    assert seen["timeout_s"] == 123.0
+
+    def boom(timeout_s, probe_fn=None, slice_s=60.0):
+        raise RuntimeError("TPU backend init did not complete within 5s")
+
+    monkeypatch.setattr(bench, "_init_backend_with_watchdog", boom)
+    with pytest.raises(RuntimeError, match="tpu_claim_wait"):
+        ge._claim_backend_or_die(5.0)
+
+
 def test_heartbeat_line_is_parseable_and_cites_last_run(capsys):
     bench._print_heartbeat(1234.0)
     line = capsys.readouterr().out.strip()

@@ -93,6 +93,51 @@ def test_stats_check_rejects_nan_stats(tmp_path):
     assert stats_main(argv) == 1  # check mode refuses too
 
 
+def test_stats_check_rejects_inf_stats(tmp_path):
+    """'inf' round-trips through '{:.4f}'.format and float() just like
+    a finite value, and abs(inf-inf)=nan > atol is False — so an inf
+    stat would bootstrap AND silently match forever. The guard must be
+    isfinite, not isnan."""
+    s6 = tmp_path / "s6.txt"
+    _write_log(str(s6), dict(STATS, mof=float("inf")))
+    expected = tmp_path / "expected.json"
+    argv = ["--s6_log", str(s6), "--expected", str(expected)]
+    assert stats_main(argv) == 1  # bootstrap refuses to record inf
+    assert not expected.exists()
+
+    _write_log(str(s6), STATS)
+    assert stats_main(argv) == 0
+    _write_log(str(s6), dict(STATS, mof=float("inf")))
+    assert stats_main(argv) == 1  # check mode refuses too
+
+
+def test_stats_check_fails_on_unvalidated_run_or_key(tmp_path):
+    """A bootstrap that only saw --s6_log must not let later u7 legs
+    pass unvalidated: any run/key present now but absent from the
+    recorded expectations is a failure, not a silent skip."""
+    s6 = tmp_path / "s6.txt"
+    u7 = tmp_path / "u7.txt"
+    _write_log(str(s6), STATS)
+    _write_log(str(u7), dict(STATS, mof=0.31))
+    expected = tmp_path / "expected.json"
+
+    # bootstrap with s6 only
+    assert stats_main(["--s6_log", str(s6), "--expected", str(expected)]) == 0
+    # a later full run must FAIL: u7 has no recorded expectation
+    assert (
+        stats_main(
+            ["--s6_log", str(s6), "--u7_log", str(u7),
+             "--expected", str(expected)]
+        )
+        == 1
+    )
+    # an extra key unknown to the expectations must also fail
+    rec = json.load(open(expected))
+    del rec["stats"]["s6"]["f1"]
+    json.dump(rec, open(expected, "w"))
+    assert stats_main(["--s6_log", str(s6), "--expected", str(expected)]) == 1
+
+
 def test_stats_check_bootstrap_then_match_then_regress(tmp_path):
     s6 = tmp_path / "s6.txt"
     u7 = tmp_path / "u7.txt"
