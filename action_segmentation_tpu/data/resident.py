@@ -458,6 +458,7 @@ def build_resident_corpus(
     row_of = {}
     task_vc = {}
     task_inv = {}
+    task_pad_row = {}
     for task, vc in per_task_vc.items():
         vcp = np.full(c_max, -1, np.int32)
         vcp[: len(vc)] = vc
@@ -483,11 +484,17 @@ def build_resident_corpus(
             # streaming parity: collate zero-pads constraints past each
             # video's length BEFORE expansion, and 1-0=1 puts a penalty
             # at every step column on padded frames (masked out of the
-            # DP by the end fold, but kept bit-identical here)
-            pad_row = model._expand_constraints(
-                datasplit, task, vc,
-                np.zeros((1, 1, sample["constraints"].shape[1]), np.float32),
-            )[0, 0]
+            # DP by the end fold, but kept bit-identical here). The pad
+            # row depends only on the task; memoize across its videos.
+            pad_row = task_pad_row.get(task)
+            if pad_row is None:
+                pad_row = model._expand_constraints(
+                    datasplit, task, vc,
+                    np.zeros(
+                        (1, 1, sample["constraints"].shape[1]), np.float32
+                    ),
+                )[0, 0]
+                task_pad_row[task] = pad_row
             cons[i, L:, : len(vc)] = (
                 pad_row * args.sm_constrain_narration_weight
             )

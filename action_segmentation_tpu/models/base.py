@@ -169,6 +169,19 @@ def apply_lr(updates, lr):
     return jax.tree_util.tree_map(lambda u: u * lr, updates)
 
 
+def mask_grads(grads, trainable):
+    """Zero the gradients of frozen leaves (module.trainable_mask).
+
+    EVERY optimizer-feeding step — single-device and mesh alike — must
+    apply this before tx.update: relying on frozen leaves having
+    structurally-zero grads (true today only for the stop_gradient'ed
+    gaussian_cov) would silently train a newly-frozen parameter on
+    whichever path forgot the mask."""
+    return jax.tree_util.tree_map(
+        lambda g, t: g if t else jnp.zeros_like(g), grads, trainable
+    )
+
+
 def global_norm(tree):
     return jnp.sqrt(
         sum(jnp.sum(x**2) for x in jax.tree_util.tree_leaves(tree))

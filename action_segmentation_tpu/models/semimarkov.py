@@ -36,6 +36,7 @@ from action_segmentation_tpu.models.base import (
     fold_stats as _fold_stats,
     global_norm,
     make_optimizer,
+    mask_grads,
 )
 from action_segmentation_tpu.ops.distributions import (
     gaussian_emission_log_probs,
@@ -565,6 +566,12 @@ class SemiMarkovModel(Model):
             # jit-shape reuse: padded rows get weight 0 and every mean is
             # weighted, so padding never changes the loss.
             partition_fn = hsmm_partition_fast if use_pallas else hsmm_partition
+            # padded rows carry length 0; clamp to a well-defined
+            # length-1 DP exactly like the mesh paths
+            # (parallel/mesh.py _local_loss_terms) so single-device and
+            # --data_parallel trajectories stay bit-comparable even for
+            # degenerate 0-frame rows (their terms are weight-0 anyway)
+            lengths = jnp.maximum(lengths, 1)
             denom = jnp.maximum(weights.sum(), 1.0)
 
             def wmean(x):
@@ -615,9 +622,7 @@ class SemiMarkovModel(Model):
 
         @jax.jit
         def update(params, opt_state, grads, lr):
-            grads = jax.tree_util.tree_map(
-                lambda g, t: g if t else jnp.zeros_like(g), grads, trainable
-            )
+            grads = mask_grads(grads, trainable)
             updates, opt_state = tx.update(grads, opt_state, params)
             updates = apply_lr(updates, lr)
             params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
@@ -651,9 +656,7 @@ class SemiMarkovModel(Model):
                 params, features, lengths, vc, inv_map, gt, cons, end_allowed,
                 weights, rng,
             )
-            grads = jax.tree_util.tree_map(
-                lambda g, t: g if t else jnp.zeros_like(g), grads, trainable
-            )
+            grads = mask_grads(grads, trainable)
             updates, opt_state = tx.update(grads, opt_state, params)
             updates = apply_lr(updates, lr)
             params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
@@ -674,6 +677,10 @@ class SemiMarkovModel(Model):
         use_pallas = pallas_supported(self.n_classes)
 
         def decode(params, features, lengths, vc, cons, end_allowed, rng):
+            # same length-1 clamp as the mesh decode
+            # (parallel/mesh.py _make_decode_local): padded rows stay
+            # well-defined and both paths see identical inputs
+            lengths = jnp.maximum(lengths, 1)
             pots, _, _ = module.compute_potentials(
                 params, features, lengths, vc, cons, end_allowed, rng, use_mean_z=True
             )
@@ -850,10 +857,7 @@ class SemiMarkovModel(Model):
             (loss, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params, f, l, vc, inv, g, c, e, w, rng)
-            grads = jax.tree_util.tree_map(
-                lambda gr, t: gr if t else jnp.zeros_like(gr),
-                grads, trainable,
-            )
+            grads = mask_grads(grads, trainable)
             return loss, aux, grads
 
         fn = build_epoch_scan_fn(step_terms, tx, with_cons, with_end)

@@ -150,13 +150,12 @@ def transition_log_probs(logits, disallowed_mask=None, allow_self_transitions=Tr
     a log-softmax over the `to` axis (axis -2), matching
     semimarkov_modules.py:298-322.
     """
-    if disallowed_mask is not None:
-        logits = jnp.where(disallowed_mask, BIG_NEG, logits)
     if not allow_self_transitions:
-        C = logits.shape[-1]
-        eye = jnp.eye(C, dtype=bool)
-        logits = jnp.where(eye, BIG_NEG, logits)
-    return jax.nn.log_softmax(logits, axis=-2)
+        eye = jnp.eye(logits.shape[-1], dtype=bool)
+        disallowed_mask = (
+            eye if disallowed_mask is None else disallowed_mask | eye
+        )
+    return masked_log_softmax(logits, disallowed_mask, axis=-2)
 
 
 def initial_log_probs(logits, disallowed_mask=None):

@@ -40,9 +40,9 @@ from action_segmentation_tpu.ops.hsmm import (
     _emission_cumsum,
 )
 from action_segmentation_tpu.ops.hsmm_pallas import (
-    LANES,
-    MAX_PACK,
     _band_grad_packed,
+    _lengths_i32,
+    _pack_for,
     _pack_lane_values,
     _packed_G1_g2,
     _round_up,
@@ -164,7 +164,7 @@ def _fb_fwd(trans, init, lens, emit, end_mask, lengths, interpret=False):
     # — the backward's cotangent combine then also stays in the packed
     # layout (no alphas unpack, no per-video reversal gathers).
     pots = HsmmPotentials(trans, init, lens, emit, end_mask)
-    lengths_i = jnp.asarray(lengths, jnp.int32)
+    lengths_i = _lengths_i32(lengths)
     B, T, C = emit.shape
     if not _use_packed_combine(T, lens.shape[1]):
         alphas_f, alphas_b, logZ = hsmm_alphas_fb_pallas(
@@ -206,7 +206,7 @@ def _fb_bwd_packed(trans, init, lens, emit, end_mask, lengths_i, planes,
     K = lens.shape[1]
     Km = K - 1
     alphas_fp, gammas_p, cum_inc, init_p, dur_p, len_lane = planes
-    pack = max(1, min(MAX_PACK, LANES // C, B))
+    pack = _pack_for(C, B)
     Bp0 = _round_up(B, pack)
     meta = dict(
         pack=pack, Bp0=Bp0, Gf=Bp0 // pack, Tp=alphas_fp.shape[1],

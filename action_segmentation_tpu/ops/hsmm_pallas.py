@@ -81,6 +81,21 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _pack_for(C, B):
+    """Videos packed per 128-lane group — the ONE copy of the formula:
+    the backward combine (ops/hsmm_grad.py) must recompute exactly the
+    pack the forward used to unpack its residual planes, so any tuning
+    happens here or lane unpacking silently misaligns."""
+    return max(1, min(MAX_PACK, LANES // C, B))
+
+
+def _lengths_i32(lengths):
+    """int32 lengths clamped to >= 1, the contract every entry point
+    shares with the jnp paths (ops/hsmm.py header): a 0 would otherwise
+    read the last padded row via negative indexing."""
+    return jnp.maximum(jnp.asarray(lengths, jnp.int32), 1)
+
+
 def pallas_supported(n_classes):
     """True when the fused kernels can run: a TPU backend and C <= 128."""
     if n_classes > LANES:
@@ -383,19 +398,13 @@ def _chunked(launch, packed, bytes_per_group, interpret):
     """Launch over group chunks bounded by the VMEM plane budget."""
     emit, init, dur, trans_bd, G, Tp, Km_pad = packed
     Gc = _chunk_bounds(G, bytes_per_group)
-    outs = []
-    for start in range(0, G, Gc):
-        end = min(start + Gc, G)
-        outs.append(
-            launch(
-                trans_bd[start:end],
-                init[start:end],
-                dur[start:end],
-                emit[start:end],
-                interpret,
-            )
-        )
-    return [jnp.concatenate(parts, axis=0) for parts in zip(*outs)]
+    return _launch_group_chunks(
+        lambda s, e: launch(
+            trans_bd[s:e], init[s:e], dur[s:e], emit[s:e], interpret
+        ),
+        G,
+        Gc,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -407,7 +416,7 @@ def hsmm_viterbi_pallas(pots: HsmmPotentials, lengths, interpret=False):
     """
     B, T, C = pots.emit.shape
     assert C <= LANES, "pack wrapper requires C <= 128"
-    pack = max(1, min(MAX_PACK, LANES // C, B))
+    pack = _pack_for(C, B)
     packed = _pack_potentials(pots, pack)
     G, Tp = packed[4], packed[5]
     # bp + alpha planes stream through VMEM time-chunked (like the
@@ -421,7 +430,7 @@ def hsmm_viterbi_pallas(pots: HsmmPotentials, lengths, interpret=False):
     group_of = jnp.arange(B) // pack
     offsets = ((jnp.arange(B) % pack) * C).astype(jnp.int32)
     # per-video finals from the alphas plane at t = length - 1
-    lengths_i = jnp.asarray(lengths, jnp.int32)
+    lengths_i = _lengths_i32(lengths)
     rows = alphas_p[group_of, jnp.maximum(lengths_i - 1, 0), :]  # (B, LANES)
     lanes = offsets[:, None] + jnp.arange(C)[None, :]
     fin = jnp.take_along_axis(rows, lanes, axis=1) + pots.end_mask  # (B, C)
@@ -451,14 +460,14 @@ def hsmm_viterbi_pallas(pots: HsmmPotentials, lengths, interpret=False):
         )
         return spans
 
-    spans = jax.vmap(traceback)(group_of, c0, jnp.asarray(lengths, jnp.int32), offsets)
+    spans = jax.vmap(traceback)(group_of, c0, lengths_i, offsets)
     return spans, scores
 
 
 def _run_forward(pots, lengths, interpret, semiring):
     B, T, C = pots.emit.shape
     assert C <= LANES, "pack wrapper requires C <= 128"
-    pack = max(1, min(MAX_PACK, LANES // C, B))
+    pack = _pack_for(C, B)
     packed = _pack_potentials(pots, pack)
     G = packed[4]
     Tp = packed[5]
@@ -476,7 +485,7 @@ def _run_forward(pots, lengths, interpret, semiring):
         .reshape(G * pack, Tp, C)[:B, :T]
     )
     # per-video finals/scores, gathered in jnp (kernel emits alphas only)
-    lengths_i = jnp.asarray(lengths, jnp.int32)
+    lengths_i = _lengths_i32(lengths)
     fin = jnp.take_along_axis(
         alphas, jnp.maximum(lengths_i - 1, 0)[:, None, None], axis=1
     )[:, 0, :] + pots.end_mask
@@ -524,7 +533,7 @@ def _stack_fwd_rev(pots: HsmmPotentials, lengths):
         emit=jnp.concatenate([pots.emit, emit_rev], axis=0),
         end_mask=jnp.concatenate([pots.end_mask, pots.init], axis=0),
     )
-    lengths_i = jnp.asarray(lengths, jnp.int32)
+    lengths_i = _lengths_i32(lengths)
     return cat, jnp.concatenate([lengths_i, lengths_i], axis=0)
 
 
@@ -826,20 +835,31 @@ def _unpack_plane(plane, B, T, C, pack):
     )
 
 
-def _pack_lane_values(values, meta, fill=0.0, dtype=jnp.float32):
-    """(B,) per-video scalars -> (Gf, 1, 128) per-lane table."""
-    Gf, pack, C = meta["Gf"], meta["pack"], meta["C"]
-    B = values.shape[0]
-    pad = jnp.full((meta["Bp0"] - B,), fill, dtype) if meta["Bp0"] > B else None
-    v = values.astype(dtype) if pad is None else jnp.concatenate(
-        [values.astype(dtype), pad], axis=0
-    )
+def _lane_table(values, pack, C, fill, dtype):
+    """(n*pack,) per-video values -> (n, 1, 128) per-lane table with
+    `fill` on dead lanes. The ONE copy of the slot/dead-lane geometry:
+    injection start steps, length masks, and scalar broadcasts must all
+    agree on it or the packed combines desynchronize."""
+    n = values.shape[0] // pack
     slot = jnp.minimum(jnp.arange(LANES) // C, pack - 1)
     lane_dead = jnp.arange(LANES) >= pack * C
     table = jnp.where(
-        lane_dead[None, :], jnp.asarray(fill, dtype), v.reshape(Gf, pack)[:, slot]
+        lane_dead[None, :],
+        jnp.asarray(fill, dtype),
+        values.astype(dtype).reshape(n, pack)[:, slot],
     )
     return table[:, None, :]
+
+
+def _pack_lane_values(values, meta, fill=0.0, dtype=jnp.float32):
+    """(B,) per-video scalars -> (Gf, 1, 128) per-lane table."""
+    B = values.shape[0]
+    if meta["Bp0"] > B:
+        values = jnp.concatenate(
+            [values.astype(dtype), jnp.full((meta["Bp0"] - B,), fill, dtype)],
+            axis=0,
+        )
+    return _lane_table(values, meta["pack"], meta["C"], fill, dtype)
 
 
 def _scan_packed_fb(pots: HsmmPotentials, lengths_i, semiring, interpret,
@@ -853,10 +873,12 @@ def _scan_packed_fb(pots: HsmmPotentials, lengths_i, semiring, interpret,
     into (G, Tp, 128) lane groups — whole groups per direction — and
     runs the gamma-emitting scan kernel once.
 
-    Returns (alphas_p or None, gammas_p, meta) with meta carrying the
-    packing geometry and lane tables the packed combines need."""
+    Returns (alphas_p or None, gammas_p, cum_inc, meta): the packed
+    boundary/gamma planes, the inclusive emission prefix sums on the
+    forward half, and meta carrying the packing geometry and lane
+    tables the packed combines need."""
     B, T, C = pots.emit.shape
-    pack = max(1, min(MAX_PACK, LANES // C, B))
+    pack = _pack_for(C, B)
     Bp0 = _round_up(B, pack)  # whole groups per direction
 
     def pad_b(x, fill=0.0):
@@ -888,35 +910,24 @@ def _scan_packed_fb(pots: HsmmPotentials, lengths_i, semiring, interpret,
     Gf = Bp0 // pack
 
     # lane tables: start step, per-lane length (0 on dead lanes)
-    slot = jnp.minimum(jnp.arange(LANES) // C, pack - 1)
-    lane_dead = jnp.arange(LANES) >= pack * C
-    start_lane = jnp.where(
-        lane_dead[None, :], -1, starts.reshape(G, pack)[:, slot]
-    )[:, None, :].astype(jnp.int32)
-    len_lane = jnp.where(
-        lane_dead[None, :], 0, len_f.reshape(Gf, pack)[:, slot]
-    )[:, None, :].astype(jnp.int32)
+    start_lane = _lane_table(starts, pack, C, -1, jnp.int32)
+    len_lane = _lane_table(len_f, pack, C, 0, jnp.int32)
 
     Tc = min(Tp, _TIME_CHUNK)
     n_out = 2 if with_alphas else 1
     bytes_per_group = Tc * LANES * 4 * (2 + 2 * n_out)
     Gc = _chunk_bounds(G, bytes_per_group)
     out_dtypes = (jnp.float32,) * n_out
-    parts = []
-    for s in range(0, G, Gc):
-        e = min(s + Gc, G)
-        parts.append(
-            _launch_scan(
-                functools.partial(_gamma_kernel, semiring, with_alphas),
-                out_dtypes,
-                trans_bd[s:e], init_p[s:e], dur_p[s:e], emit_p[s:e],
-                interpret, extra_inputs=(start_lane[s:e],),
-            )
-        )
-    outs = [
-        jnp.concatenate(planes, axis=0) if len(parts) > 1 else planes[0]
-        for planes in zip(*parts)
-    ]
+    outs = _launch_group_chunks(
+        lambda s, e: _launch_scan(
+            functools.partial(_gamma_kernel, semiring, with_alphas),
+            out_dtypes,
+            trans_bd[s:e], init_p[s:e], dur_p[s:e], emit_p[s:e],
+            interpret, extra_inputs=(start_lane[s:e],),
+        ),
+        G,
+        Gc,
+    )
     alphas_p = outs[0] if with_alphas else None
     gammas_p = outs[-1]
     # inclusive emission prefix sums on the packed forward plane (the
@@ -1018,7 +1029,7 @@ def hsmm_viterbi_labels_pallas(pots: HsmmPotentials, lengths, interpret=False):
     c) — the semiring-gradient decode.
     """
     B, T, C = pots.emit.shape
-    lengths_i = jnp.asarray(lengths, jnp.int32)
+    lengths_i = _lengths_i32(lengths)
     if _use_packed_combine(T, pots.lens.shape[1]):
         return _labels_packed(pots, lengths_i, interpret)
     alphas_f, alphas_b, scores = _run_forward_fb(pots, lengths, interpret, "max")

@@ -31,6 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from action_segmentation_tpu.models.base import (
     apply_lr,
     global_norm,
+    mask_grads,
 )
 from action_segmentation_tpu.ops.hsmm import (
     hsmm_gold_score,
@@ -105,7 +106,10 @@ def _local_loss_terms(module, use_labels, discriminative, partition_fn,
     drain log real nll/kl/log_det under --data_parallel."""
     # pad_batch_for_mesh fills dummy rows with length 0; clamp so the
     # weight-0 rows still run a well-defined length-1 DP (a 0-length
-    # forward pass going non-finite would NaN the batch via 0 * nan)
+    # forward pass going non-finite would NaN the batch via 0 * nan).
+    # The single-device loss_fn applies the SAME clamp
+    # (models/semimarkov.py _build_loss_fn) so dp == single holds even
+    # for degenerate 0-frame rows.
     lengths = jnp.maximum(lengths, 1)
     pots, log_det, kl = module.compute_potentials(
         params, features, lengths, vc, cons, end_allowed, rng,
@@ -234,6 +238,7 @@ def build_sharded_train_step(module, tx, mesh, use_labels):
     """
     assert mesh.shape.get("model", 1) == 1, "tp retired; see make_mesh"
     local_loss = _make_local_loss(module, use_labels)
+    trainable = module.trainable_mask
 
     def local_step(params, opt_state, features, lengths, vc, inv_map,
                    gt, cons, end_allowed, weights, lr, rng):
@@ -246,7 +251,7 @@ def build_sharded_train_step(module, tx, mesh, use_labels):
         # each shard's autodiff carries only its own local share of the
         # global mean (no psum inside the grad closure — see
         # _make_local_loss); the global gradient is their sum
-        grads = jax.lax.psum(grads, "data")
+        grads = mask_grads(jax.lax.psum(grads, "data"), trainable)
         loss, aux = _reduce_terms(terms, use_labels)
         gnorm = global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -290,6 +295,7 @@ def build_sharded_grad_step(module, mesh, use_labels):
     """
     assert mesh.shape.get("model", 1) == 1, "tp retired; see make_mesh"
     local_loss = _make_local_loss(module, use_labels)
+    trainable = module.trainable_mask
 
     def local_grads(params, features, lengths, vc, inv_map, gt, cons,
                     end_allowed, weights, rng):
@@ -297,7 +303,7 @@ def build_sharded_grad_step(module, mesh, use_labels):
             params, features, lengths, vc, inv_map, gt, cons,
             end_allowed, weights, rng,
         )
-        grads = jax.lax.psum(grads, "data")
+        grads = mask_grads(jax.lax.psum(grads, "data"), trainable)
         loss, aux = _reduce_terms(terms, use_labels)
         return loss, aux, grads
 
@@ -427,12 +433,13 @@ def build_sharded_epoch_scan(module, tx, mesh, use_labels, with_cons,
     """
     assert mesh.shape.get("model", 1) == 1, "tp retired; see make_mesh"
     local_loss = _make_local_loss(module, use_labels)
+    trainable = module.trainable_mask
 
     def step_terms(params, f, l, vc, inv, g, c, e, w, rng):
         (_, terms), grads = jax.value_and_grad(
             local_loss, has_aux=True
         )(params, f, l, vc, inv, g, c, e, w, rng)
-        grads = jax.lax.psum(grads, "data")
+        grads = mask_grads(jax.lax.psum(grads, "data"), trainable)
         loss, aux = _reduce_terms(terms, use_labels)
         return loss, aux, grads
 
@@ -516,17 +523,20 @@ def replicate_resident(mesh, resident):
 
 
 def shard_train_inputs(mesh, params, opt_state, batch_args):
-    """Place params (model-sharded tables, replicated rest) and batch
-    arrays (data-sharded on axis 0) onto the mesh."""
+    """Place params and optimizer state (replicated — tensor
+    parallelism was retired, see make_mesh) and batch arrays
+    (data-sharded on axis 0) onto the mesh. The batch arrays go in ONE
+    batched device_put (the round-trip rule: N separate transfers pay N
+    dispatch latencies through the TPU tunnel)."""
     p_shard = _params_shardings(mesh, params)
     params = jax.device_put(params, p_shard)
     opt_state = jax.device_put(opt_state, jax.tree_util.tree_map(
         lambda _: replicated(mesh), opt_state
     ))
-    placed = []
-    for arr in batch_args:
-        arr = jnp.asarray(arr)
-        placed.append(jax.device_put(arr, batch_sharding(mesh, arr.ndim)))
+    arrs = tuple(jnp.asarray(a) for a in batch_args)
+    placed = list(
+        jax.device_put(arrs, tuple(batch_sharding(mesh, a.ndim) for a in arrs))
+    )
     return params, opt_state, placed
 
 

@@ -266,3 +266,50 @@ def test_manual_unroll_branch(monkeypatch):
     for b in range(B):
         L = int(np.asarray(lengths)[b])
         assert (got_labels[b, :L] == want_labels[b, :L]).all()
+
+
+def test_zero_length_clamped_like_jnp():
+    """lengths entries of 0 are clamped to 1 by EVERY entry point (the
+    contract in ops/hsmm.py's header): the Pallas wrappers must return
+    the same values — and the fb partition the same gradients — as the
+    jnp paths, not a divergent all--1-spans / zero-grad pair."""
+    import jax
+
+    from action_segmentation_tpu.ops.hsmm_grad import hsmm_partition_fb
+
+    rng = np.random.RandomState(0)
+    B, T, C, K = 4, 12, 5, 4
+    pots, _ = random_pots(rng, B, T, C, K)
+    lengths0 = jnp.asarray(np.array([0, 5, 0, T], np.int32))
+    lengths1 = jnp.maximum(lengths0, 1)
+
+    want_spans, want_scores = hsmm_viterbi(pots, lengths0)
+    got_spans, got_scores = hsmm_viterbi_pallas(pots, lengths0, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got_scores), np.asarray(want_scores), rtol=1e-5, atol=1e-4
+    )
+    assert (np.asarray(got_spans) == np.asarray(want_spans)).all()
+
+    np.testing.assert_allclose(
+        np.asarray(hsmm_partition_pallas(pots, lengths0, interpret=True)),
+        np.asarray(hsmm_partition(pots, lengths0)),
+        rtol=1e-4, atol=1e-3,
+    )
+
+    def fb_sum(le):
+        def f(emit):
+            return jnp.sum(
+                hsmm_partition_fb(
+                    pots.trans, pots.init, pots.lens, emit, pots.end_mask,
+                    le, True,
+                )
+            )
+
+        return jax.value_and_grad(f)(pots.emit)
+
+    v0, g0 = fb_sum(lengths0)
+    v1, g1 = fb_sum(lengths1)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g0), np.asarray(g1), rtol=1e-4, atol=1e-5
+    )
