@@ -44,13 +44,18 @@ def _args_to_jsonable(args):
     }
 
 
-def save_orbax(params, args, step, directory, lr=None):
+def save_orbax(params, args, step, directory, lr=None, sched_state=None):
     """Write an orbax checkpoint of a pytree plus args metadata.
 
     `params` may be a bare parameter pytree or a full train state
     ({"params": ..., "opt_state": ...}); `lr` (the live learning rate,
     which the host-side plateau scheduler mutates) is stored in the
-    sidecar json so resume restarts from it."""
+    sidecar json so resume restarts from it. `sched_state` is the
+    plateau controller's POST-step state dict (lr/best/num_bad) — the
+    state that governs epoch step+1 — so a resumed run reproduces the
+    uninterrupted LR trajectory even when interrupted mid-plateau
+    (restoring only the rate would reset best/num_bad and skip a
+    pending cut)."""
     assert HAVE_ORBAX, "orbax not available"
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
@@ -62,6 +67,12 @@ def save_orbax(params, args, step, directory, lr=None):
     meta = {"step": step, "args": _args_to_jsonable(args)}
     if lr is not None:
         meta["lr"] = float(lr)
+    if sched_state:
+        meta["sched"] = {
+            "lr": float(sched_state["lr"]),
+            "best": float(sched_state["best"]),
+            "num_bad": int(sched_state["num_bad"]),
+        }
     with open(os.path.join(directory, f"step_{step}.args.json"), "w") as f:
         json.dump(meta, f, indent=2)
 

@@ -87,11 +87,26 @@ def collate(samples, bucket=True):
         if "gt_with_background" in samples[0]:
             out["gt_with_background"] = [s["gt_with_background"] for s in samples]
 
-    if "constraints" in samples[0] and samples[0]["constraints"] is not None:
-        Kc = samples[0]["constraints"].shape[1]
+    # constraint coverage can be mixed WITHIN a batch (the narration
+    # CSVs are per-video; data/crosstask.py constraints_by_task is a
+    # per-video defaultdict(None)), and the streaming loop is the
+    # designated fallback for exactly that case (data/resident.py
+    # refuses to build). The reference's padding_colate keys every
+    # field off the FIRST sample (model.py:42-61), which on mixed
+    # coverage either KeyErrors or silently drops the whole batch's
+    # constraints. Here a video without a matrix gets ONES over its
+    # real frames — "every step allowed", i.e. zero penalty after the
+    # model's 1-x inversion — while its batchmates keep their
+    # penalties. (Zeros would be wrong: 1-0=1 penalizes every step.)
+    have_cons = [s.get("constraints") is not None for s in samples]
+    if any(have_cons):
+        Kc = next(
+            s["constraints"].shape[1]
+            for s, h in zip(samples, have_cons) if h
+        )
         cons = np.zeros((B, Tpad, Kc), np.float32)
-        for i, s in enumerate(samples):
-            cons[i, : lengths[i]] = s["constraints"]
+        for i, (s, h) in enumerate(zip(samples, have_cons)):
+            cons[i, : lengths[i]] = s["constraints"] if h else 1.0
         out["constraints"] = cons
 
     return out

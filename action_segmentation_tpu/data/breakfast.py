@@ -251,6 +251,19 @@ class BreakfastGroundTruth(GroundTruth):
                         if end < start:
                             assert match.group(3) == self._corpus.BACKGROUND_LABELS[0]
                             continue
+                        if start > len(gt) + 1:
+                            # annotation gap: the reference appends
+                            # contiguously anyway (breakfast.py:232-236),
+                            # shifting every later label earlier. Keep
+                            # its behavior (Table-2 parity) but surface
+                            # the misalignment instead of silence.
+                            logger.warning(
+                                "{}: segment starts at {} but only {} "
+                                "frames annotated — labels after the gap "
+                                "shift earlier (reference parity)".format(
+                                    filename, start, len(gt)
+                                )
+                            )
                         assert start > len(gt) - 1
                         label_idx = self._corpus._index(match.group(3))
                         gt += [[label_idx]] * (end - start + 1)
@@ -281,6 +294,10 @@ def extract_feature_groups(corpus):
     grouped = {"reduced_64": {}}
     for idx in range(len(corpus)):
         instance = corpus._get_by_index(idx)
+        if instance is None:
+            # unloadable video (skipped with a warning by __getitem__);
+            # skip it here too rather than abort the export
+            continue
         grouped["reduced_64"][instance["video_name"]] = instance["features"][:, 0:64]
     return grouped
 

@@ -282,7 +282,10 @@ class Datasplit:
         try:
             features = video.features()
         except Exception as e:
-            logger.debug(
+            # skip-and-continue mirrors the reference (corpus.py:320-325),
+            # but at WARNING: a wrong --feature_root makes EVERY video
+            # "missing", and that must be visible, not logger.debug-only
+            logger.warning(
                 "exception with task and video {}: {}".format(
                     task_and_video_name, e
                 )
@@ -342,7 +345,15 @@ class Datasplit:
             if constraints is not None:
                 constraints = constraints[idx]
         else:
-            gt_sampled = gt_single
+            # same frame-plan alignment as the subsample path: gt built
+            # at the label-derived length can overhang the reconciled
+            # feature count (features_contain_background=False exports);
+            # cut to the feature count so collate's dense copy lines up
+            gt_sampled = (
+                gt_single[: features.shape[0]]
+                if gt_single is not None
+                else None
+            )
 
         if self.feature_downscale != 1.0:
             features = features / self.feature_downscale
@@ -370,7 +381,16 @@ class Datasplit:
 
     @property
     def feature_dim(self):
-        return self._get_by_index(0)["features"].shape[1]
+        # the first videos can be unloadable (skipped with a warning);
+        # probe until one loads instead of subscripting None
+        for i in range(len(self)):
+            sample = self._get_by_index(i)
+            if sample is not None:
+                return sample["features"].shape[1]
+        raise RuntimeError(
+            "feature_dim: no loadable videos in this datasplit — is the "
+            "feature root correct?"
+        )
 
     def _load_ground_truth_and_videos(self, remove_background):
         raise NotImplementedError("subclasses should implement")
@@ -436,6 +456,10 @@ class Datasplit:
             named_accuracies.append(("model", accuracy))
             accuracy_to_return = accuracy
         else:
+            assert compare_accuracy is not None, (
+                "accuracy_corpus needs a prediction_function or a "
+                "compare_to_folder — with neither there is nothing to score"
+            )
             accuracy_to_return = compare_accuracy
         if comparison is not None:
             named_accuracies.append(
@@ -743,7 +767,12 @@ class GroundTruth:
         def keep_nonbackground(task, video, gt):
             kept_ix = set(self.nonbackground_timesteps_by_task[task][video])
             kept = [val for ix, val in enumerate(gt) if ix in kept_ix]
-            assert not any(ix in kept for ix in background)
+            # per-frame leak check: gt entries are per-frame label
+            # LISTS, so the reference's `ix in gt` form (corpus.py:791)
+            # compares an int against lists and can never fire
+            assert background.isdisjoint(
+                {label for val in kept for label in val}
+            ), "background frames survived remove_background"
             return kept
 
         self.gt_by_task = nested_dict_map(self.gt_by_task, keep_nonbackground)

@@ -319,13 +319,22 @@ class CrosstaskDatasplit(Datasplit):
                 )
 
     def get_ordered_indices_no_background(self):
-        return {
-            task.index: [
-                self._corpus._index(self._corpus.get_label(task.index, step))
-                for step in task.steps
-            ]
-            for task in self._corpus._all_tasks
-        }
+        # memoized: callers hit this per batch (_expand_constraints in
+        # the train hot loop), per video (resident corpus build), and
+        # per task (get_allowed_starts_and_transitions), and the full
+        # all-tasks rebuild each call is pure waste — the label interner
+        # is immutable after corpus construction
+        cached = getattr(self, "_ordered_indices_no_bkg", None)
+        if cached is None:
+            cached = {
+                task.index: [
+                    self._corpus._index(self._corpus.get_label(task.index, step))
+                    for step in task.steps
+                ]
+                for task in self._corpus._all_tasks
+            }
+            self._ordered_indices_no_bkg = cached
+        return cached
 
     def get_allowed_starts_and_transitions(self):
         """Canonical-order constraint sets (crosstask.py:328-388): each
@@ -601,6 +610,11 @@ def extract_feature_groups(corpus, narration_feature_dirs=None):
     task_feats = None
     for idx in range(len(corpus)):
         instance = corpus._get_by_index(idx)
+        if instance is None:
+            # __getitem__ skips unloadable videos (missing/corrupt
+            # feature files) with a warning; mirror collate and skip
+            # rather than abort the whole export
+            continue
         video_name = instance["video_name"]
         features = instance["features"]
         for group, (start, end) in group_indices.items():

@@ -164,7 +164,21 @@ class ComponentHsmm(GaussianHsmm):
         return params
 
     def initialize_gaussian(self, feature_list):
+        """Moment init in the emission's INPUT space: with the NICE
+        feature projector active, moments come from projected features
+        — the reference's component module inherits exactly that
+        behavior (semimarkov_modules.py:263-274). gaussian_cov is
+        frozen, so a raw-space variance would mis-scale emission
+        log-probs for the entire run."""
+        from action_segmentation_tpu.models import flow as nice_flow
+
         feats = np.concatenate([np.asarray(f) for f in feature_list], axis=0)
+        if "feature_projector" in self.params:
+            feats = np.asarray(
+                nice_flow.nice_apply(
+                    self.params["feature_projector"], jnp.asarray(feats)
+                )[0]
+            )
         self.params["emission_mean_bias"] = jnp.asarray(
             feats.mean(axis=0), jnp.float32
         )

@@ -10,6 +10,8 @@ log-Jacobian term that enters the training loss (semimarkov.py:270-272).
 import jax
 import jax.numpy as jnp
 
+from action_segmentation_tpu.models.nn import linear_init as _linear_init
+
 
 def add_args(parser):
     parser.add_argument("--flow_hidden_layers", type=int, default=1)
@@ -17,15 +19,6 @@ def add_args(parser):
     parser.add_argument("--flow_couple_layers", type=int, default=4)
     parser.add_argument("--flow_scale", action="store_true")
     parser.add_argument("--flow_scale_no_zero", action="store_true")
-
-
-def _linear_init(rng, in_f, out_f):
-    """torch nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
-    kw, kb = jax.random.split(rng)
-    bound = 1.0 / jnp.sqrt(in_f)
-    w = jax.random.uniform(kw, (in_f, out_f), jnp.float32, -bound, bound)
-    b = jax.random.uniform(kb, (out_f,), jnp.float32, -bound, bound)
-    return {"w": w, "b": b}
 
 
 def _linear_zero(in_f, out_f):

@@ -7,6 +7,7 @@
 * FramewiseBaseline — majority class or sampled class distribution.
 """
 
+import functools
 from collections import Counter
 
 import jax
@@ -49,6 +50,28 @@ def feed_forward_apply(params, x, dropout_p=0.0, rng=None):
 def mask_to_valid_classes(logits, valid_mask):
     """Additive -inf mask over invalid classes (framewise.py:37-44)."""
     return jnp.where(valid_mask, logits, -jnp.inf)
+
+
+# module-level jitted inference: a @jax.jit defined inside predict()
+# would get a FRESH trace cache per call, re-compiling every per-epoch
+# dev evaluation (minutes per shape through the remote-compile tunnel)
+@jax.jit
+def _ff_infer(params, feats, valid_mask):
+    logits = feed_forward_apply(params, feats)
+    return jnp.argmax(mask_to_valid_classes(logits, valid_mask), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("cov_type",))
+def _gm_infer(feats, means, cov, log_priors, valid_mask, cov_type):
+    emit_fn = {
+        "tied_diag": gaussian_emission_log_probs,
+        "diag": gaussian_emission_log_probs_diag,
+        "full": gaussian_emission_log_probs_fullcov,
+        "tied": gaussian_emission_log_probs_fullcov,
+    }[cov_type]
+    logp = emit_fn(feats[None], means, cov)[0]
+    logp = logp + log_priors[None, :]
+    return jnp.argmax(jnp.where(valid_mask, logp, -jnp.inf), axis=-1)
 
 
 class FramewiseDiscriminative(Model):
@@ -122,11 +145,15 @@ class FramewiseDiscriminative(Model):
                     lr,
                     sub,
                 )
-                losses.append(float(loss))
+                # defer: a per-batch float() costs a ~0.5 s round trip
+                # through the TPU tunnel (CLAUDE.md round-trip rule)
+                losses.append(loss)
             # publish params before the callback: per-epoch evaluation and
             # dev early stopping must see the current model
             self.params = params
-            train_loss = float(np.mean(losses))
+            train_loss = float(
+                np.mean(np.asarray(jnp.stack(losses)), dtype=np.float64)
+            )
             if scheduler is not None:
                 lr = scheduler.step(train_loss)
             if callback_fn:
@@ -135,19 +162,13 @@ class FramewiseDiscriminative(Model):
 
     def predict(self, test_data):
         predictions = {}
-
-        @jax.jit
-        def infer(params, feats, valid_mask):
-            logits = feed_forward_apply(params, feats)
-            return jnp.argmax(mask_to_valid_classes(logits, valid_mask), axis=-1)
-
         for batch in iter_batches(
             test_data, batch_size=1, batch_by_task=False, shuffle=False
         ):
             valid_mask = np.zeros((self.n_classes,), bool)
             valid_mask[np.asarray(batch["task_indices"][0])] = True
             preds = np.asarray(
-                infer(self.params, jnp.asarray(batch["features"]), jnp.asarray(valid_mask))
+                _ff_infer(self.params, jnp.asarray(batch["features"]), jnp.asarray(valid_mask))
             )
             for i, video in enumerate(batch["video_name"]):
                 predictions[video] = preds[i, : batch["lengths"][i]]
@@ -211,21 +232,7 @@ class FramewiseGaussianMixture(Model):
 
     def predict(self, test_data):
         predictions = {}
-
         cov_type = getattr(self.args, "gm_covariance", "tied_diag")
-
-        @jax.jit
-        def infer(feats, means, cov, log_priors, valid_mask):
-            emit_fn = {
-                "tied_diag": gaussian_emission_log_probs,
-                "diag": gaussian_emission_log_probs_diag,
-                "full": gaussian_emission_log_probs_fullcov,
-                "tied": gaussian_emission_log_probs_fullcov,
-            }[cov_type]
-            logp = emit_fn(feats[None], means, cov)[0]
-            logp = logp + log_priors[None, :]
-            return jnp.argmax(jnp.where(valid_mask, logp, -jnp.inf), axis=-1)
-
         for batch in iter_batches(
             test_data, batch_size=1, batch_by_task=False, shuffle=False
         ):
@@ -233,12 +240,13 @@ class FramewiseGaussianMixture(Model):
             valid_mask[np.asarray(batch["task_indices"][0])] = True
             L = int(batch["lengths"][0])
             preds = np.asarray(
-                infer(
+                _gm_infer(
                     jnp.asarray(batch["features"][0]),
                     jnp.asarray(self.means),
                     jnp.asarray(self.cov),
                     jnp.asarray(self.log_priors.astype(np.float32)),
                     jnp.asarray(valid_mask),
+                    cov_type=cov_type,
                 )
             )
             predictions[batch["video_name"][0]] = preds[:L]

@@ -419,6 +419,10 @@ class SemiMarkovModel(Model):
         state.pop("_resident_cache", None)
         state.pop("_resident_pins", None)
         state.pop("_resident_failed", None)
+        # the live plateau controller holds a jitted closure (not
+        # picklable); resume restores its state from the checkpoint
+        # sidecar, not the pickle
+        state.pop("_scheduler", None)
         # shallow-copy the module so converting params to numpy for the
         # pickle never mutates the LIVE object: a driver that saves and
         # keeps decoding with the same model would otherwise re-upload
@@ -925,6 +929,9 @@ class SemiMarkovModel(Model):
         # per-epoch drain was the realistic-epoch wall clock — measured
         # in docs/DESIGN.md §9)
         tx, scheduler = make_optimizer(args, device_scheduler=True)
+        # exposed for tests/observability (resume restores its
+        # best/num_bad from the checkpoint sidecar)
+        self._scheduler = scheduler
         # cached jitted programs ('update', 'escan_*', 'epoch_finish_*')
         # close over tx/scheduler; if the optimizer hyperparameters
         # changed since they were built (a second fit after mutating
@@ -1160,8 +1167,23 @@ class SemiMarkovModel(Model):
                     params, _, step = ckpt.load_orbax(ckpt_dir, target=params)
                 params = jax.tree_util.tree_map(jnp.asarray, params)
                 meta = ckpt.load_meta(ckpt_dir, step)
-                if meta and meta.get("lr") is not None:
-                    lr = float(meta["lr"])  # the plateau scheduler's live rate
+                if (
+                    meta
+                    and meta.get("sched") is not None
+                    and scheduler is not None
+                ):
+                    # full post-step plateau state: epoch step+1 resumes
+                    # with the best/num_bad the uninterrupted run had,
+                    # not a reset that would skip a pending LR cut
+                    s = meta["sched"]
+                    scheduler.state = {
+                        "lr": jnp.float32(s["lr"]),
+                        "best": jnp.float32(s["best"]),
+                        "num_bad": jnp.int32(s["num_bad"]),
+                    }
+                    lr = float(s["lr"])
+                elif meta and meta.get("lr") is not None:
+                    lr = float(meta["lr"])  # older checkpoints: rate only
                     if scheduler is not None:
                         scheduler.lr = lr
                 start_epoch = step + 1
@@ -1558,9 +1580,15 @@ class SemiMarkovModel(Model):
                 from action_segmentation_tpu import checkpoint as ckpt
 
                 flush_deferred()
+                # sched_state is the POST-step plateau state (it
+                # governs epoch+1), so resume reproduces the
+                # uninterrupted LR trajectory even mid-plateau; meta
+                # "lr" stays the pre-step rate (legacy split-pair
+                # semantics)
                 ckpt.save_orbax(
                     {"params": params, "opt_state": opt_state},
                     args, epoch, ckpt_dir, lr=float(jnp.asarray(lr)),
+                    sched_state=new_sched_state,
                 )
             if scheduler is not None:
                 # on-device plateau step (fused into epoch_finish): next

@@ -22,6 +22,20 @@ def encoder_args(parser):
     parser.add_argument("--seq_num_layers", type=int, default=2)
 
 
+def _seq_logits(params, feats, lengths, valid_mask):
+    encoded = rnn.lstm_apply(params["encoder"], feats, lengths)
+    logits = nn.linear(params["proj"], encoded)
+    return jnp.where(valid_mask, logits, -jnp.inf)
+
+
+# module-level jitted inference: a @jax.jit defined inside predict()
+# would get a FRESH trace cache per call, re-compiling every per-epoch
+# dev evaluation (minutes per shape through the remote-compile tunnel)
+@jax.jit
+def _seq_infer(params, feats, lengths, valid_mask):
+    return jnp.argmax(_seq_logits(params, feats, lengths, valid_mask), axis=-1)
+
+
 class SequentialDiscriminative(Model):
     @classmethod
     def add_args(cls, parser):
@@ -49,9 +63,7 @@ class SequentialDiscriminative(Model):
         }
 
     def _logits(self, params, feats, lengths, valid_mask):
-        encoded = rnn.lstm_apply(params["encoder"], feats, lengths)
-        logits = nn.linear(params["proj"], encoded)
-        return jnp.where(valid_mask, logits, -jnp.inf)
+        return _seq_logits(params, feats, lengths, valid_mask)
 
     def fit(self, train_data, use_labels, callback_fn=None):
         assert use_labels
@@ -107,11 +119,15 @@ class SequentialDiscriminative(Model):
                     jnp.asarray(mask),
                     lr,
                 )
-                losses.append(float(loss))
+                # defer: a per-batch float() costs a ~0.5 s round trip
+                # through the TPU tunnel (CLAUDE.md round-trip rule)
+                losses.append(loss)
             # publish params before the callback: per-epoch evaluation and
             # dev early stopping must see the current model
             self.params = params
-            train_loss = float(np.mean(losses))
+            train_loss = float(
+                np.mean(np.asarray(jnp.stack(losses)), dtype=np.float64)
+            )
             if scheduler is not None:
                 lr = scheduler.step(train_loss)
             if callback_fn:
@@ -120,12 +136,7 @@ class SequentialDiscriminative(Model):
 
     def predict(self, test_data):
         predictions = {}
-        model = self
-
-        @jax.jit
-        def infer(params, feats, lengths, valid_mask):
-            return jnp.argmax(model._logits(params, feats, lengths, valid_mask), axis=-1)
-
+        infer = _seq_infer
         for batch in iter_batches(
             test_data, batch_size=1, batch_by_task=False, shuffle=False
         ):

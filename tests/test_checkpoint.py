@@ -175,3 +175,35 @@ def test_import_reference_state_dict(tmp_path):
     want = Segmenter(native).segment(feats)
     assert (got == want).all()
     assert got.shape == (30,)
+
+
+def test_resume_restores_plateau_state(tmp_path):
+    """Resume must restore the plateau controller's POST-step
+    best/num_bad, not just the rate: a reset best=inf counts the next
+    epoch as an improvement and skips a pending LR cut, silently
+    diverging from the uninterrupted run's LR trajectory."""
+    train = SyntheticDatasplit(num_videos=20, n_classes=3, max_len=20, span_k=4, seed=0)
+    ck_dir = str(tmp_path / "run")
+    common = dict(
+        sm_max_span_length=8,
+        sm_supervised_method="gradient-based",
+        lr=1e-2,
+        checkpoint_dir=ck_dir,
+        checkpoint_every=1,
+    )
+    model = SemiMarkovModel.from_args(make_args(epochs=2, **common), train)
+    model.fit(train, use_labels=True)
+    step = ckpt.latest_step(ck_dir)
+    meta = ckpt.load_meta(ck_dir, step)
+    sched = meta["sched"]
+    assert np.isfinite(sched["best"])  # a real epoch loss, not a reset
+
+    # resume with epochs == step+1: the epoch loop body never runs, so
+    # the scheduler state visible after fit IS the restored state
+    args2 = make_args(epochs=step + 1, resume=True, **common)
+    model2 = SemiMarkovModel.from_args(args2, train)
+    model2.fit(train, use_labels=True)
+    st = model2._scheduler.state
+    assert float(st["lr"]) == sched["lr"]
+    assert float(st["best"]) == sched["best"]
+    assert int(st["num_bad"]) == sched["num_bad"]
