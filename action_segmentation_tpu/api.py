@@ -23,7 +23,7 @@ from action_segmentation_tpu.data.batching import pad_length_to_bucket
 class Segmenter:
     """Serving wrapper around a trained SemiMarkovModel."""
 
-    def __init__(self, model, valid_classes=None):
+    def __init__(self, model, valid_classes=None, task=None):
         from action_segmentation_tpu import BIG_NEG
         from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
 
@@ -32,18 +32,48 @@ class Segmenter:
         if valid_classes is None:
             valid_classes = np.arange(model.n_classes, dtype=np.int64)
         self.valid_classes = np.asarray(valid_classes, np.int64)
-        # honor the model's end-class constraints (canonical-ordering
-        # training sets allowed_ends; predict() applies the same mask)
+        # honor the model's end-class constraints exactly like predict():
+        # canonical-ordering training needs the SHORT-VIDEO exception
+        # (a video shorter than the step sequence may end mid-order,
+        # _make_additional_allowed_ends / semimarkov.py:135-147), which
+        # is per-task and per-length — so a constrained model requires
+        # `task` here, or every end column on a short video would be
+        # BIG_NEG and Viterbi would return garbage with no error.
+        self._task = task
+        self._per_video_ends = (
+            model.module.allowed_ends is not None
+            and model.ordered_indices_by_task is not None
+        )
+        if self._per_video_ends and task is None:
+            raise ValueError(
+                "this model was trained with canonical-ordering "
+                "constraints; Segmenter needs task=<task name> to build "
+                "the per-video end masks predict() uses"
+            )
         if model.module.allowed_ends is not None:
             allowed = set(model.module.allowed_ends)
-            self._end_row = np.where(
-                np.array([ix in allowed for ix in self.valid_classes]),
-                0.0,
-                BIG_NEG,
-            ).astype(np.float32)
+            mask = np.array([ix in allowed for ix in self.valid_classes])
+            if not self._per_video_ends and not mask.any():
+                raise ValueError(
+                    "no allowed end classes within valid_classes — every "
+                    "decode would argmax over BIG_NEG-saturated scores"
+                )
+            self._end_row = np.where(mask, 0.0, BIG_NEG).astype(np.float32)
         else:
             self._end_row = np.zeros(len(self.valid_classes), np.float32)
         self._decode = model._get_jitted("decode", model._build_decode_step)
+
+    def _end_rows(self, lengths):
+        """(B, C) end mask — the same rows predict() builds."""
+        if self._per_video_ends:
+            return np.stack(
+                [
+                    self.model._end_mask_row(self.valid_classes, self._task, L)
+                    for L in lengths
+                ]
+            )
+        C = len(self.valid_classes)
+        return np.broadcast_to(self._end_row, (len(lengths), C)).copy()
 
     @classmethod
     def load(cls, path, valid_classes=None):
@@ -71,12 +101,14 @@ class Segmenter:
         (docs/serving_batch_scan_r4.json); the per-CALL round trip is
         now the only constant left.
         """
+        from action_segmentation_tpu.utils.drain import DeferredLabelDrain
+
         rng = jax.random.PRNGKey(0)
         order = np.argsort([f.shape[0] for f in feature_list])
         results = {}
         C = len(self.valid_classes)
         vc_dev = jnp.asarray(self.valid_classes)
-        in_flight = []  # (idxs, lengths, labels_dev) per dispatched batch
+        drain = DeferredLabelDrain()
         for start in range(0, len(order), batch_size):
             idxs = order[start : start + batch_size]
             lengths = np.array([feature_list[i].shape[0] for i in idxs], np.int32)
@@ -86,7 +118,7 @@ class Segmenter:
             for row, i in enumerate(idxs):
                 feats[row, : lengths[row]] = feature_list[i]
             cons = np.zeros((len(idxs), Tpad, C), np.float32)
-            end_allowed = np.broadcast_to(self._end_row, (len(idxs), C)).copy()
+            end_allowed = self._end_rows(lengths)
             rng, step_rng = jax.random.split(rng)
             labels, _ = self._decode(
                 self.model.module.params,
@@ -97,25 +129,11 @@ class Segmenter:
                 jnp.asarray(end_allowed),
                 step_rng,
             )
-            in_flight.append((idxs, lengths, labels))
-            if len(in_flight) % 16 == 0:
-                np.asarray(in_flight[-16][2][0, 0])  # backpressure only
+            drain.add((idxs, lengths), labels)
 
-        if in_flight:
-            t_max = max(lab.shape[1] for _, _, lab in in_flight)
-            stacked = jnp.concatenate(
-                [
-                    jnp.pad(lab, ((0, 0), (0, t_max - lab.shape[1])))
-                    for _, _, lab in in_flight
-                ],
-                axis=0,
-            )
-            all_labels = np.asarray(stacked)  # the single fetch
-            row = 0
-            for idxs, lengths, _ in in_flight:
-                for r, i in enumerate(idxs):
-                    results[i] = all_labels[row + r, : lengths[r]]
-                row += len(idxs)
+        for (idxs, lengths), labels in drain.drain():
+            for r, i in enumerate(idxs):
+                results[i] = labels[r, : lengths[r]]
         return [results[i] for i in range(len(feature_list))]
 
     def segment(self, features):
@@ -190,7 +208,7 @@ class Segmenter:
             jnp.asarray(feats),
             jnp.asarray(lengths),
             jnp.asarray(self.valid_classes),
-            jnp.asarray(self._end_row),
+            jnp.asarray(self._end_rows([T])[0]),
         )
         labels = np.asarray(labels_d)[0, :T]
         marg_sub = np.asarray(marg_d)[0, :T]

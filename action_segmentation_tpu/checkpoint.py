@@ -60,9 +60,13 @@ def save_orbax(params, args, step, directory, lr=None, sched_state=None):
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
+        # force=True: a re-launched run (crash without --resume) hitting
+        # an existing step dir must overwrite, not abort the whole
+        # training run with 'destination already exists'
         ckptr.save(
             os.path.join(directory, f"step_{step}"),
             jax.tree_util.tree_map(np.asarray, params),
+            force=True,
         )
     meta = {"step": step, "args": _args_to_jsonable(args)}
     if lr is not None:

@@ -523,6 +523,9 @@ class Datasplit:
                 "pred_background",
             ):
                 stats["comparison_{}".format(k)] = comparison_stats[k]
+            # QUIRK (reference corpus.py:599): the reference fills the
+            # center-step header from the PLAIN step recall — preserved
+            # verbatim so comparison rows match its outputs
             stats["comparison_center_step_recall_non_bg"] = comparison_stats[
                 "step_recall_non_bg"
             ]

@@ -257,7 +257,14 @@ class Accuracy:
         # never match: SENTINEL is outside the label space
         any_bg = np.any(valid & is_bkg_label[np.maximum(mat, 0)], axis=1)
         all_bg = np.all(~valid | is_bkg_label[np.maximum(mat, 0)], axis=1)
-        assert np.all(~any_bg | all_bg)  # background frames are all-or-none
+        # tripwire: corpus construction assigns background only to
+        # frames NO step covers, so a frame can never mix background
+        # and step labels; the vectorized mof relies on that, so fail
+        # loudly if a future loader breaks it rather than mis-score
+        assert np.all(~any_bg | all_bg), (
+            "gt frame mixes background and step labels — vectorized mof "
+            "assumes all-or-none background per frame"
+        )
         pred_bg = (
             np.isin(pred, list(background_clusters))
             if background_clusters

@@ -53,7 +53,13 @@ def _load():
         return _LIB
     _TRIED = True
     try:
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        # a shipped .so without the source tree is valid — only treat
+        # the artifact as stale when the source EXISTS and is newer
+        stale = os.path.exists(_SRC) and (
+            not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        )
+        if stale:
             _build()
         try:
             _LIB = _open()
@@ -62,7 +68,15 @@ def _load():
             # an older toolchain): rebuild once before giving up
             _build()
             _LIB = _open()
-    except Exception:
+    except Exception as e:
+        # fall back to the numpy DP, but say so: a silent fallback hides
+        # a broken toolchain behind a 100x slower eval loop
+        import logging
+
+        logging.getLogger("action_segmentation_tpu").warning(
+            "native editdistance unavailable ({}); using the numpy "
+            "fallback".format(e)
+        )
         _LIB = None
     return _LIB
 

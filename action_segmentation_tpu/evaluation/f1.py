@@ -100,6 +100,9 @@ class F1Score:
         n_corr = self._eq[sampled].sum(axis=1)
         n_correct_segments = float(np.sum(n_corr / self.sampling_ratio))
         precision = n_correct_segments / (self._K * self._n_videos)
+        # QUIRK (reference f1.py:96): a task whose concatenated gt is a
+        # single constant run has no boundaries -> ZeroDivisionError,
+        # exactly as the reference; not guarded, parity over robustness
         recall = n_correct_segments / len(self.bound_masks)
         f1 = 2 * (precision * recall) / (precision + recall + self._eps)
         self.f1_scores.append(f1)

@@ -206,6 +206,7 @@ def train(args, train_data, dev_data, split_name, verbose=False, train_sub_data=
     models_by_epoch = {}
     dev_mof_by_epoch = {}
     stats_by_epoch = {}
+    loss_by_epoch = {}  # train_loss forced to float ONCE per epoch
 
     def callback_fn(epoch, stats):
         stats_by_epoch[epoch] = stats
@@ -214,7 +215,9 @@ def train(args, train_data, dev_data, split_name, verbose=False, train_sub_data=
         else:
             train_stats = evaluate_on_data(train_data, "train")
         split_stats = [train_stats]
-        if epoch == -1 or epoch % args.dev_decode_frequency == 0:
+        if args.dev_decode_frequency > 0 and (
+            epoch == -1 or epoch % args.dev_decode_frequency == 0
+        ):
             dev_stats = evaluate_on_data(dev_data, "dev")
             split_stats.append(dev_stats)
         else:
@@ -236,6 +239,19 @@ def train(args, train_data, dev_data, split_name, verbose=False, train_sub_data=
         models_by_epoch[epoch] = pickle.dumps(model)
         if dev_stats is not None:
             dev_mof_by_epoch[epoch] = dev_stats["dev_mof"]
+        # retain only pickles still selectable as best (best dev-mof /
+        # best train-loss so far, computed over the FULL stat history so
+        # the final selection below is unchanged); the reference held
+        # every epoch's full model in RAM for the whole run
+        if "train_loss" in stats:
+            loss_by_epoch[epoch] = float(stats["train_loss"])
+        keep = {epoch}
+        if dev_mof_by_epoch:
+            keep.add(max(dev_mof_by_epoch.items(), key=lambda t: t[1])[0])
+        if loss_by_epoch:
+            keep.add(min(loss_by_epoch.items(), key=lambda t: t[1])[0])
+        for e in [e for e in models_by_epoch if e not in keep]:
+            del models_by_epoch[e]
         if args.model_output_path and epoch % 5 == 0:
             os.makedirs(args.model_output_path, exist_ok=True)
             model_fname = os.path.join(
@@ -402,23 +418,22 @@ def make_data_splits(args):
         corpus._cache_features = True
         all_splits = list(sorted(BreakfastCorpus.DATASPLITS.keys()))
         for heldout_split in all_splits:
+            # the reference builds the train datasplit TWICE with
+            # identical args (main.py:392-406, its full=False note);
+            # one object serves both roles here — 'train_subset' decodes
+            # the same videos either way, and sharing lets the model's
+            # resident-corpus cache serve fit and the per-epoch eval
+            train_ds = corpus.get_datasplit(
+                remove_background=args.remove_background,
+                splits=[sp for sp in all_splits if sp != heldout_split],
+                full=True,
+                subsample=args.frame_subsample,
+                feature_downscale=args.feature_downscale,
+                feature_permutation_seed=args.feature_permutation_seed,
+            )
             splits[heldout_split] = (
-                corpus.get_datasplit(
-                    remove_background=args.remove_background,
-                    splits=[sp for sp in all_splits if sp != heldout_split],
-                    full=True,
-                    subsample=args.frame_subsample,
-                    feature_downscale=args.feature_downscale,
-                    feature_permutation_seed=args.feature_permutation_seed,
-                ),
-                corpus.get_datasplit(
-                    remove_background=args.remove_background,
-                    splits=[sp for sp in all_splits if sp != heldout_split],
-                    full=True,
-                    subsample=args.frame_subsample,
-                    feature_downscale=args.feature_downscale,
-                    feature_permutation_seed=args.feature_permutation_seed,
-                ),
+                train_ds,
+                train_ds,
                 corpus.get_datasplit(
                     remove_background=args.remove_background,
                     splits=[heldout_split],

@@ -1653,8 +1653,11 @@ class SemiMarkovModel(Model):
         # ~0.5 s regardless of size, so per-batch fetches would dominate
         # the per-epoch evaluation wall clock. All batches are decoded
         # asynchronously, padded to a common width and concatenated on
-        # device, and fetched in ONE transfer.
-        in_flight = []  # (names, real lengths, labels_dev, B) per batch
+        # device, and fetched in ONE transfer (the shared
+        # DeferredLabelDrain — api.segment_many uses the same one).
+        from action_segmentation_tpu.utils.drain import DeferredLabelDrain
+
+        drain = DeferredLabelDrain()
         for batch in iter_batches(
             test_data,
             batch_size=self.args.batch_size,
@@ -1682,31 +1685,14 @@ class SemiMarkovModel(Model):
                 )
             dev = jax.device_put((features, lengths, vc, cons, end_allowed))
             labels, _ = decode(self.module.params, *dev, step_rng)
-            in_flight.append((batch["video_name"], batch["lengths"], labels, B))
-            if len(in_flight) % 16 == 0:
-                # backpressure: one tiny fetch per 16 batches bounds the
-                # queued input buffers (features of undecoded batches)
-                # without a per-batch round trip
-                np.asarray(in_flight[-16][2][0, 0])
+            drain.add((batch["video_name"], batch["lengths"]), labels, n_rows=B)
 
-        if in_flight:
-            t_max = max(lab.shape[1] for _, _, lab, _ in in_flight)
-            stacked = jnp.concatenate(
-                [
-                    jnp.pad(lab[:B], ((0, 0), (0, t_max - lab.shape[1])))
-                    for _, _, lab, B in in_flight
-                ],
-                axis=0,
-            )
-            all_labels = np.asarray(stacked)  # the single fetch
-            row = 0
-            for names, lengths_np, _, B in in_flight:
-                for i, video in enumerate(names):
-                    L = int(lengths_np[i])
-                    preds = all_labels[row + i, :L]
-                    assert (preds >= 0).all() and (preds < self.n_classes).all()
-                    predictions[video] = preds
-                row += B
+        for (names, lengths_np), all_labels in drain.drain():
+            for i, video in enumerate(names):
+                L = int(lengths_np[i])
+                preds = all_labels[i, :L]
+                assert (preds >= 0).all() and (preds < self.n_classes).all()
+                predictions[video] = preds
         return predictions
 
     def _predict_resident(self, test_data, resident, mesh=None):

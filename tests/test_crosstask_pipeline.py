@@ -528,3 +528,52 @@ def test_semimarkov_data_parallel_cli_pipeline(mini_crosstask):
             a = stats_dp["all"][task][key]
             b = stats_sd["all"][task][key]
             assert abs(a[0] / a[1] - b[0] / b[1]) < 0.05, (task, key, a, b)
+
+
+def test_segmenter_on_constrained_model(mini_crosstask):
+    """A canonical-ordering model served through api.Segmenter must use
+    predict()'s per-video end masks (incl. the short-video exception) —
+    without them, every end column on a short video is BIG_NEG and
+    Viterbi argmaxes over saturated garbage. Segmenter therefore
+    requires task= for such models and must match predict() exactly."""
+    import pytest
+
+    from action_segmentation_tpu import main as main_mod
+    from action_segmentation_tpu.api import Segmenter
+    from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+
+    root, _ = mini_crosstask
+    argv = _base_argv(root, "semimarkov") + [
+        "--training", "unsupervised",
+        "--sm_constrain_transitions",
+        "--annotate_background_with_previous",
+        "--epochs", "1",
+        "--sm_max_span_length", "10",
+    ]
+    args = main_mod.build_parser().parse_args(argv)
+    train_data, _, _ = next(iter(main_mod.make_data_splits(args).values()))
+    model = SemiMarkovModel.from_args(args, train_data)
+    model.fit(train_data, use_labels=False)
+    assert model.module.allowed_ends is not None
+
+    with pytest.raises(ValueError, match="task"):
+        Segmenter(model)
+
+    (task, video) = sorted(
+        (t, v) for t, vids in train_data.videos_by_task.items() for v in vids
+    )[0]
+    sample = train_data[(task, video)]
+    vc = np.asarray(sample["task_indices"], np.int64)
+    seg = Segmenter(model, valid_classes=vc, task=task)
+    want = model.predict(train_data)[video]
+
+    # full-length video matches predict() frame for frame
+    got = seg.segment(sample["features"])
+    np.testing.assert_array_equal(got, want)
+
+    # a SHORT clip (fewer frames than the canonical step sequence) must
+    # return in-range labels, not BIG_NEG-saturated garbage
+    n_steps = len(model.ordered_indices_by_task[task])
+    assert n_steps > 2
+    short = seg.segment(sample["features"][: n_steps - 1])
+    assert ((short >= 0) & (short < model.n_classes)).all()
