@@ -17,8 +17,6 @@ sys.path.insert(0, ".")
 
 import numpy as np
 
-D = 8  # feature dim (matches the harness)
-
 
 def random_config(rng):
     n_classes = int(rng.randint(2, 9))
@@ -149,6 +147,30 @@ def fuzz_one(harness, ref_mod, rng, i, check_marginals=None):
     )
     logz = np.asarray(hsmm_partition(pots, jnp.asarray(lengths, jnp.int32)))
     if (logz < -1e8).any():
+        # only a legitimately dead config (no feasible path) may skip:
+        # the REFERENCE must agree it is dead, otherwise an our-side
+        # saturation bug (e.g. every end class masked) would silently
+        # classify every constrained draw as 'skip' and the sweep would
+        # be blind to exactly the kill-all-paths bug class it hunts
+        import torch
+
+        ref_scores, _ = ref.score_features(
+            torch.from_numpy(feats), torch.from_numpy(lengths).long(),
+            None if vc is None else torch.from_numpy(np.asarray(vc)).long(),
+            add_eos=True, use_mean_z=False,
+            additional_allowed_ends_per_instance=(
+                addl if ref.allowed_ends is not None else None
+            ),
+            constraints=None if cons is None else torch.from_numpy(cons),
+        )
+        ref_logz = harness.torch_edge_logz(
+            ref_scores.double(), lengths + 1
+        ).detach().numpy()
+        dead = logz < -1e8
+        assert (ref_logz[dead] < -1e7).all(), (
+            "our DP saturated where the reference is finite at config "
+            "{}: {} ref_logz={} ours={}".format(i, cfg, ref_logz, logz)
+        )
         return "skip"
     try:
         harness.run_parity(
@@ -177,16 +199,37 @@ def main():
     ref_mod = next(gen)
 
     rng = np.random.RandomState(seed)
-    for i in range(n_configs):
-        if fuzz_one(harness, ref_mod, rng, i) == "skip":
-            print("skip degenerate config {} (dead instance)".format(i), flush=True)
-        if (i + 1) % 10 == 0:
-            print("{}/{} configs OK".format(i + 1, n_configs), flush=True)
-    try:  # run the fixture's cleanup while the interpreter is intact
-        next(gen)
-    except StopIteration:
-        pass
-    print("dp parity fuzz: {} configs OK".format(n_configs))
+    n_ok = n_skip = 0
+    try:
+        for i in range(n_configs):
+            if fuzz_one(harness, ref_mod, rng, i) == "skip":
+                n_skip += 1
+                print(
+                    "skip degenerate config {} (dead on BOTH sides)".format(i),
+                    flush=True,
+                )
+            else:
+                n_ok += 1
+            if (i + 1) % 10 == 0:
+                print(
+                    "{}/{} configs done ({} compared, {} skipped)".format(
+                        i + 1, n_configs, n_ok, n_skip
+                    ),
+                    flush=True,
+                )
+    finally:
+        # run the fixture's cleanup while the interpreter is intact —
+        # including on the mismatch path, or its teardown noise would
+        # obscure the real traceback
+        try:
+            next(gen)
+        except BaseException:
+            pass
+    print(
+        "dp parity fuzz: {} configs compared OK, {} skipped (dead)".format(
+            n_ok, n_skip
+        )
+    )
 
 
 
@@ -206,6 +249,7 @@ def compound_fuzz_one(harness, ref_mod, rng, i):
     import jax
     import jax.numpy as jnp
 
+    D = harness.D  # ONE feature dim; a local copy could desynchronize
     n_classes = int(rng.randint(2, 7))
     T = int(rng.randint(6, 26))
     max_k = int(rng.randint(2, min(7, T + 1)))
@@ -289,7 +333,19 @@ def compound_fuzz_one(harness, ref_mod, rng, i):
     else:
         lengths = np.maximum(rng.randint(1, T + 1, size=b), 1).astype(np.int64)
         lengths[0] = T
-    vc = np.arange(n_classes)
+    # valid-class SUBSETS: the compound decode path gathers per-class
+    # parameters by vc in real runs (task-specific classes), so the
+    # fuzz must exercise the sliced gathers too; constrained draws keep
+    # the full set (ends must stay inside vc — see fuzz_one)
+    if not cfg["constrained"] and n_classes > 2 and rng.rand() < 0.5:
+        k = int(rng.randint(2, n_classes + 1))
+        vc = np.sort(rng.choice(n_classes, size=k, replace=False)).astype(
+            np.int64
+        )
+    else:
+        vc = np.arange(n_classes)
+    cfg["subset"] = len(vc) < n_classes
+    C_sub = len(vc)
     addl = [[] for _ in range(b)]
 
     ft = torch.from_numpy(feats)
@@ -306,7 +362,7 @@ def compound_fuzz_one(harness, ref_mod, rng, i):
     ref_logz = harness.torch_edge_logz(
         scores.double(), lengths + 1).detach().numpy()
 
-    end_allowed = np.zeros((b, n_classes), np.float32)
+    end_allowed = np.zeros((b, C_sub), np.float32)
     if ours.allowed_ends is not None:
         for ii in range(b):
             allowed = set(ours.allowed_ends)
@@ -315,11 +371,20 @@ def compound_fuzz_one(harness, ref_mod, rng, i):
     pots, _, _ = ours.compute_potentials(
         ours.params, jnp.asarray(feats), jnp.asarray(lengths, jnp.int32),
         jnp.asarray(vc, jnp.int32),
-        jnp.zeros((b, T, n_classes), jnp.float32),
+        jnp.zeros((b, T, C_sub), jnp.float32),
         jnp.asarray(end_allowed), jax.random.PRNGKey(0), True,
     )
     our_logz = np.asarray(hsmm_partition(pots, jnp.asarray(lengths, jnp.int32)))
     if (our_logz < -1e8).any():
+        # skip only when the reference agrees the config is dead (same
+        # rationale as fuzz_one) — ref_logz is already computed above
+        dead = our_logz < -1e8
+        assert (ref_logz[dead] < -1e7).all(), (
+            "our compound DP saturated where the reference is finite at "
+            "config {}: {} ref_logz={} ours={}".format(
+                i, cfg, ref_logz, our_logz
+            )
+        )
         return "skip"
     try:
         np.testing.assert_allclose(our_logz, ref_logz, rtol=1e-5, atol=5e-3)
@@ -353,16 +418,33 @@ def compound_fuzz(n_configs, seed):
     gen = harness.ref_sm.__wrapped__()
     ref_mod = next(gen)
     rng = np.random.RandomState(seed)
-    for i in range(n_configs):
-        if compound_fuzz_one(harness, ref_mod, rng, i) == "skip":
-            print("skip degenerate compound config {}".format(i), flush=True)
-        if (i + 1) % 10 == 0:
-            print("{}/{} compound configs OK".format(i + 1, n_configs), flush=True)
+    n_ok = n_skip = 0
     try:
-        next(gen)
-    except StopIteration:
-        pass
-    print("compound parity fuzz: {} configs OK".format(n_configs))
+        for i in range(n_configs):
+            if compound_fuzz_one(harness, ref_mod, rng, i) == "skip":
+                n_skip += 1
+                print(
+                    "skip degenerate compound config {} (dead on BOTH "
+                    "sides)".format(i),
+                    flush=True,
+                )
+            else:
+                n_ok += 1
+            if (i + 1) % 10 == 0:
+                print(
+                    "{}/{} compound configs done ({} compared, {} "
+                    "skipped)".format(i + 1, n_configs, n_ok, n_skip),
+                    flush=True,
+                )
+    finally:
+        try:
+            next(gen)
+        except BaseException:
+            pass
+    print(
+        "compound parity fuzz: {} configs compared OK, {} skipped "
+        "(dead)".format(n_ok, n_skip)
+    )
 
 
 if __name__ == "__main__":

@@ -37,7 +37,16 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from bench import C, D, K, T, N_SMALL, N_BIG, measure_pair
+    from bench import (
+        C, D, K, T, N_SMALL, N_BIG, measure_pair,
+        _backend_timeout_s, _init_backend_with_watchdog,
+    )
+
+    # same wedge protection as bench.py: a dead-client axon grant would
+    # otherwise hang the first backend use silently and consume the
+    # whole window with zero diagnostics (round-4 postmortem)
+    kind = _init_backend_with_watchdog(_backend_timeout_s())
+    print("serving_batch_scan: backend up ({})".format(kind), flush=True)
     from action_segmentation_tpu.api import Segmenter
     from action_segmentation_tpu.models.semimarkov import (
         GaussianHsmm,
@@ -61,7 +70,7 @@ def main(argv=None):
     seg = Segmenter(model)
     decode = model._get_jitted("decode", model._build_decode_step)
 
-    vc = jnp.arange(C, dtype=jnp.int64)
+    vc = jnp.arange(C, dtype=jnp.int32)
     rows = []
     for B in cli.batches:
         feats = rng.randn(B, T, D).astype(np.float32)

@@ -54,6 +54,12 @@ def main():
     th.start()
     while time.time() - t0 < DEADLINE_S:
         th.join(60)
+        # sample liveness BEFORE reading results: a probe that completes
+        # in the window between a failed "val" check and a later
+        # is_alive() check must not be misreported as "died" (rc 2) —
+        # with liveness sampled first, a just-finished probe is caught
+        # by the "val" check now or on the next 60 s lap
+        alive = th.is_alive()
         elapsed = time.time() - t0
         if "val" in out:
             print(
@@ -63,7 +69,7 @@ def main():
                 flush=True,
             )
             return 0
-        if "err" in out or not th.is_alive():
+        if "err" in out or not alive:
             print(
                 "probe thread died after {:.0f}s:\n{}".format(
                     elapsed, out.get("err", "<no traceback>")
