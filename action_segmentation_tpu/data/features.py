@@ -4,8 +4,11 @@ Replaces the reference's sklearn PCA pipeline (src/data/features.py:18-43)
 with a jax SVD: for each feature group the centered data matrix of all
 videos is decomposed on the accelerator and the top-`n_components`
 right singular vectors project each video. Components are sign-fixed the
-same way sklearn does (largest-|u| entry per component positive, svd_flip)
-so results match sklearn up to numerical precision.
+same way sklearn >= 1.5 does (svd_flip with u_based_decision=False:
+flip each component so its largest-|entry| coefficient in Vt is
+positive) so results match sklearn up to numerical precision; sklearn
+< 1.5 used the u-based convention and can differ in sign on data where
+the two criteria disagree.
 """
 
 import jax
@@ -87,11 +90,17 @@ def grouped_pca(grouped_features, n_components, pca_models_by_group=None):
                 )
             )
             pca_models_by_group[group_name] = pca
-    transformed = {
-        group_name: {
-            vid_name: pca_models_by_group[group_name].transform(x)
-            for vid_name, x in vid_dict.items()
-        }
-        for group_name, vid_dict in grouped_features.items()
-    }
+    # project all videos of a group in ONE stacked matmul, then split by
+    # row counts: a per-video transform would pay one jit retrace per
+    # distinct (T, D) shape (minutes each through the remote-compile
+    # tunnel) and one ~0.5 s dispatch->fetch round trip per video
+    # (CLAUDE.md round-trip rule) — hours over a real corpus
+    transformed = {}
+    for group_name, vid_dict in grouped_features.items():
+        names = list(vid_dict.keys())
+        rows = np.cumsum([vid_dict[n].shape[0] for n in names])[:-1]
+        stacked = pca_models_by_group[group_name].transform(
+            np.vstack([vid_dict[n] for n in names])
+        )
+        transformed[group_name] = dict(zip(names, np.split(stacked, rows)))
     return transformed, pca_models_by_group

@@ -32,10 +32,9 @@ from action_segmentation_tpu.ops.distributions import gaussian_emission_log_prob
 def _linear_init(rng, in_f, out_f, xavier=True):
     from action_segmentation_tpu.models.nn import linear_init
 
-    p = linear_init(rng, in_f, out_f, xavier=xavier)
-    if xavier:
-        p["b"] = jnp.zeros_like(p["b"])
-    return p
+    # xavier weights + torch-default uniform biases, matching the
+    # reference's dim>1-only override (semimarkov_modules.py:814-816)
+    return linear_init(rng, in_f, out_f, xavier=xavier)
 
 
 def _residual_mlp_init(rng, in_dim, hidden, out_dim, n_residual):
@@ -146,11 +145,14 @@ class ComponentHsmm(GaussianHsmm):
             params["transition_bias"] = jnp.zeros(self.n_classes)
             params["length_bias"] = jnp.zeros(self.n_classes)
         if self.z_dim > 0:
+            # xavier_w: the reference's dim>1 override loop also hits
+            # the encoder LSTM's weight matrices
             params["encoder"] = rnn.lstm_init(
                 keys[8],
                 self.feature_dim,
                 args.sm_component_z_hidden_dim // 2,
                 num_layers=getattr(args, "seq_num_layers_component", 2),
+                xavier_w=True,
             )
             params["encoder_to_params"] = _linear_init(
                 keys[9], args.sm_component_z_hidden_dim, self.z_dim * 2, xavier=True

@@ -13,14 +13,17 @@ def xavier_uniform(rng, shape):
 
 def linear_init(rng, in_f, out_f, xavier=False):
     kw, kb = jax.random.split(rng)
+    # torch nn.Linear default bias: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+    # The xavier path keeps it too: the reference's override loop
+    # (semimarkov_modules.py:814-816) xavier-inits only dim>1 params,
+    # leaving every bias at the torch default — zero biases would be a
+    # different from-scratch init distribution than the reference's.
+    bound = 1.0 / float(np.sqrt(in_f))
+    b = jax.random.uniform(kb, (out_f,), jnp.float32, -bound, bound)
     if xavier:
         w = xavier_uniform(kw, (in_f, out_f))
-        b = jnp.zeros(out_f)
     else:
-        # torch nn.Linear default: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
-        bound = 1.0 / float(np.sqrt(in_f))
         w = jax.random.uniform(kw, (in_f, out_f), jnp.float32, -bound, bound)
-        b = jax.random.uniform(kb, (out_f,), jnp.float32, -bound, bound)
     return {"w": w, "b": b}
 
 

@@ -15,20 +15,33 @@ from action_segmentation_tpu.ops.hsmm import (
 )
 
 
-def _cell_init(rng, in_dim, hidden):
-    """torch LSTM default init: U(-1/sqrt(hidden), 1/sqrt(hidden))."""
+def _cell_init(rng, in_dim, hidden, xavier_w=False):
+    """torch LSTM default init: U(-1/sqrt(hidden), 1/sqrt(hidden)).
+
+    xavier_w=True replaces the WEIGHT matrices with xavier-uniform
+    (fan_in + fan_out) draws while biases keep the torch default — the
+    post-state of the reference's dim>1-only override loop
+    (semimarkov_modules.py:814-816), which the compound encoder's LSTM
+    goes through."""
     k1, k2, k3, k4 = jax.random.split(rng, 4)
     bound = 1.0 / jnp.sqrt(hidden)
     u = lambda k, shape: jax.random.uniform(k, shape, jnp.float32, -bound, bound)
+    if xavier_w:
+        from action_segmentation_tpu.models.nn import xavier_uniform
+
+        w = lambda k, shape: xavier_uniform(k, shape)
+    else:
+        w = u
     return {
-        "w_ih": u(k1, (in_dim, 4 * hidden)),
-        "w_hh": u(k2, (hidden, 4 * hidden)),
+        "w_ih": w(k1, (in_dim, 4 * hidden)),
+        "w_hh": w(k2, (hidden, 4 * hidden)),
         "b_ih": u(k3, (4 * hidden,)),
         "b_hh": u(k4, (4 * hidden,)),
     }
 
 
-def lstm_init(rng, input_dim, hidden_per_dir, num_layers=2, bidirectional=True):
+def lstm_init(rng, input_dim, hidden_per_dir, num_layers=2, bidirectional=True,
+              xavier_w=False):
     """Param pytree: layers[i] is a list of 1 (uni) or 2 (bi) cell dicts;
     directionality is inferred from the structure so the pytree stays
     all-float (differentiable)."""
@@ -37,7 +50,9 @@ def lstm_init(rng, input_dim, hidden_per_dir, num_layers=2, bidirectional=True):
     for l in range(num_layers):
         in_dim = input_dim if l == 0 else hidden_per_dir * dirs
         rng, *keys = jax.random.split(rng, dirs + 1)
-        layers.append([_cell_init(k, in_dim, hidden_per_dir) for k in keys])
+        layers.append(
+            [_cell_init(k, in_dim, hidden_per_dir, xavier_w) for k in keys]
+        )
     return {"layers": layers}
 
 

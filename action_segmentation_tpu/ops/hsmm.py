@@ -70,14 +70,19 @@ def _emission_cumsum(emit):
 def reverse_within_length(x, lengths):
     """Reverse each (B, T, ...) row's first `length` steps in place
     (padding beyond each length stays put). Shared by the reversed-model
-    backward/decode passes and the BiLSTM."""
+    backward/decode passes and the BiLSTM.
+
+    Batch-uniform gather: the earlier vmapped per-batch jnp.roll lowers
+    to a SEQUENTIAL while loop over the batch on TPU (CLAUDE.md
+    lowering facts — ~0.4 ms for 18 rows), serializing the BiLSTM's
+    four reversals per forward; one take_along_axis is a parallel
+    gather."""
     T = x.shape[1]
-    rev = jnp.flip(x, axis=1)
-
-    def roll_row(row, length):
-        return jnp.roll(row, length - T, axis=0)
-
-    return jax.vmap(roll_row)(rev, lengths)
+    t = jnp.arange(T)[None, :]
+    lens = jnp.asarray(lengths)[:, None]
+    idx = jnp.where(t < lens, lens - 1 - t, t)  # (B, T)
+    idx = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+    return jnp.take_along_axis(x, idx, axis=1)
 
 
 def _forward_scan_single(trans, init, lens, emit, semiring):

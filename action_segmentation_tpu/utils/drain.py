@@ -37,7 +37,8 @@ class DeferredLabelDrain:
     def add(self, meta, labels_dev, n_rows=None):
         n = int(n_rows) if n_rows is not None else int(labels_dev.shape[0])
         self._items.append((meta, labels_dev, n))
-        if len(self._items) % self._every == 0:
+        # backpressure_every <= 0 disables backpressure entirely
+        if self._every > 0 and len(self._items) % self._every == 0:
             np.asarray(self._items[-self._every][1][0, 0])  # backpressure
 
     def drain(self):

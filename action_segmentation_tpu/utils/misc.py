@@ -17,8 +17,15 @@ def enable_compilation_cache():
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    except Exception as e:
+        # say so loudly: silently losing the persistent cache means
+        # every run re-pays the minutes-per-shape remote compiles
+        import logging
+
+        logging.getLogger("action_segmentation_tpu").warning(
+            "persistent compilation cache disabled ({}); compiles will "
+            "not be reused across runs".format(e)
+        )
 
 
 def all_equal(xs):

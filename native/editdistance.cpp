@@ -3,7 +3,7 @@
 // The reference depends on the `editdistance` pip package (a C++
 // extension) for its segment-level Levenshtein metric
 // (src/evaluation/accuracy.py:364-408); this is our native equivalent.
-// Banded two-row DP, O(n*m) time, O(min(n,m)) space.
+// Two-row DP (full table, no banding): O(n*m) time, O(min(n,m)) space.
 
 #include <cstdint>
 #include <vector>
@@ -30,17 +30,6 @@ int64_t edit_distance(const int64_t* a, int64_t na, const int64_t* b, int64_t nb
         std::swap(prev, cur);
     }
     return prev[nb];
-}
-
-// Batched variant: distances between consecutive pairs laid out in one
-// flat buffer with offsets (reduces ctypes call overhead for eval sweeps).
-void edit_distance_batch(const int64_t* data_a, const int64_t* offs_a,
-                         const int64_t* data_b, const int64_t* offs_b,
-                         int64_t n_pairs, int64_t* out) {
-    for (int64_t i = 0; i < n_pairs; ++i) {
-        out[i] = edit_distance(data_a + offs_a[i], offs_a[i + 1] - offs_a[i],
-                               data_b + offs_b[i], offs_b[i + 1] - offs_b[i]);
-    }
 }
 
 }  // extern "C"
