@@ -26,3 +26,26 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 assert len(jax.devices()) == 8, jax.devices()
+
+
+def make_sm_args(batch_size=10, **overrides):
+    """THE SemiMarkovModel test-args builder (one copy; the suite had
+    ~9 drifting duplicates before round 5). batch_size is the only
+    knob the copies varied; everything else overrides by attribute."""
+    import argparse
+
+    from action_segmentation_tpu.models.base import add_training_args
+    from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+
+    parser = argparse.ArgumentParser()
+    SemiMarkovModel.add_args(parser)
+    add_training_args(parser)
+    parser.add_argument("--batch_size", type=int, default=batch_size)
+    parser.add_argument(
+        "--annotate_background_with_previous", action="store_true"
+    )
+    parser.add_argument("--no_merge_classes", action="store_true")
+    args = parser.parse_args([])
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    return args

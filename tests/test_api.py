@@ -108,7 +108,14 @@ def test_segment_with_marginals_subset_classes():
     assert np.abs(marg[:, off]).max() == 0.0
     np.testing.assert_allclose(marg.sum(axis=1), 1.0, atol=1e-3)
     # a second segmenter over the same model with the full class set
-    # must not collide with the subset segmenter's cached program
+    # must not collide with the subset segmenter's cached program — a
+    # collision would reuse the subset program and leave ZERO mass on
+    # the off-subset columns, so shape alone cannot catch it
     seg_full = Segmenter(model)
     labels_f, marg_f = seg_full.segment_with_marginals(feats)
     assert marg_f.shape == (feats.shape[0], model.n_classes)
+    assert np.abs(marg_f[:, off]).max() > 0.0, (
+        "full-class marginals have no mass outside the subset — cached "
+        "program collision"
+    )
+    np.testing.assert_allclose(marg_f.sum(axis=1), 1.0, atol=1e-3)

@@ -11,19 +11,11 @@ from action_segmentation_tpu.data.synthetic import SyntheticDatasplit
 from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
 
 
-def make_args(**overrides):
-    from action_segmentation_tpu.models.base import add_training_args
+from tests.conftest import make_sm_args
 
-    parser = argparse.ArgumentParser()
-    SemiMarkovModel.add_args(parser)
-    add_training_args(parser)
-    parser.add_argument("--batch_size", type=int, default=10)
-    parser.add_argument("--annotate_background_with_previous", action="store_true")
-    parser.add_argument("--no_merge_classes", action="store_true")
-    args = parser.parse_args([])
-    for k, v in overrides.items():
-        setattr(args, k, v)
-    return args
+
+def make_args(**overrides):
+    return make_sm_args(**overrides)
 
 
 def test_orbax_roundtrip(tmp_path):
@@ -131,18 +123,12 @@ def test_import_reference_state_dict(tmp_path):
     reference param names + constraint buffers) imports into a
     serving-ready model whose decode matches a natively-built module
     with the same weights."""
-    import pickle as pkl
-    import sys
-
     import torch
 
-    sys.path.insert(0, ".")
     from scripts.import_reference_model import main as import_main
 
     from action_segmentation_tpu.api import Segmenter
     from action_segmentation_tpu.models.semimarkov import (
-        GaussianHsmm,
-        SemiMarkovModel,
         semimarkov_from_reference_state_dict,
     )
     from tests.test_semimarkov_model import make_args

@@ -1,7 +1,5 @@
 """Tests for the compound (neural) HSMM module and the NICE flow."""
 
-import argparse
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -12,19 +10,11 @@ from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
 from action_segmentation_tpu.models import flow as nice_flow
 
 
-def make_args(**overrides):
-    from action_segmentation_tpu.models.base import add_training_args
+from tests.conftest import make_sm_args
 
-    parser = argparse.ArgumentParser()
-    SemiMarkovModel.add_args(parser)
-    add_training_args(parser)
-    parser.add_argument("--batch_size", type=int, default=10)
-    parser.add_argument("--annotate_background_with_previous", action="store_true")
-    parser.add_argument("--no_merge_classes", action="store_true")
-    args = parser.parse_args([])
-    for k, v in overrides.items():
-        setattr(args, k, v)
-    return args
+
+def make_args(**overrides):
+    return make_sm_args(**overrides)
 
 
 @pytest.fixture(scope="module")
@@ -87,9 +77,38 @@ def test_flow_projector_trains(toy_data):
     assert losses[-1] < losses[0], losses
 
 
+def _nice_invert(params, h):
+    """Test-local inverse of nice_apply's coupling stack (reversed
+    layer order; odd layers transform the FIRST half from the second)."""
+    import jax.numpy as jnp
+
+    half = h.shape[-1] // 2
+    out = h
+    scale_cells = params.get("scale_cells")
+    for i in reversed(range(len(params["cells"]))):
+        cell = params["cells"][i]
+        h1, h2p = out[..., :half], out[..., half:]
+        if i % 2 == 1:
+            h1, h2p = h2p, h1
+        t = nice_flow.relu_net_apply(cell, h1)
+        if scale_cells is not None:
+            s = nice_flow.relu_net_apply(scale_cells[i], h1)
+            h2 = (h2p - t) * jnp.exp(-s)
+        else:
+            h2 = h2p - t
+        if i % 2 == 1:
+            h1, h2 = h2, h1
+        out = jnp.concatenate([h1, h2], axis=-1)
+    return out
+
+
 def test_nice_flow_invertibility_props():
-    """Additive NICE couplings: log-det is exactly zero; with scale cells
-    zero-initialized the flow starts at identity (flow.py:35-43)."""
+    """NICE couplings: additive log-det is exactly zero; zero-init scale
+    cells reproduce the additive flow's h exactly (the coupling nets
+    share the same key draws); and the flow is actually INVERTIBLE — a
+    hand-written inverse round-trips x for both the additive and the
+    affine (flow_scale_no_zero) variants. The earlier version asserted
+    only log_det == 0 and discarded h (round-5 test review)."""
 
     class A:
         flow_hidden_layers = 1
@@ -101,15 +120,33 @@ def test_nice_flow_invertibility_props():
     rng = jax.random.PRNGKey(0)
     params = nice_flow.nice_init(rng, A(), 8)
     x = jax.random.normal(jax.random.PRNGKey(1), (3, 5, 8))
-    h, log_det = nice_flow.nice_apply(params, x)
-    assert h.shape == x.shape
+    h_add, log_det = nice_flow.nice_apply(params, x)
+    assert h_add.shape == x.shape
     assert np.allclose(np.asarray(log_det), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(_nice_invert(params, h_add)), np.asarray(x),
+        rtol=1e-5, atol=1e-5,
+    )
 
     A.flow_scale = True
     params = nice_flow.nice_init(rng, A(), 8)
     h, log_det = nice_flow.nice_apply(params, x)
-    # zero-initialized scale nets: s = 0 -> log_det 0, h = additive output
+    # zero-initialized scale nets: s = 0 -> log_det 0 AND h equals the
+    # additive flow's output (identical coupling-net draws)
     assert np.allclose(np.asarray(log_det), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(h), np.asarray(h_add), rtol=1e-6, atol=1e-6
+    )
+
+    # affine variant with LIVE scale nets: log-det nonzero, invertible
+    A.flow_scale_no_zero = True
+    params = nice_flow.nice_init(rng, A(), 8)
+    h, log_det = nice_flow.nice_apply(params, x)
+    assert np.abs(np.asarray(log_det)).max() > 0.0
+    np.testing.assert_allclose(
+        np.asarray(_nice_invert(params, h)), np.asarray(x),
+        rtol=1e-4, atol=1e-4,
+    )
 
 
 def test_closed_then_gradient(toy_data):

@@ -39,13 +39,16 @@ SEED = 0
 
 @pytest.fixture(scope="module")
 def fuzz_mod():
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    scripts_dir = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    sys.path.insert(0, scripts_dir)
     try:
         import dp_parity_fuzz
 
         yield dp_parity_fuzz
     finally:
-        sys.path.pop(0)
+        # remove the exact entry: a blind pop(0) would remove whatever
+        # another test inserted at index 0 in the meantime
+        sys.path.remove(scripts_dir)
 
 
 @pytest.fixture(scope="module")

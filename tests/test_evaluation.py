@@ -34,7 +34,7 @@ def test_perfect_prediction_identity():
     assert s["f1"][0] == 1.0
     assert s["mean_normed_levenshtein"][0] == 0.0
     assert s["step_recall_non_bg"][0] == s["step_recall_non_bg"][1]
-    # 6 frames per video are background out of 12
+    # 5 background frames (2 + 3 zero labels) out of 12 total
     assert s["pred_background"][0] == 5 and s["pred_background"][1] == 12
 
 

@@ -11,19 +11,11 @@ from action_segmentation_tpu.data.synthetic import SyntheticDatasplit
 from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
 
 
-def make_args(**overrides):
-    from action_segmentation_tpu.models.base import add_training_args
+from tests.conftest import make_sm_args
 
-    parser = argparse.ArgumentParser()
-    SemiMarkovModel.add_args(parser)
-    add_training_args(parser)
-    parser.add_argument("--batch_size", type=int, default=10)
-    parser.add_argument("--annotate_background_with_previous", action="store_true")
-    parser.add_argument("--no_merge_classes", action="store_true")
-    args = parser.parse_args([])
-    for k, v in overrides.items():
-        setattr(args, k, v)
-    return args
+
+def make_args(**overrides):
+    return make_sm_args(**overrides)
 
 
 @pytest.fixture(scope="module")
@@ -137,7 +129,7 @@ def test_gm_covariance_all_types():
     data = SyntheticDatasplit(
         num_videos=30, n_classes=3, max_len=24, span_k=4, feature_dim=8, seed=0
     )
-    want_ndim = {"diag": 2, "full": 3, "tied": 2}
+    want_ndim = {"tied_diag": 1, "diag": 2, "full": 3, "tied": 2}
     for cov_type, ndim in want_ndim.items():
         model = FramewiseGaussianMixture.from_args(gm_args(cov_type), data)
         model.fit(data, use_labels=True)

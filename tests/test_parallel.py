@@ -7,6 +7,8 @@ model_parallel > 1 raises — see parallel/mesh.py.)
 """
 
 import numpy as np
+
+from tests.conftest import make_sm_args
 import jax
 
 
@@ -40,16 +42,7 @@ def test_data_parallel_fit_matches_single_device():
     from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
 
     def make_args(**overrides):
-        parser = argparse.ArgumentParser()
-        SemiMarkovModel.add_args(parser)
-        add_training_args(parser)
-        parser.add_argument("--batch_size", type=int, default=6)
-        parser.add_argument("--annotate_background_with_previous", action="store_true")
-        parser.add_argument("--no_merge_classes", action="store_true")
-        args = parser.parse_args([])
-        for k, v in overrides.items():
-            setattr(args, k, v)
-        return args
+        return make_sm_args(batch_size=6, **overrides)
 
     train = SyntheticDatasplit(num_videos=13, n_classes=3, max_len=20, span_k=4, seed=0)
 
@@ -163,16 +156,7 @@ def test_data_parallel_predict_matches_single_device():
     from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
 
     def make_args(**overrides):
-        parser = argparse.ArgumentParser()
-        SemiMarkovModel.add_args(parser)
-        add_training_args(parser)
-        parser.add_argument("--batch_size", type=int, default=5)
-        parser.add_argument("--annotate_background_with_previous", action="store_true")
-        parser.add_argument("--no_merge_classes", action="store_true")
-        args = parser.parse_args([])
-        for k, v in overrides.items():
-            setattr(args, k, v)
-        return args
+        return make_sm_args(batch_size=5, **overrides)
 
     data = SyntheticDatasplit(num_videos=11, n_classes=3, max_len=24, span_k=4, seed=1)
 
@@ -201,16 +185,7 @@ def test_data_parallel_discriminative_matches_single_device():
     from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
 
     def make_args(**overrides):
-        parser = argparse.ArgumentParser()
-        SemiMarkovModel.add_args(parser)
-        add_training_args(parser)
-        parser.add_argument("--batch_size", type=int, default=4)
-        parser.add_argument("--annotate_background_with_previous", action="store_true")
-        parser.add_argument("--no_merge_classes", action="store_true")
-        args = parser.parse_args([])
-        for k, v in overrides.items():
-            setattr(args, k, v)
-        return args
+        return make_sm_args(batch_size=4, **overrides)
 
     train = SyntheticDatasplit(num_videos=8, n_classes=3, max_len=18, span_k=4, seed=3)
     losses = {}
@@ -410,21 +385,7 @@ def test_sharded_train_pallas_interpret(monkeypatch):
 
 
 def _make_fit_args(batch_size=6, **overrides):
-    import argparse
-
-    from action_segmentation_tpu.models.base import add_training_args
-    from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
-
-    parser = argparse.ArgumentParser()
-    SemiMarkovModel.add_args(parser)
-    add_training_args(parser)
-    parser.add_argument("--batch_size", type=int, default=batch_size)
-    parser.add_argument("--annotate_background_with_previous", action="store_true")
-    parser.add_argument("--no_merge_classes", action="store_true")
-    args = parser.parse_args([])
-    for k, v in overrides.items():
-        setattr(args, k, v)
-    return args
+    return make_sm_args(batch_size=batch_size, **overrides)
 
 
 def test_sharded_grad_step_matches_single_device_grads():
@@ -582,16 +543,7 @@ def test_data_parallel_fit_compound_z_matches_single_device():
     from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
 
     def make_args(**overrides):
-        parser = argparse.ArgumentParser()
-        SemiMarkovModel.add_args(parser)
-        add_training_args(parser)
-        parser.add_argument("--batch_size", type=int, default=6)
-        parser.add_argument("--annotate_background_with_previous", action="store_true")
-        parser.add_argument("--no_merge_classes", action="store_true")
-        args = parser.parse_args([])
-        for k, v in overrides.items():
-            setattr(args, k, v)
-        return args
+        return make_sm_args(batch_size=6, **overrides)
 
     train = SyntheticDatasplit(num_videos=13, n_classes=3, max_len=20, span_k=4, seed=0)
 

@@ -76,9 +76,17 @@ def _check_invariants(model, budget_mb, during_fit_key=None):
         assert np.isfinite(mark)
     if during_fit_key is None:
         assert not model._resident_pins, model._resident_pins
-    elif during_fit_key in model._resident_pins:
-        # the pinned (actively training) corpus must never be evicted
-        assert during_fit_key in cache, "pinned corpus evicted mid-fit"
+    else:
+        # two-way: a pinned corpus must still be cached, AND the fit's
+        # cached training corpus must be pinned — without the second
+        # direction a fit-never-pins regression made this check
+        # silently unreachable (round-5 test review)
+        if during_fit_key in model._resident_pins:
+            assert during_fit_key in cache, "pinned corpus evicted mid-fit"
+        if during_fit_key in cache:
+            assert during_fit_key in model._resident_pins, (
+                "fit's cached training corpus is not pinned"
+            )
 
 
 def test_resident_cache_randomized_stress():
@@ -150,6 +158,12 @@ def test_resident_cache_randomized_stress():
             # per-epoch eval on ANOTHER split while this fit's corpus
             # is pinned — the interleaving the pin exists for
             m_scan.predict(eval_split)
+            # unless the split failed to build (watermarked -> streams),
+            # the fit MUST be holding a pin right now
+            if key not in getattr(m_scan, "_resident_failed", {}):
+                assert key in m_scan._resident_pins, (
+                    "fit is not pinning its resident corpus mid-fit"
+                )
             _check_invariants(m_scan, budget_mb, during_fit_key=key)
 
         _sync_params(m_scan, m_str)

@@ -18,27 +18,17 @@ Mirrors the reference's synthetic learnability harness
 (src/models/test_semimarkov.py:90-247) for data construction.
 """
 
-import argparse
-
 import numpy as np
 
 from action_segmentation_tpu.data.synthetic import SyntheticDatasplit
 from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
 
 
-def make_args(**overrides):
-    from action_segmentation_tpu.models.base import add_training_args
+from tests.conftest import make_sm_args
 
-    parser = argparse.ArgumentParser()
-    SemiMarkovModel.add_args(parser)
-    add_training_args(parser)
-    parser.add_argument("--batch_size", type=int, default=10)
-    parser.add_argument("--annotate_background_with_previous", action="store_true")
-    parser.add_argument("--no_merge_classes", action="store_true")
-    args = parser.parse_args([])
-    for k, v in overrides.items():
-        setattr(args, k, v)
-    return args
+
+def make_args(**overrides):
+    return make_sm_args(**overrides)
 
 
 STAT_KEYS = (

@@ -15,19 +15,11 @@ from action_segmentation_tpu.data.synthetic import SyntheticDatasplit
 from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
 
 
-def make_args(**overrides):
-    from action_segmentation_tpu.models.base import add_training_args
+from tests.conftest import make_sm_args
 
-    parser = argparse.ArgumentParser()
-    SemiMarkovModel.add_args(parser)
-    add_training_args(parser)
-    parser.add_argument("--batch_size", type=int, default=10)
-    parser.add_argument("--annotate_background_with_previous", action="store_true")
-    parser.add_argument("--no_merge_classes", action="store_true")
-    args = parser.parse_args([])
-    for k, v in overrides.items():
-        setattr(args, k, v)
-    return args
+
+def make_args(**overrides):
+    return make_sm_args(**overrides)
 
 
 def token_accuracy(model, data):
@@ -167,16 +159,7 @@ def test_class_shape_bucket_parity():
     from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
 
     def make_args(**overrides):
-        parser = argparse.ArgumentParser()
-        SemiMarkovModel.add_args(parser)
-        add_training_args(parser)
-        parser.add_argument("--batch_size", type=int, default=4)
-        parser.add_argument("--annotate_background_with_previous", action="store_true")
-        parser.add_argument("--no_merge_classes", action="store_true")
-        args = parser.parse_args([])
-        for k, v in overrides.items():
-            setattr(args, k, v)
-        return args
+        return make_sm_args(batch_size=4, **overrides)
 
     data = SyntheticDatasplit(num_videos=9, n_classes=3, max_len=22, span_k=4, seed=2)
 
