@@ -257,20 +257,13 @@ def bench_tpu_train():
     return B * T / per_iter
 
 
-def bench_epoch_realistic():
-    """Mixed-length, bucket-distributed epoch through the REAL model
-    path (round-2 verdict item 4: the headline B=18/T=1024 point is the
-    best case — every lane group full, one shape). This stage runs
-    SemiMarkovModel.fit/predict on a CrossTask-like synthetic corpus:
-    lengths 400..1024 across four geometric buckets, a partial final
-    batch, partial lane groups (16 videos over pack=6), per-epoch
-    decode — so the number includes bucketing recompedule reuse, host
-    batching, transfers, and the deferred-drain host loop.
+def make_realistic_workload(epochs=6):
+    """(args, train, total_frames): THE realistic-epoch workload.
 
-    Returns {"epoch_vids_per_sec", "epoch_frames_per_sec",
-    "decode_mixed_frames_per_sec"} from WARM epochs (min over the
-    post-compile epochs / second predict call).
-    """
+    Shared by bench_epoch_realistic and scripts/epoch_decompose.py so
+    the phase decomposition always measures the same corpus/batching the
+    headline metric reports (they had already drifted on epoch count
+    before this was extracted — round-5 review)."""
     import argparse
 
     from action_segmentation_tpu.data.synthetic import SyntheticDatasplit
@@ -285,10 +278,7 @@ def bench_epoch_realistic():
     parser.add_argument("--no_merge_classes", action="store_true")
     args = parser.parse_args([])
     args.sm_max_span_length = K
-    # epoch 0 pays every bucket compile + the flush compile; the warm
-    # window (epochs 1..N-1 + the fit-end flush round trip) amortizes
-    # the single ~0.5 s flush fetch over 5 epochs
-    args.epochs = 6
+    args.epochs = epochs
     args.lr = 1e-2
 
     # 44 videos -> batches of 16/16/12 (partial final batch); C=19 on
@@ -299,7 +289,29 @@ def bench_epoch_realistic():
         feature_dim=D, shift=1.5, seed=0,
     )
     total_frames = sum(len(s["gt_single"]) for s in train._samples.values())
+    return args, train, total_frames
 
+
+def bench_epoch_realistic():
+    """Mixed-length, bucket-distributed epoch through the REAL model
+    path (round-2 verdict item 4: the headline B=18/T=1024 point is the
+    best case — every lane group full, one shape). This stage runs
+    SemiMarkovModel.fit/predict on a CrossTask-like synthetic corpus:
+    lengths 400..1024 across four geometric buckets, a partial final
+    batch, partial lane groups (16 videos over pack=6), per-epoch
+    decode — so the number includes bucketing recompedule reuse, host
+    batching, transfers, and the deferred-drain host loop.
+
+    Returns {"epoch_vids_per_sec", "epoch_frames_per_sec",
+    "decode_mixed_frames_per_sec"} from WARM epochs (min over the
+    post-compile epochs / second predict call).
+    """
+    from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+
+    # epoch 0 pays every bucket compile + the flush compile; the warm
+    # window (epochs 1..N-1 + the fit-end flush round trip) amortizes
+    # the single ~0.5 s flush fetch over 5 epochs
+    args, train, total_frames = make_realistic_workload(epochs=6)
     model = SemiMarkovModel.from_args(args, train)
     t_epoch0 = [None]
 

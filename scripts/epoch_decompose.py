@@ -3,29 +3,45 @@
 Round-3 verdict weak-item 1: BENCH_r03 reported device train throughput
 of 14.6M frames/s but realistic-epoch wall clock of 40.5k frames/s, and
 the 360x gap was *asserted* to be tunnel latency, not measured. This
-script times every phase of the same workload bench_epoch_realistic
-runs (SemiMarkovModel.fit on the 44-video CrossTask-like synthetic
-corpus) by wrapping the host loop's components:
+script times the phases of the same workload bench_epoch_realistic runs
+(bench.make_realistic_workload — ONE shared builder, so the
+decomposition cannot drift from the headline metric) by wrapping the
+host loop's components:
 
   * collate      — iter_batches: bucketing, padding, stacking (host)
   * batch_prep   — _batch_device_args + _pad_batch_rows (host numpy)
   * device_put   — host->device transfer of the batch
-  * dispatch     — grad_step + update call time (async enqueue, NOT
-                   device execution)
-  * drain_fetch  — the stacked scalar fetches (each is a full
+  * dispatch_*   — jitted program call time (async enqueue, NOT device
+                   execution)
+  * drain_fetch  — np.asarray on device arrays (each is a full
                    dispatch->fetch round trip through the TPU tunnel)
-  * log_fetch    — float(gnorm)-style fetches for the print_every line
-  * sched_cb     — plateau scheduler + callback (host)
   * other        — residual (epoch wall - sum of the above)
 
-Usage:  python scripts/epoch_decompose.py [--json OUT]
-Prints a per-epoch table and one JSON line; run before/after host-loop
-changes to show where the time went (docs/DESIGN.md §9).
+Two modes:
+  * default: the per-batch STREAMING loop (sm_device_resident_mb=0) —
+    the loop whose host phases the instrumentation wraps; this is the
+    mode to run before/after host-loop changes.
+  * --resident: the device-resident epoch-scan path (the bench
+    default). The per-batch host phases are legitimately ~0 there
+    (epochs run as single scan programs); only drain_fetch/dispatch
+    and the post-fit drain carry time.
+
+CAVEATS printed with the table: per-epoch wall times measure DISPATCH
+ENQUEUE under the asynchronous host loop (no per-epoch sync — see
+bench.py's honest-timing note); the authoritative throughput number is
+bench_epoch_realistic's fit-return-bounded window. The fit-end
+flush_deferred round trip lands AFTER the last epoch callback and is
+reported as the separate `post_fit` row (it used to be silently
+dropped — round-5 review).
+
+Usage:  python scripts/epoch_decompose.py [--resident] [--json OUT]
+Prints a per-epoch table and one JSON line (docs/DESIGN.md §9).
 """
 
 import argparse
 import json
 import sys
+import threading
 import time
 
 sys.path.insert(0, ".")
@@ -36,9 +52,13 @@ import numpy as np
 class PhaseTimer:
     def __init__(self):
         self.totals = {}
+        # fit's prefetch pool runs wrapped phases on 2 worker threads;
+        # unlocked read-modify-write would drop increments
+        self._lock = threading.Lock()
 
     def add(self, name, dt):
-        self.totals[name] = self.totals.get(name, 0.0) + dt
+        with self._lock:
+            self.totals[name] = self.totals.get(name, 0.0) + dt
 
     def wrap(self, name, fn):
         def wrapped(*a, **k):
@@ -50,15 +70,20 @@ class PhaseTimer:
         return wrapped
 
     def snapshot(self):
-        out = dict(self.totals)
-        self.totals = {}
+        with self._lock:
+            out = dict(self.totals)
+            self.totals = {}
         return out
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--json", default=None)
-    p.add_argument("--epochs", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=None,
+                   help="default: the bench workload's epoch count")
+    p.add_argument("--resident", action="store_true",
+                   help="measure the device-resident scan path instead "
+                        "of the streaming host loop")
     args_cli = p.parse_args(argv)
 
     from action_segmentation_tpu.utils import enable_compilation_cache
@@ -69,27 +94,17 @@ def main(argv=None):
 
     from action_segmentation_tpu.data import batching
     from action_segmentation_tpu.models import semimarkov as sm_mod
-    from bench import C, D, K, T, bench_epoch_realistic  # noqa: F401  (constants)
-    from action_segmentation_tpu.data.synthetic import SyntheticDatasplit
-    from action_segmentation_tpu.models.base import add_training_args
     from action_segmentation_tpu.models.semimarkov import SemiMarkovModel
+    from bench import make_realistic_workload
 
-    parser = argparse.ArgumentParser()
-    SemiMarkovModel.add_args(parser)
-    add_training_args(parser)
-    parser.add_argument("--batch_size", type=int, default=16)
-    parser.add_argument("--annotate_background_with_previous", action="store_true")
-    parser.add_argument("--no_merge_classes", action="store_true")
-    args = parser.parse_args([])
-    args.sm_max_span_length = K
-    args.epochs = args_cli.epochs
-    args.lr = 1e-2
-
-    train = SyntheticDatasplit(
-        num_videos=44, n_classes=C, max_len=T, min_len=400, span_k=K,
-        feature_dim=D, shift=1.5, seed=0,
-    )
-    total_frames = sum(len(s["gt_single"]) for s in train._samples.values())
+    args, train, total_frames = make_realistic_workload()
+    if args_cli.epochs is not None:
+        args.epochs = args_cli.epochs
+    if not args_cli.resident:
+        # force the per-batch streaming loop: with the resident scan
+        # active the instrumented host phases never run and the
+        # decomposition is vacuous
+        args.sm_device_resident_mb = 0
 
     model = SemiMarkovModel.from_args(args, train)
     timer = PhaseTimer()
@@ -157,11 +172,22 @@ def main(argv=None):
     t_fit0 = time.perf_counter()
     model.fit(train, use_labels=False, callback_fn=cb)
     fit_total = time.perf_counter() - t_fit0
+    # the fit-end flush_deferred drain (the single stacked round trip
+    # that forces every queued train step) runs AFTER the last epoch
+    # callback; snapshot it as its own row instead of dropping it
+    tail = timer.snapshot()
+    tail["epoch_wall"] = time.perf_counter() - wall[0]
+    epoch_rows.append(("post_fit", tail))
 
     np.asarray = orig_asarray
     jax.device_put = orig_device_put
 
     phases = sorted({k for _, r in epoch_rows for k in r if k != "epoch_wall"})
+    print(
+        "NOTE: per-epoch walls measure dispatch ENQUEUE (no per-epoch "
+        "sync); bench_epoch_realistic's fit-return window is the honest "
+        "throughput. The post_fit row holds the fit-end drain fetch."
+    )
     print("epoch  wall_s  " + "  ".join("{:>12s}".format(p) for p in phases + ["other"]))
     table = []
     for epoch, row in epoch_rows:
@@ -169,21 +195,23 @@ def main(argv=None):
         other = row["epoch_wall"] - acct
         cells = [row.get(p, 0.0) for p in phases] + [other]
         print(
-            "{:>5d}  {:6.3f}  ".format(epoch, row["epoch_wall"])
+            "{:>8}  {:6.3f}  ".format(epoch, row["epoch_wall"])
             + "  ".join("{:12.4f}".format(c) for c in cells)
         )
         table.append({"epoch": epoch, "wall_s": row["epoch_wall"],
                       **{p: row.get(p, 0.0) for p in phases}, "other": other})
 
-    warm = [r for r in table if r["epoch"] >= 1]
-    warm_wall = min(r["wall_s"] for r in warm) if warm else None
+    # honest fit-window throughput (matches bench's methodology: the
+    # fit RETURN forces the final drain, so fit_total bounds completed
+    # work for all epochs incl. compile)
     out = {
         "metric": "epoch_phase_decomposition",
+        "mode": "resident" if args_cli.resident else "streaming",
         "epoch_frames": total_frames,
+        "epochs_run": args.epochs,
         "fit_total_s": round(fit_total, 3),
-        "warm_epoch_s": round(warm_wall, 4) if warm_wall else None,
-        "warm_epoch_frames_per_sec": (
-            round(total_frames / warm_wall, 1) if warm_wall else None
+        "fit_window_frames_per_sec": round(
+            total_frames * args.epochs / fit_total, 1
         ),
         "epochs": table,
     }

@@ -50,6 +50,14 @@ def load_reference_pickle(path, reference_src):
 
 
 def main(argv=None):
+    # weight-format conversion needs no accelerator; under the
+    # force-registered axon plugin the default backend CLAIMS the TPU
+    # (one process at a time — a concurrent bench would hang, and a
+    # Ctrl-C mid-claim can wedge the grant; CLAUDE.md quirks)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     from action_segmentation_tpu.models.base import add_training_args
     from action_segmentation_tpu.models.semimarkov import (
         SemiMarkovModel,
@@ -81,9 +89,19 @@ def main(argv=None):
         class_to_components = getattr(
             ref_model.model, "class_to_components", None
         )
-        # carry over the flags both CLIs share (max span length etc.)
+        # carry over the flags both CLIs share (max span length etc.),
+        # UNLESS the user passed the flag explicitly — match both the
+        # "--flag value" and "--flag=value" spellings (the bare
+        # membership test missed the latter and silently clobbered
+        # explicit overrides)
+        cli = argv if argv is not None else sys.argv[1:]
+        explicit = {
+            tok.split("=", 1)[0].lstrip("-")
+            for tok in cli
+            if tok.startswith("--")
+        }
         for key, val in vars(ref_model.args).items():
-            if hasattr(args, key) and "--{}".format(key) not in (argv or sys.argv):
+            if hasattr(args, key) and key not in explicit:
                 setattr(args, key, val)
     else:
         import torch

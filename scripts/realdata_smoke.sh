@@ -62,25 +62,32 @@ python scripts/realdata_loader_parity.py --dataset crosstask \
 mkdir -p "$OUT_ROOT"
 
 echo "== stage 3: S6 closed-form supervised + decode ($EPOCHS epochs) =="
+# EXACTLY the Table-2 S6 flags (README.md "paper rows"; reference
+# README Table 2): --task_specific_steps + --annotate_background_with_
+# previous define the S6 class space — omitting them fits a different
+# model family and records wrong expectations (round-5 review)
 mkdir -p "$OUT_ROOT/s6"
 python -u -m action_segmentation_tpu.main \
     --dataset crosstask --data_root "$DATA_ROOT" \
     --crosstask_feature_groups i3d resnet audio \
     --classifier semimarkov --training supervised \
+    --task_specific_steps --annotate_background_with_previous \
     --epochs "$EPOCHS" \
     --model_output_path "$OUT_ROOT/s6" \
     | tee "$OUT_ROOT/s6/log.txt" || exit 1
 
 echo "== stage 4: U7 unsupervised + narration + ordering (short leg) =="
+# EXACTLY the Table-2 U7 flags: the row is the COMPOUND model
+# (--sm_component_model), and the reference command has no --mix_tasks
 mkdir -p "$OUT_ROOT/u7"
 python -u -m action_segmentation_tpu.main \
     --dataset crosstask --data_root "$DATA_ROOT" \
     --crosstask_feature_groups i3d resnet audio \
     --classifier semimarkov --training unsupervised \
-    --mix_tasks --task_specific_steps --sm_constrain_transitions \
+    --task_specific_steps --sm_constrain_transitions \
     --annotate_background_with_previous \
+    --sm_component_model \
     --sm_constrain_with_narration train \
-    --sm_constrain_narration_weight=-1e4 \
     --epochs "$EPOCHS" \
     --model_output_path "$OUT_ROOT/u7" \
     | tee "$OUT_ROOT/u7/log.txt" || exit 1

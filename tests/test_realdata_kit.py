@@ -156,3 +156,30 @@ def test_stats_check_bootstrap_then_match_then_regress(tmp_path):
 
     _write_log(str(s6), dict(STATS, mof=0.50))  # a 0.11 regression
     assert stats_main(argv) == 1
+
+
+def test_smoke_script_pins_table2_commands():
+    """Stages 3/4 must run EXACTLY the repo's documented Table-2 S6/U7
+    commands: the round-5 review found stage 3 missing the class-space
+    flags and stage 4 training a Gaussian HSMM (no --sm_component_model,
+    spurious --mix_tasks) — expectations bootstrapped from those would
+    validate the wrong model family forever."""
+    src = "\n".join(
+        line
+        for line in open(REPO + "/scripts/realdata_smoke.sh")
+        if not line.lstrip().startswith("#")  # commands, not comments
+    )
+    s6 = src.split("== stage 3")[1].split("== stage 4")[0]
+    assert "--task_specific_steps" in s6
+    assert "--annotate_background_with_previous" in s6
+    assert "--mix_tasks" not in s6
+    u7 = src.split("== stage 4")[1].split("== stage 5")[0]
+    for flag in (
+        "--sm_component_model",
+        "--task_specific_steps",
+        "--sm_constrain_transitions",
+        "--annotate_background_with_previous",
+        "--sm_constrain_with_narration train",
+    ):
+        assert flag in u7, flag
+    assert "--mix_tasks" not in u7
