@@ -622,16 +622,18 @@ def _print_heartbeat(timeout_s):
         "(CLAUDE.md environment quirks)",
     }
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "docs", "bench_r4_builder.json")
-        ) as f:
+        import glob
+
+        docs = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs")
+        # newest preserved builder run wins (bench_r4_builder.json, r5, ...)
+        path = sorted(glob.glob(os.path.join(docs, "bench_r*_builder.json")))[-1]
+        with open(path) as f:
             prev = json.load(f)
         hb["last_preserved_run"] = {
             "decode_frames_per_sec": prev["headline"]["value"],
             "train_frames_per_sec": prev["train"]["value"],
             "epoch_frames_per_sec": prev["headline"].get("epoch_frames_per_sec"),
-            "source": "docs/bench_r4_builder.json",
+            "source": "docs/" + os.path.basename(path),
         }
     except Exception:
         pass

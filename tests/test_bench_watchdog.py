@@ -109,6 +109,8 @@ def test_heartbeat_line_is_parseable_and_cites_last_run(capsys):
     assert hb["metric"] == "bench_heartbeat"
     assert hb["backend_timeout_s"] == 1234.0
     assert "wait_policy" in hb
-    # the preserved round-4 builder run ships in docs/
+    # the NEWEST preserved builder run ships in docs/ (r4 at minimum;
+    # later rounds preserve bench_r5_builder.json etc. and win the sort)
     assert hb["last_preserved_run"]["decode_frames_per_sec"] > 1e7
-    assert hb["last_preserved_run"]["source"] == "docs/bench_r4_builder.json"
+    src = hb["last_preserved_run"]["source"]
+    assert src.startswith("docs/bench_r") and src.endswith("_builder.json")
