@@ -447,7 +447,20 @@ def compound_fuzz(n_configs, seed):
     )
 
 
+def _guarded_backend_init():
+    """Claim the JAX backend through bench.py's wedge watchdog BEFORE
+    building any harness state: a wedged axon grant blocks the first
+    `jax.devices()` indefinitely (CLAUDE.md environment quirks), which
+    would turn the whole sweep into a silent hang with zero output.
+    Honors BENCH_BUDGET_S like bench.py."""
+    from bench import _backend_timeout_s, _init_backend_with_watchdog
+
+    kind = _init_backend_with_watchdog(_backend_timeout_s())
+    print("dp_parity_fuzz: backend up ({})".format(kind), flush=True)
+
+
 if __name__ == "__main__":
+    _guarded_backend_init()
     if "--compound" in sys.argv:
         sys.argv.remove("--compound")
         compound_fuzz(
