@@ -188,9 +188,8 @@ def fuzz_one(harness, ref_mod, rng, i, check_marginals=None):
     return "ok"
 
 
-def main():
-    n_configs = int(sys.argv[1]) if len(sys.argv) > 1 else 60
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+def main(n_configs, seed, budget_s=None):
+    import time
 
     import tests.test_reference_dp_parity as harness
 
@@ -200,6 +199,7 @@ def main():
 
     rng = np.random.RandomState(seed)
     n_ok = n_skip = 0
+    t0 = time.perf_counter()
     try:
         for i in range(n_configs):
             if fuzz_one(harness, ref_mod, rng, i) == "skip":
@@ -210,13 +210,25 @@ def main():
                 )
             else:
                 n_ok += 1
-            if (i + 1) % 10 == 0:
+            elapsed = time.perf_counter() - t0
+            print(
+                "{}/{} configs done ({} compared, {} skipped, {:.0f}s)".format(
+                    i + 1, n_configs, n_ok, n_skip, elapsed
+                ),
+                flush=True,
+            )
+            # on-chip every random config is a fresh shape set paying
+            # ~1-2 min of remote lowering+compile; a budget lets the
+            # sweep end ITSELF cleanly (a kill mid-compile risks
+            # re-wedging the grant — CLAUDE.md environment quirks)
+            if budget_s is not None and elapsed > budget_s:
                 print(
-                    "{}/{} configs done ({} compared, {} skipped)".format(
-                        i + 1, n_configs, n_ok, n_skip
+                    "budget {}s reached; stopping after {} configs".format(
+                        budget_s, i + 1
                     ),
                     flush=True,
                 )
+                break
     finally:
         # run the fixture's cleanup while the interpreter is intact —
         # including on the mismatch path, or its teardown noise would
@@ -403,7 +415,7 @@ def compound_fuzz_one(harness, ref_mod, rng, i):
     return "ok"
 
 
-def compound_fuzz(n_configs, seed):
+def compound_fuzz(n_configs, seed, budget_s=None):
     """Compound-model differential fuzz: random structures (component
     maps incl. decompose-style many-to-many, embedding dims, MLP depths,
     z on/off, compound-structure flag, constraints, merges, subsets)
@@ -413,12 +425,15 @@ def compound_fuzz(n_configs, seed):
     score_features edge tensor. z_dim > 0 configs use uniform full
     lengths (the reference's pad-pooling quirk is a documented delta).
     """
+    import time
+
     import tests.test_reference_dp_parity as harness
 
     gen = harness.ref_sm.__wrapped__()
     ref_mod = next(gen)
     rng = np.random.RandomState(seed)
     n_ok = n_skip = 0
+    t0 = time.perf_counter()
     try:
         for i in range(n_configs):
             if compound_fuzz_one(harness, ref_mod, rng, i) == "skip":
@@ -430,12 +445,20 @@ def compound_fuzz(n_configs, seed):
                 )
             else:
                 n_ok += 1
-            if (i + 1) % 10 == 0:
+            elapsed = time.perf_counter() - t0
+            print(
+                "{}/{} compound configs done ({} compared, {} skipped, "
+                "{:.0f}s)".format(i + 1, n_configs, n_ok, n_skip, elapsed),
+                flush=True,
+            )
+            if budget_s is not None and elapsed > budget_s:
                 print(
-                    "{}/{} compound configs done ({} compared, {} "
-                    "skipped)".format(i + 1, n_configs, n_ok, n_skip),
+                    "budget {}s reached; stopping after {} configs".format(
+                        budget_s, i + 1
+                    ),
                     flush=True,
                 )
+                break
     finally:
         try:
             next(gen)
@@ -453,19 +476,32 @@ def _guarded_backend_init():
     `jax.devices()` indefinitely (CLAUDE.md environment quirks), which
     would turn the whole sweep into a silent hang with zero output.
     Honors BENCH_BUDGET_S like bench.py."""
+    from action_segmentation_tpu.utils import enable_compilation_cache
+
     from bench import _backend_timeout_s, _init_backend_with_watchdog
 
+    enable_compilation_cache()
     kind = _init_backend_with_watchdog(_backend_timeout_s())
     print("dp_parity_fuzz: backend up ({})".format(kind), flush=True)
 
 
 if __name__ == "__main__":
+    budget_s = None
+    if "--budget-s" in sys.argv:
+        i = sys.argv.index("--budget-s")
+        budget_s = float(sys.argv[i + 1])
+        del sys.argv[i:i + 2]
     _guarded_backend_init()
     if "--compound" in sys.argv:
         sys.argv.remove("--compound")
         compound_fuzz(
             int(sys.argv[1]) if len(sys.argv) > 1 else 30,
             int(sys.argv[2]) if len(sys.argv) > 2 else 0,
+            budget_s=budget_s,
         )
     else:
-        main()
+        main(
+            int(sys.argv[1]) if len(sys.argv) > 1 else 60,
+            int(sys.argv[2]) if len(sys.argv) > 2 else 0,
+            budget_s=budget_s,
+        )
