@@ -91,24 +91,30 @@ class Segmenter:
         callers with many videos should keep batch_size >= 12.
 
         Pipelined like Model.predict (the deferred-drain discipline from
-        CLAUDE.md's round-trip rule): every batch is DISPATCHED
-        asynchronously with its labels left on device — batch i+1's
-        host-side padding and transfer overlap batch i's execution — and
-        all labels come back in ONE stacked fetch at the end, plus a
-        tiny backpressure scalar every 16 batches to bound queued input
-        buffers. Round-4 measured the per-batch-fetch version at
-        19-29k frames/s end-to-end vs ~16M on device
-        (docs/serving_batch_scan_r4.json); the per-CALL round trip is
-        now the only constant left.
+        CLAUDE.md's round-trip rule): every batch is packed on the host
+        first, inputs ride ONE stacked `jax.device_put` per drain window
+        (16 batches) instead of four per-batch transfers — each separate
+        transfer through the remote tunnel pays its own round trip,
+        measured as a residual ~0.2 s/batch serialization in the round-5
+        scan's e2e_multi rows even after dispatch went asynchronous —
+        every batch is then DISPATCHED asynchronously with its labels
+        left on device, and all labels come back in ONE stacked fetch at
+        the end, plus a tiny backpressure scalar every window to bound
+        queued input buffers. Round-4 measured the per-batch-fetch
+        version at 19-29k frames/s end-to-end vs ~16M on device
+        (docs/serving_batch_scan_r4.json); the per-CALL round trip and
+        one put per window are now the only constants left.
         """
         from action_segmentation_tpu.utils.drain import DeferredLabelDrain
 
+        UPLOAD_WINDOW = 16
         rng = jax.random.PRNGKey(0)
         order = np.argsort([f.shape[0] for f in feature_list])
         results = {}
         C = len(self.valid_classes)
         vc_dev = jnp.asarray(self.valid_classes)
-        drain = DeferredLabelDrain()
+
+        metas, host_batches = [], []
         for start in range(0, len(order), batch_size):
             idxs = order[start : start + batch_size]
             lengths = np.array([feature_list[i].shape[0] for i in idxs], np.int32)
@@ -118,18 +124,26 @@ class Segmenter:
             for row, i in enumerate(idxs):
                 feats[row, : lengths[row]] = feature_list[i]
             cons = np.zeros((len(idxs), Tpad, C), np.float32)
-            end_allowed = self._end_rows(lengths)
-            rng, step_rng = jax.random.split(rng)
-            labels, _ = self._decode(
-                self.model.module.params,
-                jnp.asarray(feats),
-                jnp.asarray(lengths),
-                vc_dev,
-                jnp.asarray(cons),
-                jnp.asarray(end_allowed),
-                step_rng,
-            )
-            drain.add((idxs, lengths), labels)
+            metas.append((idxs, lengths))
+            host_batches.append((feats, lengths, cons, self._end_rows(lengths)))
+
+        drain = DeferredLabelDrain(backpressure_every=UPLOAD_WINDOW)
+        keys = jax.random.split(rng, max(len(host_batches), 1))
+        for w0 in range(0, len(host_batches), UPLOAD_WINDOW):
+            # one put per window also bounds device-resident undecoded
+            # inputs to the same window the backpressure scalar enforces
+            dev_chunk = jax.device_put(host_batches[w0 : w0 + UPLOAD_WINDOW])
+            for off, (feats_d, lengths_d, cons_d, ends_d) in enumerate(dev_chunk):
+                labels, _ = self._decode(
+                    self.model.module.params,
+                    feats_d,
+                    lengths_d,
+                    vc_dev,
+                    cons_d,
+                    ends_d,
+                    keys[w0 + off],
+                )
+                drain.add(metas[w0 + off], labels)
 
         for (idxs, lengths), labels in drain.drain():
             for r, i in enumerate(idxs):
