@@ -45,6 +45,11 @@ def random_pots(rng, B, T, C, K, constrained=False):
         for b in range(B):
             end[b, rng.randint(C)] = 0.0
     lengths = rng.randint(max(2, T // 2), T + 1, size=B).astype(np.int32)
+    # one degenerate row: the length>=1 clamp at the Pallas entry points
+    # (round-5 kernel-adjacent change) must hold on the COMPILED kernel,
+    # not just in interpret mode
+    if B >= 3:
+        lengths[-1] = 1
     pots = HsmmPotentials(
         *[jnp.asarray(x) for x in (trans, init, lens, emit, end)]
     )
