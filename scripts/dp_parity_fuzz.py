@@ -491,6 +491,18 @@ if __name__ == "__main__":
         i = sys.argv.index("--budget-s")
         budget_s = float(sys.argv[i + 1])
         del sys.argv[i:i + 2]
+    if "--cpu" in sys.argv:
+        # full-sweep semantics run fine (and ~50x faster) on CPU: the
+        # on-chip sweep is eager-dispatch-bound through the remote
+        # tunnel (~100 s/config measured round 5), so the division of
+        # labor is: full fresh-seed sweep on CPU, a budgeted slice +
+        # scripts/tpu_kernel_check.py for backend numerics on chip.
+        # (env-var platform forcing is overridden by sitecustomize —
+        # CLAUDE.md environment quirks)
+        sys.argv.remove("--cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     _guarded_backend_init()
     if "--compound" in sys.argv:
         sys.argv.remove("--compound")
